@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet fixture tables (TESTDATA.md).
+  *
+  * Every declared query takes `(spark, sfDir)` and loads only the tables it
+  * needs — column pruning + predicate pushdown then reach the parquet scan
+  * untouched (no caching layer in between, by design).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
+    * to a microsecond timestamp with integer `div` (the data is µs-grained:
+    * nanos % 1000 == 0, so this is lossless — and matches DuckDB's µs view
+    * of the same file). */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = table(spark, dir, "events")
+    import org.apache.spark.sql.types.LongType
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Det._
+
+/** Aggregation operators (SURVEY.md §2.5, A1–A7).
+  *
+  * All are hash aggregations with map-side partial aggregation for free;
+  * double means/sums go through the exact-decimal helpers in [[graft.Det]]
+  * so results are independent of partition/merge order — required both for
+  * oracle parity and for stable results on a 1000-executor cluster.
+  */
+object Aggs {
+
+  /** A1: per-node last-seen — the heartbeat table (AIRWISEv0.py:27,256-258). */
+  def aggLastSeenPerNode(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), fmtTs(col("last_ts")).as("last_seen"), col("n_events"))
+      .orderBy("user_id")
+
+  /** A2: per-node metric summary (graphdata.py:98-112). */
+  def aggMetricsSummary(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        davg(col("value")).as("avg_value"),
+        count(col("value")).as("n_values"))
+      .orderBy("user_id")
+
+  /** A3: packets per type (routing counters, AIRWISEv0.py:127,187,210). */
+  def aggCountByType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** A4: distinct node census (AIRWISEv0.py:80). Exact here; the scale path
+    * is approx_count_distinct (HLL) — same plan shape, no extra shuffle. */
+  def aggDistinctNodes(events: DataFrame): DataFrame =
+    events.agg(
+      countDistinct(col("user_id")).as("n_nodes"),
+      count(lit(1)).as("n_events"))
+
+  /** A5: downsample to time buckets (graphdata.py:99-111). */
+  def aggTimeBucket(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .agg(davg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .select(fmtTsSec(col("hour")).as("hour_s"), col("user_id"), col("avg_value"), col("n"))
+      .orderBy("hour_s", "user_id")
+
+  /** A6: hierarchy totals node → day → all (reporting ext of graphdata.py).
+    * grouping() columns disambiguate NULL keys from rollup NULLs. */
+  def aggRollupNodeDay(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", fmtTsSec(date_trunc("day", col("ts"))))
+      .rollup(col("user_id"), col("day"))
+      .agg(
+        grouping(col("user_id")).cast("int").as("g_user"),
+        grouping(col("day")).cast("int").as("g_day"),
+        count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("g_user"), col("g_day"), col("user_id"), col("day"),
+        col("n"), col("sum_value"))
+      .orderBy(col("g_user"), col("g_day"),
+        col("user_id").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** A7: partial/final two-level aggregation (the v0-vs-v1 daemons each
+    * aggregate independently, combined later — AIRWISEv0v1comb.py:240-321):
+    * per (node, hour) mean, then per node max-of-hourly and hour count. */
+  def aggPartialFinal(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(davg(col("value")).as("hourly_avg"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("hourly_avg")).as("max_hourly_avg"),
+        count(lit(1)).as("n_hours"))
+      .orderBy("user_id")
+}

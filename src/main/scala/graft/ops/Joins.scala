@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det._
+
+/** Join operators (SURVEY.md §2.4, J1–J6).
+  *
+  * Strategy notes for scale: dimension joins broadcast (no shuffle of the
+  * fact side); the as-of join is the union+last_value formulation — one
+  * shuffle on the key, no cross join, scales linearly with input unlike the
+  * naive interval cross-join.
+  */
+object Joins {
+
+  /** J1: fact ⋈ broadcast dimension, left-outer so unknown keys survive with
+    * NULLs (node_dict.get(node, (None,None)), AIRWISEv0.py:41-49,122). */
+  def joinBroadcastDim(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"), "left_outer")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("s_name"))
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
+
+  /** J2: dimension = latest record per key (last-writer-wins dict upsert,
+    * AIRWISEv0.py:239-254), then enrich the fact stream with it. */
+  def joinLatestDim(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val dim = events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("latest_type"),
+        col("ts").as("latest_ts"))
+    events
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("latest_type"),
+        fmtTs(col("latest_ts")).as("latest_ts_s"))
+      .orderBy("event_id")
+  }
+
+  /** J3: align two sources on a shared time axis by hour bucket
+    * (graphdata.py:98-192) — the deterministic form of an as-of join. */
+  def joinTimeseriesAlign(events: DataFrame): DataFrame = {
+    def hourly(tpe: String, alias: String): DataFrame =
+      events.filter(col("event_type") === tpe)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(davg(col("value")).as(alias))
+    hourly("click", "click_avg")
+      .join(hourly("purchase", "purchase_avg"), Seq("hour"))
+      .select(fmtTsSec(col("hour")).as("hour_s"), col("click_avg"), col("purchase_avg"))
+      .orderBy("hour_s")
+  }
+
+  /** J4: as-of join — for each purchase, the latest click at or before it,
+    * per user (graphdata.py:100-104 nearest-sample alignment).
+    *
+    * Formulation: union both sides tagged, one window pass per user ordered
+    * by (ts, side, id), carry the last non-null click via
+    * last(_, ignoreNulls=true), keep purchase rows. One shuffle on user_id,
+    * no cross join — survives 100× scale-up where an interval join explodes.
+    */
+  def joinAsofNearest(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("click_value"), lit(0).as("side"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("click_value"), lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        col("last_click_value"), fmtTs(col("last_click_ts")).as("last_click_ts_s"))
+      .orderBy("event_id")
+  }
+
+  /** J5: semi join — keys present in the other set (heartbeat ∩ dim,
+    * AIRWISEv0.py:80-87). */
+  def joinSemiActiveNodes(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** J6: anti join — keys absent from the dimension (the NULL-longname case,
+    * AIRWISEv0.py:122 default branch). */
+  def joinAntiUnknownNodes(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det._
+
+/** Sort / limit / top-k (SURVEY.md §2.7) and set operations (§2.8). */
+object SetSort {
+
+  /** O1: global sort on time before output (cleandata.py:29). */
+  def sortByTime(events: DataFrame): DataFrame =
+    events.select(col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts_s"), col("event_id"))
+
+  /** O2: single-row probe (fetchone, AIRWISEv0.py:319-320). */
+  def limitHead(events: DataFrame): DataFrame =
+    events.select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .limit(1)
+
+  /** O3: most-recent-N readings per node (dashboard ext of AIRWISEv0.py:258). */
+  def topkRecentPerNode(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"),
+        fmtTs(col("ts")).as("ts_s"), col("value"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** U1: union N inputs into one frame (cleandata.py:11-19). */
+  def unionMultiFile(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_type") === "click")
+    val b = events.filter(col("event_type") === "error")
+    a.unionByName(b)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** U2: configured-but-silent keys (dict keys minus heartbeat keys,
+    * AIRWISEv0.py:80-91): users who never purchased. */
+  def exceptMissingNodes(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .except(events.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct())
+      .orderBy("user_id")
+
+  /** U3: time range where both sources have data (graphdata.py:98-104). */
+  def intersectCommonTimes(events: DataFrame): DataFrame = {
+    def hours(tpe: String): DataFrame =
+      events.filter(col("event_type") === tpe)
+        .select(date_trunc("hour", col("ts")).as("hour")).distinct()
+    hours("click").intersect(hours("purchase"))
+      .select(fmtTsSec(col("hour")).as("hour_s"))
+      .orderBy("hour_s")
+  }
+}

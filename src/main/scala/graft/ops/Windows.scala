@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det._
+
+/** Window-function operators (SURVEY.md §2.6, W1–W4).
+  *
+  * One shuffle on the partition key each; ordering keys always include a
+  * unique tiebreaker (event_id) so ranks and frames are deterministic.
+  */
+object Windows {
+
+  /** W1: latest row per key — last-writer-wins (AIRWISEv0.py:253-254). */
+  def windowLatestPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** W2: time since previous message per node — offline-detection input
+    * (AIRWISEv0.py:81-84). Gap computed on integer microseconds (exact). */
+  def windowGapToPrev(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("e_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("e_us") - lag(col("e_us"), 1).over(w))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"), col("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** W3: trailing moving average over the last 6 samples per node
+    * (smoothing ext of graphdata.py:98-112). Exact-decimal frame sum so the
+    * result doesn't depend on how the engine maintains the sliding frame. */
+  def windowMovingAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-5, Window.currentRow)
+    events
+      .withColumn("moving_avg",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))).over(w)
+          .cast("double") / count(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("value"), col("moving_avg"))
+      .orderBy("event_id")
+  }
+
+  /** W4: top readings per day — alert prioritization (AIRWISEv0.py:85-90). */
+  def windowRankHottest(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("value").desc, col("event_id"))
+    events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(fmtTsSec(col("day")).as("day_s"), col("rnk"), col("event_id"),
+        col("user_id"), col("value"))
+      .orderBy("day_s", "rnk", "event_id")
+  }
+}
