@@ -84,6 +84,26 @@ object SparkEntry {
     "union_multi_file"      -> ((s, d) => SetSort.unionMultiFile(events(s, d))),
     "except_missing_nodes"  -> ((s, d) => SetSort.exceptMissingNodes(events(s, d))),
     "intersect_common_times"-> ((s, d) => SetSort.intersectCommonTimes(events(s, d))),
+    // §2.10 extensions: dedup
+    "dedup_exact"           -> ((s, d) => ext.Dedup.dedupExact(documents(s, d))),
+    "dedup_ngram_jaccard"   -> ((s, d) => ext.Dedup.dedupNgramJaccard(documents(s, d))),
+    "dedup_near_minhash"    -> ((s, d) => ext.Dedup.dedupNearMinhash(documents(s, d))),
+    "dedup_simhash"         -> ((s, d) => ext.Dedup.dedupSimhash(documents(s, d))),
+    "dedup_embedding_cosine"-> ((s, d) => ext.Similarity.dedupEmbeddingCosine(embeddings(s, d))),
+    // §2.10 extensions: similarity search
+    "sim_search_cosine_topk"-> ((s, d) => ext.Similarity.simSearchCosineTopk(embeddings(s, d))),
+    "sim_search_lsh_bucketed" -> ((s, d) => ext.Similarity.simSearchLshBucketed(embeddings(s, d))),
+    // §2.10 extensions: text analysis
+    "text_tokenize_stats"   -> ((s, d) => ext.Text.textTokenizeStats(documents(s, d))),
+    "text_filter_lang"      -> ((s, d) => ext.Text.textFilterLang(documents(s, d))),
+    "text_langid"           -> ((s, d) => ext.Text.textLangid(documents(s, d))),
+    "text_quality_score"    -> ((s, d) => ext.Text.textQualityScore(documents(s, d))),
+    "text_token_count"      -> ((s, d) => ext.Text.textTokenCount(documents(s, d))),
+    "text_fingerprint"      -> ((s, d) => ext.Text.textFingerprint(documents(s, d))),
+    // §2.10 extensions: sessions + multimodal plumbing
+    "events_sessionize"     -> ((s, d) => ext.Sessions.eventsSessionize(events(s, d))),
+    "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
+    "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
   )
 
   // DuckDB spellings of the Det helpers (see Det.scala):
@@ -182,5 +202,31 @@ object SparkEntry {
       "SELECT user_id FROM (SELECT DISTINCT user_id FROM events EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') ORDER BY user_id",
     "intersect_common_times" ->
       s"""SELECT strftime(hour, $TS0) AS hour_s FROM (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'click' INTERSECT SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'purchase') ORDER BY hour_s""",
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, md5(text) AS text_md5 FROM documents GROUP BY md5(text) ORDER BY keep_doc_id",
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da AS doc_a, db AS doc_b, CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS jaccard FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3 ORDER BY doc_a, doc_b""",
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT a.vec_id va, b.vec_id vb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) c FROM n a JOIN n b ON a.vec_id < b.vec_id) SELECT va AS vec_a, vb AS vec_b, c AS cosine FROM p WHERE c >= 0.35 ORDER BY vec_a, vec_b""",
+    "sim_search_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT q.vec_id query_id, c.vec_id vec_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) cosine FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 10), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
+    "sim_search_lsh_bucketed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END || CASE WHEN v[5] > 0 THEN '1' ELSE '0' END || CASE WHEN v[6] > 0 THEN '1' ELSE '0' END) bucket FROM e), p AS (SELECT q.vec_id query_id, c.vec_id vec_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) cosine FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id != q.vec_id WHERE q.vec_id < 50), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    "text_tokenize_stats" ->
+      "SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 100",
+    "text_filter_lang" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id, lang AS true_lang, CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS BIGINT) en_n, CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT) es_n, CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) de_n, CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|des|un)\b')) AS BIGINT) fr_n FROM documents) SELECT doc_id, true_lang, en_n, es_n, de_n, fr_n, CASE WHEN en_n >= es_n AND en_n >= de_n AND en_n >= fr_n THEN 'en' WHEN es_n >= de_n AND es_n >= fr_n THEN 'es' WHEN de_n >= fr_n THEN 'de' ELSE 'fr' END AS pred_lang FROM s ORDER BY doc_id""",
+    "text_quality_score" ->
+      """WITH s AS (SELECT doc_id, n_chars, len(regexp_extract_all(lower(text), '[a-z0-9]+')) n_tok, len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) n_stop, len(regexp_extract_all(text, '[0-9]')) n_digit FROM documents) SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, CAST(n_chars AS DOUBLE) / greatest(n_tok, 1) AS avg_token_len, CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) AS stopword_ratio, CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio, (CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(n_digit AS DOUBLE) / greatest(n_chars, 1))) AS quality_score FROM s ORDER BY doc_id""",
+    "text_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS BIGINT) AS subword_tokens, n_chars FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents ORDER BY doc_id""",
+    "events_sessionize" ->
+      s"""WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT user_id, event_id, ts, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s) SELECT user_id, session_num, strftime(min(ts), $TS6) AS session_start_s, strftime(max(ts), $TS6) AS session_end_s, count(*) AS n_events FROM t GROUP BY user_id, session_num ORDER BY user_id, session_num""",
+    "multimodal_extract_meta" ->
+      "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id",
   )
 }

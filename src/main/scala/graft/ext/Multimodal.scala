@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (training-pipeline north star).
+  *
+  * Media travels as an opaque `binary` column plus typed metadata; decode /
+  * feature-extraction runs per-partition over an iterator (constant memory,
+  * no driver collect, one task per partition — the shape a real
+  * decoder-library call would slot into). The decode itself is a STUB: this
+  * container has no image/audio codecs, so [[FakeDecoder]] derives
+  * deterministic pseudo-features from the bytes. The Spark-side plumbing —
+  * schema, batching, partition flow — is real and tested.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + metadata (the schema a binary-asset lake
+    * table would carry). */
+  case class MediaRow(doc_id: Long, media_type: String, n_bytes: Long,
+                      content: Array[Byte])
+
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           checksum: Long, features: Array[Double])
+
+  /** STUB decoder — deterministic fake standing in for e.g. JPEG decode +
+    * embedding. Real deployments swap this object out; the pipeline around
+    * it is unchanged. */
+  object FakeDecoder {
+    val dim = 8
+    def decode(content: Array[Byte]): Array[Double] = {
+      val f = new Array[Double](dim)
+      var i = 0
+      while (i < content.length) { f(i % dim) += (content(i) & 0xFF) / 255.0; i += 1 }
+      f
+    }
+    def checksum(content: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      h
+    }
+  }
+
+  /** documents.text reinterpreted as a binary media payload — the fixture
+    * stand-in for an image/audio bytes column. */
+  def asMedia(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0, "image/fake").otherwise("audio/fake").as("media_type"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      col("text").cast("binary").as("content")
+    ).as[MediaRow]
+  }
+
+  /** Per-partition decode + featurize: the mapPartitions shape that a
+    * batched native decoder (or Arrow-batched python worker) plugs into. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.media_type, r.n_bytes,
+          FakeDecoder.checksum(r.content), FakeDecoder.decode(r.content))
+      }
+    }
+  }
+
+  /** Declared query: metadata + content digest per media row (the part of
+    * the pipeline that is expressible in any engine, used as the oracle
+    * anchor for the binary plumbing). */
+  def multimodalExtractMeta(documents: DataFrame): DataFrame =
+    asMedia(documents).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+
+  /** Rows-only query exercising the full mapPartitions decode path
+    * (deterministic fake features; no portable oracle). */
+  def multimodalFakeFeatures(documents: DataFrame): DataFrame = {
+    val feats = extractFeatures(asMedia(documents)).toDF()
+    feats.select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("checksum"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"))
+      .orderBy("doc_id")
+  }
+}

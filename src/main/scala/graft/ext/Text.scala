@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table (SURVEY.md §2.10 X4/X5
+  * plus the training-pipeline extensions: language-ID, quality scoring,
+  * token counting, fingerprinting).
+  *
+  * All pure Catalyst expressions (regexp_extract_all / explode / md5) —
+  * no UDFs, so everything stays codegen'd and scales as a plain
+  * shuffle-aggregate.
+  */
+object Text {
+
+  /** Word tokens, lowercased. Same regex semantics in Java regex and RE2. */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** X4: tokenize + term stats: top-100 tokens by frequency. */
+  def textTokenizeStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** X5: language/source slice. */
+  def textFilterLang(documents: DataFrame): DataFrame =
+    documents.filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Language-ID by marker-token counting (n-gram heuristic): count hits of
+    * per-language stopword alternations, pick the max with a fixed
+    * preference order on ties. */
+  def textLangid(documents: DataFrame): DataFrame = {
+    def hits(pat: String): Column =
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+    val en = hits("\\b(the|and|of|to|a)\\b")
+    val es = hits("\\b(el|la|de|que|los)\\b")
+    val de = hits("\\b(der|die|und|das|ist)\\b")
+    val fr = hits("\\b(le|les|et|des|un)\\b")
+    documents.select(
+      col("doc_id"), col("lang").as("true_lang"),
+      en.cast("long").as("en_n"), es.cast("long").as("es_n"), de.cast("long").as("de_n"), fr.cast("long").as("fr_n"),
+      when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("pred_lang")
+    ).orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/token/stopword/digit ratios combined into one
+    * score (the classic pretraining-data heuristic filter). */
+  def textQualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
+    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+    documents.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      (col("n_chars").cast("double") / greatest(nTok, lit(1))).as("avg_token_len"),
+      (nStop.cast("double") / greatest(nTok, lit(1))).as("stopword_ratio"),
+      (nDigit.cast("double") / greatest(col("n_chars"), lit(1))).as("digit_ratio"),
+      (when(nTok >= 20, 1.0).otherwise(0.0)
+        + when(nStop > 0, 1.0).otherwise(0.0)
+        + (lit(1.0) - nDigit.cast("double") / greatest(col("n_chars"), lit(1)))
+      ).as("quality_score")
+    ).orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword proxy (short
+    * alphanumeric chunks), the usual budget estimators. */
+  def textTokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]{1,4}"), lit(0))).cast("long").as("subword_tokens"),
+      col("n_chars")
+    ).orderBy("doc_id")
+
+  /** Document fingerprinting: md5 of whitespace-normalized lowercase text —
+    * the key for exact near-canonical dedup. */
+  def textFingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fingerprint")
+    ).orderBy("doc_id")
+}

@@ -24,7 +24,7 @@ object SetSort {
   def topkRecentPerNode(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    events.withColumn("rn", row_number().over(w))
+    events.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("user_id"), col("rn"), col("event_id"),
         fmtTs(col("ts")).as("ts_s"), col("value"))

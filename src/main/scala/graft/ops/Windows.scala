@@ -56,7 +56,7 @@ object Windows {
       .orderBy(col("value").desc, col("event_id"))
     events
       .withColumn("day", date_trunc("day", col("ts")))
-      .withColumn("rnk", rank().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(fmtTsSec(col("day")).as("day_s"), col("rnk"), col("event_id"),
         col("user_id"), col("value"))
