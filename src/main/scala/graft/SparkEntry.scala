@@ -104,6 +104,8 @@ object SparkEntry {
     "events_sessionize"     -> ((s, d) => ext.Sessions.eventsSessionize(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
+    // §3.3 composite: the cleandata.py parity chain end-to-end
+    "clean_pipeline"        -> ((s, d) => batch.Clean.cleanPipeline(events(s, d))),
   )
 
   // DuckDB spellings of the Det helpers (see Det.scala):
@@ -228,5 +230,7 @@ object SparkEntry {
       s"""WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT user_id, event_id, ts, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s) SELECT user_id, session_num, strftime(min(ts), $TS6) AS session_start_s, strftime(max(ts), $TS6) AS session_end_s, count(*) AS n_events FROM t GROUP BY user_id, session_num ORDER BY user_id, session_num""",
     "multimodal_extract_meta" ->
       "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id",
+    "clean_pipeline" ->
+      s"""SELECT event_id, strftime(timezone('America/Los_Angeles', timezone('UTC', TRY_CAST(strftime(ts, $TS6) AS TIMESTAMP))), $TS0) AS pacific_time, round(TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE), 3) AS value_r FROM events WHERE event_type IN ('click', 'view') AND TRY_CAST(strftime(ts, $TS6) AS TIMESTAMP) IS NOT NULL ORDER BY event_id""",
   )
 }

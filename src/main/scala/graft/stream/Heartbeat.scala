@@ -1,0 +1,61 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful monitoring (SURVEY.md §2.9 T3–T5): per-node heartbeat tracking,
+  * offline detection against a processing-time threshold, and
+  * edge-triggered alerting with dedup — the Spark form of the reference's
+  * checker thread + shared dicts (AIRWISEv0.py:73-103, node_heartbeats
+  * AIRWISEv0.py:27/258, alert latch AIRWISEv0.py:30/85-96).
+  *
+  * One streaming query with keyed state replaces the reference's second
+  * thread and its list()-copy race workaround (AIRWISEv0.py:80): the
+  * 600 s scan cadence becomes the trigger/timeout machinery, the latch
+  * becomes state, and everything scales per-key across executors.
+  */
+object Heartbeat {
+
+  /** A minimal packet view: who, when (processing-relevant fields only). */
+  case class Packet(node: Long, ts_ms: Long)
+
+  /** node -> (last seen, alert latch) — node_heartbeats + node_alerts_sent. */
+  case class NodeState(lastSeenMs: Long, alertSent: Boolean)
+
+  /** Emitted transitions only (edge-triggered, AIRWISEv0.py:85-96):
+    * one OFFLINE per silent episode, one ONLINE on recovery. */
+  case class NodeEvent(node: Long, event: String, at_ms: Long)
+
+  val OfflineThresholdMs: Long = 100L * 60 * 1000 // AIRWISEv0.py:20
+
+  /** State-transition function, factored out so tests drive it directly
+    * with TestGroupState (no clock-waiting). */
+  def update(offlineMs: Long)(node: Long, packets: Iterator[Packet],
+                              state: GroupState[NodeState]): Iterator[NodeEvent] = {
+    if (state.hasTimedOut) {
+      // silent past threshold: alert once, latch, leave state for recovery
+      val st = state.get
+      state.update(st.copy(alertSent = true))
+      Iterator(NodeEvent(node, "OFFLINE", state.getCurrentProcessingTimeMs()))
+    } else {
+      val newest = packets.map(_.ts_ms).foldLeft(Long.MinValue)(math.max)
+      val prev = state.getOption
+      val recovered = prev.exists(_.alertSent) // back ONLINE (AIRWISEv0.py:259-262)
+      val lastSeen = math.max(prev.map(_.lastSeenMs).getOrElse(Long.MinValue), newest)
+      state.update(NodeState(lastSeen, alertSent = false))
+      state.setTimeoutDuration(offlineMs)
+      if (recovered) Iterator(NodeEvent(node, "ONLINE", newest)) else Iterator.empty
+    }
+  }
+
+  /** T3–T5 wiring: packets stream -> transition events stream. */
+  def monitor(packets: Dataset[Packet],
+              offlineMs: Long = OfflineThresholdMs): Dataset[NodeEvent] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    packets
+      .groupByKey(_.node)
+      .flatMapGroupsWithState[NodeState, NodeEvent](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update(offlineMs))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+import graft.model.Schemas
+
+/** Streaming ingest (SURVEY.md §2.9 T1/T2/T7): the Spark re-expression of
+  * the reference's MQTT daemons (AIRWISEv0.py on_message chain,
+  * AIRWISEv0.py:276-305; v1 text parser AIRWISEv1.py:130-140).
+  *
+  * Every transform is a pure `DataFrame => DataFrame` that works on both
+  * batch and streaming frames (Spark's unified semantics) — batch tests and
+  * the DuckDB-oracle checks exercise exactly the code the stream runs.
+  * Transport is a pluggable source: MemoryStream in tests, file/Kafka in
+  * deployment; MQTT is transport, not semantics (SURVEY.md §7.3).
+  */
+object Ingest {
+
+  /** Raw bytes -> typed envelope. PERMISSIVE from_json: malformed packets
+    * become all-NULL rows and are droppable, never fatal (the reference's
+    * catch-and-continue, AIRWISEv0.py:155-157). */
+  def parseEnvelope(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.select(from_json(col(jsonCol), Schemas.envelope).as("m"))
+      .select(col("m.*"))
+      // a packet with no routable type is the parse-failure case
+      .filter(col("type").isNotNull)
+
+  /** Content-based routing tag (AIRWISEv0.py:112,126,243;
+    * AIRWISEv0v1comb.py:387-404 runs all parsers — here one pass). */
+  def routePackets(envelopes: DataFrame): DataFrame =
+    envelopes.withColumn("route",
+      when(col("type") === "telemetry" && col("payload.battery_level").isNotNull, "battery")
+        .when(col("type") === "telemetry", "environment")
+        .when(col("type") === "text" && col("payload.text").isNotNull, "v1_text")
+        .when(col("type") === "nodeinfo", "nodeinfo")
+        .otherwise("drop"))
+
+  /** Arrival-time rendering (AIRWISEv0.py:135 pst_time). Deterministic in
+    * tests via an injected clock column; live via current_timestamp(). */
+  def pstTime(arrival: Column): Column =
+    date_format(from_utc_timestamp(arrival, "America/Los_Angeles"), "yyyy-MM-dd HH:mm:ss zzz")
+
+  /** v0 environment telemetry -> airwise_data shape (AIRWISEv0.py:142-153):
+    * missing payload fields surface as NULL columns. */
+  def parseEnvironment(routed: DataFrame, arrival: Column): DataFrame =
+    routed.filter(col("route") === "environment").select(
+      col("from").as("node"),
+      col("payload.barometric_pressure").as("pressure"),
+      col("payload.gas_resistance").as("gas"),
+      col("payload.iaq").as("iaq"),
+      col("payload.relative_humidity").as("humidity"),
+      col("payload.temperature").as("temperature"),
+      col("timestamp").as("timestamp_node"),
+      pstTime(arrival).as("pst_time"))
+
+  /** battery telemetry -> battery_data shape (AIRWISEv0.py:126-140; the
+    * reference drops timestamp_node at insert, AIRWISEv0.py:172). */
+  def parseBattery(routed: DataFrame, arrival: Column): DataFrame =
+    routed.filter(col("route") === "battery").select(
+      col("from").as("node"),
+      col("payload.voltage").as("voltage"),
+      col("payload.battery_level").as("battery_level"),
+      pstTime(arrival).as("pst_time"))
+
+  /** v1 CSV-in-text -> airwise_datav1 shape (AIRWISEv1.py:130-157):
+    * 9 comma-separated floats; any non-float field or short row nulls the
+    * whole parse and the row is dropped (ValueError/IndexError semantics). */
+  def parseV1Text(routed: DataFrame, arrival: Column): DataFrame = {
+    val parts = split(trim(col("payload.text")), ",")
+    val metric = Seq("temperature", "humidity", "pressure", "gas",
+      "pm1_0", "pm2_5", "pm10", "bus_voltage", "current_mA")
+    val casted = metric.zipWithIndex.map { case (name, i) =>
+      element_at(col("parts"), i + 1).cast("double").as(name)
+    }
+    routed.filter(col("route") === "v1_text")
+      .withColumn("parts", parts)
+      .filter(size(col("parts")) >= 9)
+      .select(Seq(col("from").as("node"), col("timestamp").as("timestamp_node"),
+        pstTime(arrival).as("pst_time")) ++ casted: _*)
+      // ValueError semantics: one bad float drops the row
+      .na.drop(metric)
+  }
+
+  /** nodeinfo packets -> dimension updates (AIRWISEv0.py:239-254). */
+  def parseNodeinfo(routed: DataFrame): DataFrame =
+    routed.filter(col("route") === "nodeinfo").select(
+      col("from").as("node"),
+      col("payload.id").as("topic_id"),
+      col("payload.longname").as("longname"),
+      col("timestamp").as("ts"))
+
+  /** Left-outer broadcast enrichment — unknown nodes keep their rows with
+    * NULL topic_id/longname (AIRWISEv0.py:122). */
+  def enrich(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(broadcast(dim.select(col("node"), col("topic_id"), col("longname"))),
+      Seq("node"), "left_outer")
+
+  /** T1/T2 end-to-end: one streaming pass, three routed sinks via
+    * foreachBatch (the Spark form of insert_to_database's routing,
+    * AIRWISEv0.py:159-234 — but batched, pooled, and idempotent per epoch
+    * instead of one connection per row). */
+  def runIngest(raw: DataFrame, dim: DataFrame, outDir: String,
+                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val routed = routePackets(parseEnvelope(raw))
+    routed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val arrival = current_timestamp()
+        val b = batch.persist()
+        try {
+          enrich(parseEnvironment(b, arrival), dim)
+            .write.mode("append").parquet(s"$outDir/airwise_data")
+          enrich(parseBattery(b, arrival), dim)
+            .write.mode("append").parquet(s"$outDir/battery_data")
+          enrich(parseV1Text(b, arrival), dim)
+            .write.mode("append").parquet(s"$outDir/airwise_datav1")
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity semantics on literal frames and the sf0.001 fixtures. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  // near-dup fixtures need the larger corpus (sf0.001 has too few docs to
+  // guarantee planted pairs)
+  def docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("dedup_exact groups identical texts and keeps lowest doc_id") {
+    val df = Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "unique text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupExact(df).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("minhash LSH recalls all very-near duplicates found by exact jaccard") {
+    val exact = Dedup.dedupNgramJaccard(docs).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.95)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = Dedup.dedupNearMinhash(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(exact.subsetOf(lsh),
+      s"LSH must recall all jaccard>=0.95 pairs; missed ${exact.diff(lsh)}")
+  }
+
+  test("minhash candidates are verified: no pair below threshold") {
+    val lsh = Dedup.dedupNearMinhash(docs).collect()
+    assert(lsh.forall(_.getAs[Double]("jaccard") >= 0.3))
+  }
+
+  test("simhash: identical docs have hamming 0, near-dups small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about database query engines")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSimhash(df, maxHamming = 0).collect()
+    assert(out.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Long]("hamming") == 0L))
+  }
+
+  test("cosine top-k: self excluded, scores descending, k respected") {
+    val out = Similarity.simSearchCosineTopk(Tables.embeddings(spark, sf), 3, 5).collect()
+    assert(out.length == 15)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val scores = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cosine"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q))
+    }
+  }
+
+  test("LSH buckets only ever contain same-sign-prefix vectors") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.simSearchLshBucketed(e, 10, 3)
+    // every returned candidate must agree with its query on the 6 sign bits
+    val withSigns = out.join(
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "vec_id")
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")), "query_id")
+    val bad = withSigns.filter(
+      (1 to 6).map(i => (element_at(col("v"), i) > 0) =!= (element_at(col("qv"), i) > 0))
+        .reduce(_ || _))
+    assert(bad.count() == 0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.stream.Ingest
+import graft.model.Schemas
+
+/** T1/T2 end-to-end: MemoryStream of golden packets → runIngest →
+  * three routed parquet sinks, enriched, with at-least-once semantics. */
+class IngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest routes one pass into three sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val input = MemoryStream[String]
+    val dim = Schemas.nodeDimSeed.toDF("node", "topic_id", "longname")
+
+    val q = Ingest.runIngest(input.toDF().withColumnRenamed("value", "value"),
+      dim, s"$dir/out", s"$dir/ckpt")
+    input.addData(
+      """{"from":1127718912,"payload":{"barometric_pressure":1013.2,"gas_resistance":120000.5,"iaq":51,"relative_humidity":40.2,"temperature":21.5},"timestamp":1760748340,"type":"telemetry"}""",
+      """{"from":1127718912,"payload":{"battery_level":92,"voltage":4.01},"timestamp":1760748350,"type":"telemetry"}""",
+      """{"from":1127718913,"payload":{"text":"23.35,41.69,985.34,185623.00,1.00,1.00,1.00,4.98,148.62"},"timestamp":1760748360,"type":"text"}""",
+      "garbage that is not json",
+      """{"from":999,"payload":{"temperature":5.0},"timestamp":1760748370,"type":"telemetry"}""")
+    q.processAllAvailable()
+    q.stop()
+
+    val env = spark.read.parquet(s"$dir/out/airwise_data")
+    assert(env.count() == 2)
+    // unknown node 999 kept with NULL enrichment
+    assert(env.filter(col("node") === 999L).collect().head.getAs[String]("longname") == null)
+    assert(env.filter(col("node") === 1127718912L).collect().head.getAs[String]("longname") == "Farm1")
+
+    val bat = spark.read.parquet(s"$dir/out/battery_data")
+    assert(bat.count() == 1)
+    assert(bat.collect().head.getAs[Double]("battery_level") == 92.0)
+
+    val v1 = spark.read.parquet(s"$dir/out/airwise_datav1")
+    assert(v1.count() == 1)
+    assert(v1.collect().head.getAs[Double]("pm2_5") == 1.0)
+  }
+}

