@@ -13,7 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm up JVM/codegen/parquet-reader paths so the first timed query
+    // doesn't absorb ~4s of JIT cost.
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    SparkEntry.queries("agg_count_by_type")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full plan execution (count() would let Catalyst
       // prune projections and skip the sort entirely).
