@@ -2,38 +2,28 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorDot.vector_dot
 
 /** Similarity search over the embeddings table (SURVEY.md §2.10 X3 plus the
   * LSH-bucketed scale path and embedding-based near-dup detection).
   *
-  * Dot products are Catalyst-native — no UDFs — and unrolled into plain
-  * codegen'd arithmetic on the hot paths; summation is always the same
-  * sequential left-associated order, so results are reproducible
+  * Dot products go through the native [[graft.functions.VectorDot]]
+  * expression (codegen'd tight loop, any dimension); summation is always
+  * the same sequential left-associated order, so results are reproducible
   * bit-for-bit across engines and partitionings.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays (any dimension).
-    * Higher-order functions don't participate in whole-stage codegen, so
-    * this is the generic path only — hot paths use [[dotUnrolled]]. */
+  /** Sequential-fold dot product of two double arrays — the pure-built-in
+    * reference implementation (HOFs evaluate interpreted, so the hot paths
+    * use [[graft.functions.VectorDot]]; the spec asserts both agree). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Dot product unrolled to a left-associated sum of element products —
-    * plain codegen'd expressions, ~2 orders of magnitude faster per pair
-    * than the HOF fold, with the identical sequential summation order
-    * (((a1b1 + a2b2) + a3b3) + …) so results are bit-equal to [[dot]] and
-    * to DuckDB's list_dot_product. */
-  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduceLeft(_ + _)
-
-  /** Fixture embedding dimension (constant across scale factors). */
-  val Dim = 64
 
   private def withNorm(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v"), Dim)))
+      .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
 
   /** X3: brute-force cosine top-k — queries (vec_id < nQueries) broadcast
     * against the full corpus; ranking ties broken by vec_id. The corpus
@@ -45,7 +35,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dotUnrolled(col("qv"), col("v"), Dim) / (col("qn") * col("nrm")))
+      .withColumn("cosine", vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w).cast("long"))
@@ -71,7 +61,7 @@ object Similarity {
         col("nrm").as("qn"), col("bucket"))
     val pairs = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dotUnrolled(col("qv"), col("v"), Dim) / (col("qn") * col("nrm")))
+      .withColumn("cosine", vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w).cast("long"))

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two double arrays — the one operator in this
+  * library where a custom Catalyst Expression genuinely beats the
+  * built-ins (guide preference (b)): `zip_with`+`aggregate` evaluate
+  * interpreted per element, and an unrolled literal sum only works for a
+  * known dimension and sends the optimizer quadratic on wide trees. This
+  * compiles to a tight loop inside whole-stage codegen, any dimension.
+  *
+  * Summation is sequential left-to-right — bit-identical to the HOF fold,
+  * the JVM kernels in graft.ext, and DuckDB's list_dot_product, so it is
+  * interchangeable wherever those are oracle-checked.
+  *
+  * Null semantics: NULL if either array is NULL (NullIntolerant); array
+  * elements must be non-null (embedding vectors — enforced upstream).
+  * Arrays of different length dot over the common prefix.
+  */
+case class VectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot requires array<double> inputs, got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(left = l, right = r)
+}
+
+object VectorDot {
+  /** Register `vector_dot` in the session's function registry (for SQL and
+    * `call_function`). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+
+  /** Column-API form: usable without registration. */
+  def vector_dot(a: Column, b: Column): Column =
+    GraftSqlBridge.toColumn(VectorDot(GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorDot
+import graft.functions.VectorDot.vector_dot
+import graft.ext.Similarity
+
+/** The custom codegen'd VectorDot expression: agreement with the HOF fold,
+  * SQL registration, null and type behavior. */
+class VectorDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  val df = Seq(
+    (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+    (2L, Array(0.1, 0.2, 0.3), Array(-1.0, 0.5, 2.0))
+  ).toDF("id", "a", "b")
+
+  test("matches the zip_with/aggregate fold bit-for-bit") {
+    val out = df.select(
+      vector_dot(col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).as("fold")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(out(0).getDouble(0) == 32.0)
+  }
+
+  test("registered SQL function works and agrees") {
+    VectorDot.register(spark)
+    df.createOrReplaceTempView("vd")
+    val out = spark.sql("SELECT vector_dot(a, b) AS d FROM vd ORDER BY id").collect()
+    assert(out(0).getDouble(0) == 32.0)
+  }
+
+  test("NULL array yields NULL; wrong type fails analysis") {
+    val withNull = Seq((1L, Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("id", "a", "b")
+    val r = withNull.select(vector_dot(col("a"), col("b"))).collect().head
+    assert(r.isNullAt(0))
+    val bad = intercept[Exception] {
+      df.select(vector_dot(col("id"), col("a"))).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("vector_dot") ||
+      bad.getMessage.toLowerCase.contains("datatype_mismatch") ||
+      bad.getMessage.toLowerCase.contains("cannot resolve"))
+  }
+
+  test("different lengths dot over common prefix (documented semantics)") {
+    val uneven = Seq((1L, Array(1.0, 2.0, 3.0), Array(10.0, 10.0)))
+      .toDF("id", "a", "b")
+    assert(uneven.select(vector_dot(col("a"), col("b"))).collect().head.getDouble(0) == 30.0)
+  }
+
+  test("works on the real embeddings inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val s = e.select(sum(vector_dot(col("v"), col("v"))).as("ss")).collect().head.getDouble(0)
+    assert(s > 0.0)
+  }
+}
