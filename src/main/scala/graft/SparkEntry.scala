@@ -68,6 +68,7 @@ object SparkEntry {
     "agg_metrics_summary"   -> ((s, d) => Aggs.aggMetricsSummary(events(s, d))),
     "agg_count_by_type"     -> ((s, d) => Aggs.aggCountByType(events(s, d))),
     "agg_distinct_nodes"    -> ((s, d) => Aggs.aggDistinctNodes(events(s, d))),
+    "agg_distinct_approx"   -> ((s, d) => Aggs.aggDistinctNodesApprox(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
     "agg_partial_final"     -> ((s, d) => Aggs.aggPartialFinal(events(s, d))),

@@ -11,6 +11,44 @@ import graft.Det._
   */
 object Clean {
 
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types._
+
+  /** PurpleAir CSV schema (reference cleandata.py:22,32-40; FIXTURES.md §A3).
+    * Everything nullable — numeric parse failures coerce to NULL. */
+  val purpleAirSchema: StructType = StructType(Seq(
+    StructField("UTCDateTime", StringType),
+    StructField("current_temp_f", DoubleType),
+    StructField("current_humidity", DoubleType),
+    StructField("pressure", DoubleType),
+    StructField("pm1_0_atm", DoubleType),
+    StructField("pm2_5_atm", DoubleType),
+    StructField("pm10_0_atm", DoubleType)))
+
+  /** The exact cleandata.py chain over real CSV files: union N files →
+    * parse UTC timestamps (null-on-failure) → drop unparseable rows →
+    * UTC→Pacific → sort → project 7 cols → round to 3 decimals → format.
+    * Output matches purpleairCLEAN.csv's shape (cleandata.py:51-52). */
+  def cleanCsvFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(purpleAirSchema)
+      .csv(paths: _*)                                                 // U1
+      .withColumn("ts", try_to_timestamp(col("UTCDateTime")))         // F4
+      .na.drop(Seq("ts"))                                             // P4
+      .withColumn("pacific",
+        from_utc_timestamp(col("ts"), "America/Los_Angeles"))         // F5
+      .select(                                                        // F1/F3/F6
+        date_format(col("pacific"), "yyyy-MM-dd HH:mm:ss").as("PacificTime"),
+        col("current_temp_f"),
+        col("current_humidity"),
+        round(col("pressure"), 3).as("pressure"),
+        round(col("pm1_0_atm"), 3).as("pm1_0_atm"),
+        round(col("pm2_5_atm"), 3).as("pm2_5_atm"),
+        round(col("pm10_0_atm"), 3).as("pm10_0_atm"))
+      .orderBy("PacificTime", "current_temp_f")                       // O1
+
   /** Composite declared query (`clean_pipeline`) over the events fixture:
     * two "CSV files" (event-type slices rendered to strings) unioned and
     * pushed through the full chain. */

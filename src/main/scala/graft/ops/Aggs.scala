@@ -42,6 +42,14 @@ object Aggs {
       countDistinct(col("user_id")).as("n_nodes"),
       count(lit(1)).as("n_events"))
 
+  /** A4 at scale: HLL++ sketch census — one pass, mergeable partials, no
+    * distinct shuffle. Rows-only check (sketch estimates are
+    * engine-specific); the spec bounds the error against the exact count. */
+  def aggDistinctNodesApprox(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.agg(
+      approx_count_distinct(col("user_id"), rsd).as("approx_nodes"),
+      count(lit(1)).as("n_events"))
+
   /** A5: downsample to time buckets (graphdata.py:99-111). */
   def aggTimeBucket(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))

@@ -79,6 +79,14 @@ class OpsSpec extends SparkSpec {
     assert(true)
   }
 
+  test("approx distinct census is within the configured error of exact") {
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = Aggs.aggDistinctNodes(events).collect().head.getAs[Long]("n_nodes")
+    val approx = Aggs.aggDistinctNodesApprox(events).collect().head.getAs[Long]("approx_nodes")
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("clean_pipeline: malformed timestamp strings are dropped") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val df = Seq(
