@@ -94,6 +94,7 @@ object SparkEntry {
     // §2.10 extensions: similarity search
     "sim_search_cosine_topk"-> ((s, d) => ext.Similarity.simSearchCosineTopk(embeddings(s, d))),
     "sim_search_lsh_bucketed" -> ((s, d) => ext.Similarity.simSearchLshBucketed(embeddings(s, d))),
+    "sim_search_ivf"        -> ((s, d) => ext.Similarity.simSearchIvf(embeddings(s, d))),
     // §2.10 extensions: text analysis
     "text_tokenize_stats"   -> ((s, d) => ext.Text.textTokenizeStats(documents(s, d))),
     "text_filter_lang"      -> ((s, d) => ext.Text.textFilterLang(documents(s, d))),

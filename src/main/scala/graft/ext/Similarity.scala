@@ -70,9 +70,61 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF (inverted-file) search: the corpus is partitioned into nCells
+    * Voronoi cells around deterministic centroids (the first nCells
+    * vectors — a fixed-seed stand-in for a k-means step); each query
+    * probes its nProbe nearest cells and ranks exactly within them. The
+    * cell equi-join bounds work to ~nProbe/nCells of the corpus per query —
+    * the IVF scale path next to [[simSearchLshBucketed]]. Rows-only
+    * (probe-set semantics aren't reasonably SQL-expressible); the spec
+    * checks recall against the brute-force baseline. */
+  def simSearchIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                   nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = vecs.filter(_._1 < nCells).collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, math.sqrt(dotP(v, v))) }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = vecs.mapPartitions { it =>
+      val cents = bc.value
+      it.map { case (id, v) =>
+        (id, v, math.sqrt(dotP(v, v)), nearestCells(cents, v, 1).head)
+      }
+    }.toDF("vec_id", "v", "nrm", "cell")
+    val probes = vecs.filter(_._1 < nQueries)
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.flatMap { case (id, v) =>
+          val nv = math.sqrt(dotP(v, v))
+          nearestCells(cents, v, nProbe).map(c => (id, v, nv, c))
+        }
+      }.toDF("query_id", "qv", "qn", "cell")
+    val pairs = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cell"), col("cosine"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** The nProbe cells whose centroids have highest cosine to v (ties by
+    * centroid id). */
+  private def nearestCells(cents: Array[(Long, Array[Double], Double)],
+                           v: Array[Double], n: Int): Seq[Long] = {
+    val nv = math.sqrt(dotP(v, v))
+    cents.map { case (cid, cv, cn) => (cid, dotP(v, cv) / (nv * cn)) }
+      .sortBy { case (cid, c) => (-c, cid) }.take(n).map(_._1).toSeq
+  }
+
   /** Primitive sequential dot — the same left-to-right summation order as
-    * [[dot]]/[[dotUnrolled]] and DuckDB's list_dot_product, so all three
-    * paths produce bit-identical doubles. */
+    * [[dot]] and DuckDB's list_dot_product, so all paths produce
+    * bit-identical doubles. */
   private def dotP(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }

@@ -59,6 +59,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF: probes bound the searched cells, ranking exact within probes") {
+    val e = Tables.embeddings(spark, sf)
+    val ivf = Similarity.simSearchIvf(e, nQueries = 5, k = 10).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      val scores = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cosine"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // recall vs brute force: with nProbe/nCells = 4/16 on near-random
+    // vectors expect to rediscover a nontrivial fraction of true top-10
+    val brute = Similarity.simSearchCosineTopk(e, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF recall surprisingly low: $recall")
+  }
+
   test("LSH buckets only ever contain same-sign-prefix vectors") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.simSearchLshBucketed(e, 10, 3)
