@@ -69,6 +69,8 @@ object SparkEntry {
     "agg_count_by_type"     -> ((s, d) => Aggs.aggCountByType(events(s, d))),
     "agg_distinct_nodes"    -> ((s, d) => Aggs.aggDistinctNodes(events(s, d))),
     "agg_distinct_approx"   -> ((s, d) => Aggs.aggDistinctNodesApprox(events(s, d))),
+    "agg_salted_skew"       -> ((s, d) =>
+      ops.Skew.saltedGroupSum(events(s, d), "event_type", "value").orderBy("event_type")),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
     "agg_partial_final"     -> ((s, d) => Aggs.aggPartialFinal(events(s, d))),
@@ -180,6 +182,8 @@ object SparkEntry {
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_distinct_nodes" ->
       "SELECT count(DISTINCT user_id) AS n_nodes, count(*) AS n_events FROM events",
+    "agg_salted_skew" ->
+      "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_time_bucket" ->
       s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, user_id, $DAVG AS avg_value, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY hour_s, user_id""",
     "agg_rollup_node_day" ->

@@ -87,6 +87,32 @@ class OpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("salted aggregation equals plain groupBy on a skewed key") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val salted = toMap(Skew.saltedGroupSum(events, "event_type", "value")
+      .select(col("event_type"), col("sum_value"), col("n")))
+    val plain = toMap(events.groupBy(col("event_type"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("sum_value"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("sum_value"), col("n")))
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain broadcast join") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val sup = Tables.supplier(spark, "/root/testdata/sf0.001")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val salted = Skew.saltedJoin(li, sup, "l_suppkey")
+      .groupBy(col("s_name")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = li.join(broadcast(sup), Seq("l_suppkey"), "left_outer")
+      .groupBy(col("s_name")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("clean_pipeline: malformed timestamp strings are dropped") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val df = Seq(
