@@ -14,7 +14,7 @@ object LineLoader {
 
   def load(spark: SparkSession, path: String, name: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).rdd.zipWithIndex
+    spark.read.textFile(path).rdd.zipWithIndex()
       .map { case (line, idx) => (name, line, idx + 1) } // 1-based like the reference
       .toDF("name", "line", "line_number")
   }
