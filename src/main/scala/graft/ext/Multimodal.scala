@@ -68,6 +68,35 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * stub deterministically truncates/pads the payload to `targetBytes`
+    * so downstream batching sees realistic size changes. */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val out = java.util.Arrays.copyOf(r.content, targetBytes)
+      r.copy(n_bytes = targetBytes.toLong, content = out)
+    })
+  }
+
+  /** STUB frame sampling: a video decoder would emit every Nth frame; the
+    * stub emits every Nth `frameBytes`-sized slice of the payload as its
+    * own MediaRow (doc_id preserved, media_type tagged per frame). */
+  def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int,
+                      everyNth: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val nFrames = r.content.length / frameBytes
+      (0 until nFrames by everyNth).iterator.map { f =>
+        val slice = java.util.Arrays.copyOfRange(
+          r.content, f * frameBytes, (f + 1) * frameBytes)
+        MediaRow(r.doc_id, s"${r.media_type};frame=$f", frameBytes.toLong, slice)
+      }
+    })
+  }
+
   /** Declared query: metadata + content digest per media row (the part of
     * the pipeline that is expressible in any engine, used as the oracle
     * anchor for the binary plumbing). */

@@ -53,6 +53,36 @@ class HeartbeatSpec extends SparkSpec {
     assert(out2.isEmpty)
   }
 
+  test("real-clock timeout fires OFFLINE then recovery ONLINE in a live query") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Packet]
+    // short threshold so the processing-time timeout fires within the test;
+    // default trigger keeps scheduling batches, which is what drives
+    // timeout evaluation between data arrivals
+    val events = Heartbeat.monitor(input.toDS(), offlineMs = 2000L)
+    val q = events.writeStream.format("memory").queryName("hb_live")
+      .outputMode("append").start()
+    try {
+      // NOTE: never processAllAvailable() here — with processing-time
+      // timeouts armed the engine keeps scheduling batches, so the query
+      // never reports "all available processed". Poll the sink instead.
+      input.addData(Packet(1L, 1000L))
+      val deadline = System.currentTimeMillis() + 60000
+      def eventsSoFar() =
+        spark.sql("SELECT event FROM hb_live").collect().map(_.getString(0)).toSeq
+      while (!eventsSoFar().contains("OFFLINE") && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(eventsSoFar() == Seq("OFFLINE"), "exactly one OFFLINE after silence")
+      input.addData(Packet(1L, 5000L))
+      while (!eventsSoFar().contains("ONLINE") && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(eventsSoFar().sorted == Seq("OFFLINE", "ONLINE"),
+        "one recovery ONLINE, no duplicate OFFLINE")
+    } finally q.stop()
+  }
+
   test("monitor() wires into a streaming query (MemoryStream round-trip)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
