@@ -1,0 +1,66 @@
+package graft
+
+import graft.ext.Text
+import org.apache.spark.sql.functions._
+
+/** Text-analysis semantics on known strings (the oracle checks cover the
+  * fixtures; these pin the behavior humans can eyeball). */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docsOf(rows: (Long, String, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("langid picks the language with the most marker hits") {
+    val df = docsOf(
+      (1L, "the cat and the dog of the house", "en", "s", 32L),
+      (2L, "el gato y la casa de los perros", "es", "s", 31L),
+      (3L, "der hund und die katze das ist gut", "de", "s", 34L))
+    val out = Text.textLangid(df).collect()
+    assert(out(0).getAs[String]("pred_lang") == "en")
+    assert(out(1).getAs[String]("pred_lang") == "es")
+    assert(out(2).getAs[String]("pred_lang") == "de")
+  }
+
+  test("quality score rewards length and stopwords, penalizes digits") {
+    val longText = ("the quick brown fox jumps over a lazy dog and keeps " +
+      "running through the field of tall green grass today").trim // 20 tokens
+    val df = docsOf(
+      (1L, longText, "en", "s", longText.length.toLong),
+      (2L, "1234567890", "en", "s", 10L))
+    val out = Text.textQualityScore(df).collect()
+    val good = out(0).getAs[Double]("quality_score")
+    val bad = out(1).getAs[Double]("quality_score")
+    assert(good > 2.9 && good <= 3.0)  // long, stopworded, digit-free
+    assert(bad < 0.1)                   // short, all digits
+    assert(out(1).getAs[Double]("digit_ratio") == 1.0)
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val df = docsOf(
+      (1L, "Hello   World", "en", "s", 13L),
+      (2L, "  hello world ", "en", "s", 14L),
+      (3L, "hello worlds", "en", "s", 12L))
+    val fps = Text.textFingerprint(df).collect().map(_.getAs[String]("fingerprint"))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("token counts: whitespace vs subword chunking") {
+    val df = docsOf((1L, "alpha beta12 gamma", "en", "s", 18L))
+    val r = Text.textTokenCount(df).collect().head
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    // subword [a-z0-9]{1,4} greedy: alph|a|beta|12|gamm|a -> 6
+    assert(r.getAs[Long]("subword_tokens") == 6L)
+  }
+
+  test("tokenize stats counts term and document frequencies") {
+    val df = docsOf(
+      (1L, "spark spark flink", "en", "s", 17L),
+      (2L, "spark beam", "en", "s", 10L))
+    val out = Text.textTokenizeStats(df).collect()
+    val spark_ = out.find(_.getAs[String]("token") == "spark").get
+    assert(spark_.getAs[Long]("n") == 3L)
+    assert(spark_.getAs[Long]("n_docs") == 2L)
+  }
+}
