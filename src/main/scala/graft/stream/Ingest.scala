@@ -111,13 +111,17 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val arrival = current_timestamp()
         val b = batch.persist()
+        // facts land day-partitioned on device time (Layout rationale:
+        // time-range queries prune whole directories)
+        def ds(df: DataFrame): DataFrame = df.withColumn("ds",
+          date_format(timestamp_seconds(col("timestamp_node")), "yyyy-MM-dd"))
         try {
-          enrich(parseEnvironment(b, arrival), dim)
-            .write.mode("append").parquet(s"$outDir/airwise_data")
+          ds(enrich(parseEnvironment(b, arrival), dim))
+            .write.mode("append").partitionBy("ds").parquet(s"$outDir/airwise_data")
           enrich(parseBattery(b, arrival), dim)
             .write.mode("append").parquet(s"$outDir/battery_data")
-          enrich(parseV1Text(b, arrival), dim)
-            .write.mode("append").parquet(s"$outDir/airwise_datav1")
+          ds(enrich(parseV1Text(b, arrival), dim))
+            .write.mode("append").partitionBy("ds").parquet(s"$outDir/airwise_datav1")
           ()
         } finally { b.unpersist(); () }
       }

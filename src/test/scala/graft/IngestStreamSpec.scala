@@ -30,6 +30,10 @@ class IngestStreamSpec extends SparkSpec {
 
     val env = spark.read.parquet(s"$dir/out/airwise_data")
     assert(env.count() == 2)
+    // facts land day-partitioned on device time
+    assert(env.columns.contains("ds"))
+    assert(new java.io.File(s"$dir/out/airwise_data").listFiles()
+      .exists(_.getName.startsWith("ds=")))
     // unknown node 999 kept with NULL enrichment
     assert(env.filter(col("node") === 999L).collect().head.getAs[String]("longname") == null)
     assert(env.filter(col("node") === 1127718912L).collect().head.getAs[String]("longname") == "Farm1")
