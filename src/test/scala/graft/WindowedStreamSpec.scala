@@ -63,6 +63,16 @@ class WindowedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows assign each event to every overlapping window") {
+    val batch = Seq(
+      Pkt(ts("2024-01-01 10:07:00"), 1L, 10.0)).toDF()
+    // 10-min windows sliding by 5: event at 10:07 belongs to [10:00,10:10) and [10:05,10:15)
+    val out = Windowed.slidingDownsample(batch).orderBy("bucket_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Timestamp]("bucket_start") == ts("2024-01-01 10:00:00"))
+    assert(out(1).getAs[Timestamp]("bucket_start") == ts("2024-01-01 10:05:00"))
+  }
+
   test("batch/stream unification: downsample runs identically on a batch frame") {
     val batch = Seq(
       Pkt(ts("2024-01-01 10:01:00"), 1L, 10.0),
