@@ -19,6 +19,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd oracle key silently weakens the gate — fail loudly instead
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    if (orphans.nonEmpty)
+      System.err.println(s"[verify] WARNING: oracleSql keys with no query: $orphans")
     // Queries are independent plans — run a few concurrently (Spark's
     // scheduler interleaves their jobs) to cut the wall-clock of the
     // driver's verify round. Failures stay per-query.
