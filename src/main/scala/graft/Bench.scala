@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every declared query against
+  * SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS], best-of-2 per query.
+  *
+  * Output contract: ONE JSON line `{"metric":"total",...}` printed as the
+  * very last stdout line (after spark.stop(), so no Spark shutdown noise
+  * trails it) AND written to SPARK_GRAFT_BENCH_OUT (default
+  * /tmp/bench.json) so the caller never depends on log scraping. A query
+  * that throws is reported under "errors" — never as a fake timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,19 +37,38 @@ object Bench {
     // noop sink: forces full plan execution (count() would let Catalyst
     // prune projections and skip the sort entirely). Best-of-2 per query:
     // single-shot timings vary ~15% run to run on a busy host.
-    def timeOnce(fn: SparkEntry.Q, name: String): Double = {
+    def timeOnce(fn: SparkEntry.Q): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
     val results = selected.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn, name), timeOnce(fn, name))
+      name -> ((timeOnce(fn), timeOnce(fn)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _)         => Left(e)
+        case (_, Left(e))         => Left(e)
+      })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val timed  = results.collect { case (k, Right(v)) => k -> v }
+    val failed = results.collect { case (k, Left(e)) => k -> e }
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = timed.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val errs = failed.map { case (k, e) => s""""${esc(k)}":"${esc(e)}"""" }.mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${timed.size},"n_failed":${failed.size},"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
+    // last line of output, after Spark's shutdown messages
+    println(json)
   }
 }

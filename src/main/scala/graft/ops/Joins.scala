@@ -24,7 +24,12 @@ object Joins {
       .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
 
   /** J2: dimension = latest record per key (last-writer-wins dict upsert,
-    * AIRWISEv0.py:239-254), then enrich the fact stream with it. */
+    * AIRWISEv0.py:239-254), then enrich the fact stream with it.
+    *
+    * No broadcast hint: the dim is derived from the fact table, so its size
+    * is the key cardinality — unbounded as data grows. AQE picks broadcast
+    * at runtime when the dim is actually small, and falls back to a shuffle
+    * join when it isn't; a forced hint would OOM at 100× users. */
   def joinLatestDim(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -34,7 +39,7 @@ object Joins {
       .select(col("user_id"), col("event_type").as("latest_type"),
         col("ts").as("latest_ts"))
     events
-      .join(broadcast(dim), Seq("user_id"), "left_outer")
+      .join(dim, Seq("user_id"), "left_outer")
       .select(col("event_id"), col("user_id"), col("latest_type"),
         fmtTs(col("latest_ts")).as("latest_ts_s"))
       .orderBy("event_id")
