@@ -214,6 +214,8 @@ object SparkEntry {
       "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, md5(text) AS text_md5 FROM documents GROUP BY md5(text) ORDER BY keep_doc_id",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2) SELECT da AS doc_a, db AS doc_b, CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS jaccard FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3 ORDER BY doc_a, doc_b""",
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents), dig AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(md5(tok), p + 1, 1)) - 1 AS d FROM toks CROSS JOIN range(16) r(p)), bitv AS (SELECT doc_id, p, b, SUM(CASE WHEN (d >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM dig CROSS JOIN range(4) r2(b) GROUP BY doc_id, p, b), sigd AS (SELECT doc_id, p, SUM(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END) AS sd FROM bitv GROUP BY doc_id, p), sig AS (SELECT d.doc_id, coalesce(s.sl, [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]) AS sl FROM documents d LEFT JOIN (SELECT doc_id, list(sd ORDER BY p) AS sl FROM sigd GROUP BY doc_id) s USING (doc_id)) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(list_sum(list_transform(range(1,17), i -> bit_count(xor(CAST(a.sl[i] AS BIGINT), CAST(b.sl[i] AS BIGINT))))) AS BIGINT) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE list_sum(list_transform(range(1,17), i -> bit_count(xor(CAST(a.sl[i] AS BIGINT), CAST(b.sl[i] AS BIGINT))))) <= 6 ORDER BY doc_a, doc_b""",
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT a.vec_id va, b.vec_id vb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) c FROM n a JOIN n b ON a.vec_id < b.vec_id) SELECT va AS vec_a, vb AS vec_b, c AS cosine FROM p WHERE c >= 0.35 ORDER BY vec_a, vec_b""",
     "sim_search_cosine_topk" ->

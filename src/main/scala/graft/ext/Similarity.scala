@@ -133,36 +133,38 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
     *
-    * The O(n²) pair kernel is genuinely numeric: per-pair Catalyst
-    * expression evaluation costs ~µs (HOFs don't codegen; a Dim-term
-    * unrolled tree sends the optimizer quadratic), so this is the one place
-    * the library drops to mapPartitions (guide preference (d)) — broadcast
-    * the corpus once, stream each partition's vectors against it with
-    * primitive-array arithmetic. The broadcast bounds this variant to
-    * corpora that fit in executor memory; beyond that, the sign-bucket LSH
-    * join above is the scale path (same verify kernel per bucket). */
-  def dedupEmbeddingCosine(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    * Exact all-pairs via a distributed block-nested join: vectors hash into
+    * nBlocks by vec_id; a tiny broadcast table of the (bi ≤ bj) block pairs
+    * fans each block out to its partners, and the bj equi-join co-locates
+    * every block pair in one task. Nothing is collected to the driver and
+    * nothing unbounded is broadcast — each task holds two blocks (~n/nBlocks
+    * rows each), so raising nBlocks bounds per-task memory at any corpus
+    * size while the comparison work stays O(n²/2) spread over
+    * nBlocks·(nBlocks+1)/2 tasks. Per-pair cosine is the codegen'd
+    * [[graft.functions.VectorDot]] (same left-fold order as DuckDB's
+    * list_dot_product, so values are bit-identical). The sign-bucket LSH
+    * join above is the sub-quadratic path when a approximate candidate set
+    * is acceptable; this is the exact one. */
+  def dedupEmbeddingCosine(embeddings: DataFrame, threshold: Double = 0.35,
+                           nBlocks: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
-    val vecs = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-    val corpus = vecs.collect().sortBy(_._1)
-    val norms = corpus.map { case (_, v) => math.sqrt(dotP(v, v)) }
-    val bc = spark.sparkContext.broadcast((corpus, norms))
-    vecs.mapPartitions { it =>
-      val (corp, nrms) = bc.value
-      it.flatMap { case (ida, va) =>
-        val na = math.sqrt(dotP(va, va))
-        corp.iterator.zipWithIndex.flatMap { case ((idb, vb), j) =>
-          if (idb <= ida) Iterator.empty
-          else {
-            val c = dotP(va, vb) / (na * nrms(j))
-            if (c >= threshold) Iterator((ida, idb, c)) else Iterator.empty
-          }
-        }
-      }
-    }.toDF("vec_a", "vec_b", "cosine")
+    val e = withNorm(embeddings).withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
+    val blockPairs = spark.range(nBlocks).select(col("id").as("bi"))
+      .crossJoin(spark.range(nBlocks).select(col("id").as("bj")))
+      .filter(col("bi") <= col("bj"))
+    val a = e.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("blka"))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("blkb"))
+    // distinct blocks meet once as (bi, bj), bi < bj — every cross pair is
+    // one unordered pair; within a block (bi = bj) the id order dedups.
+    a.join(broadcast(blockPairs), col("blka") === col("bi"))
+      .join(b, col("blkb") === col("bj") &&
+        (col("bi") =!= col("bj") || col("ida") < col("idb")))
+      .withColumn("cosine", vector_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 }
