@@ -238,6 +238,8 @@ object SparkEntry {
       s"""WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT user_id, event_id, ts, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s) SELECT user_id, session_num, strftime(min(ts), $TS6) AS session_start_s, strftime(max(ts), $TS6) AS session_end_s, count(*) AS n_events FROM t GROUP BY user_id, session_num ORDER BY user_id, session_num""",
     "multimodal_extract_meta" ->
       "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id",
+    "multimodal_fake_features" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), feat AS (SELECT doc_id, CAST(sum(CASE WHEN i % 8 = 0 THEN byte ELSE 0 END) AS DOUBLE) / 255.0 AS f0, CAST(sum(CASE WHEN i % 8 = 1 THEN byte ELSE 0 END) AS DOUBLE) / 255.0 AS f1 FROM b GROUP BY doc_id), chk AS (SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list(CAST(byte AS HUGEINT) ORDER BY i)), (h, x) -> (31*h + x) % CAST('18446744073709551616' AS HUGEINT)) AS hu FROM b GROUP BY doc_id) SELECT d.doc_id, CASE WHEN d.doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes, CAST(CASE WHEN coalesce(c.hu, 1125899906842597) >= CAST('9223372036854775808' AS HUGEINT) THEN coalesce(c.hu, 1125899906842597) - CAST('18446744073709551616' AS HUGEINT) ELSE coalesce(c.hu, 1125899906842597) END AS BIGINT) AS checksum, coalesce(f.f0, 0.0) AS f0, coalesce(f.f1, 0.0) AS f1 FROM documents d LEFT JOIN feat f USING (doc_id) LEFT JOIN chk c USING (doc_id) ORDER BY doc_id""",
     "clean_pipeline" ->
       s"""SELECT event_id, strftime(timezone('America/Los_Angeles', timezone('UTC', TRY_CAST(strftime(ts, $TS6) AS TIMESTAMP))), $TS0) AS pacific_time, round(TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE), 3) AS value_r FROM events WHERE event_type IN ('click', 'view') AND TRY_CAST(strftime(ts, $TS6) AS TIMESTAMP) IS NOT NULL ORDER BY event_id""",
   )

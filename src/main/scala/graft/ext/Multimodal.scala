@@ -28,10 +28,16 @@ object Multimodal {
     * it is unchanged. */
   object FakeDecoder {
     val dim = 8
+    // integer byte-sums per slot, divided once: exact in FP regardless of
+    // accumulation order, so any engine recomputing it gets identical bits
+    // (the DuckDB oracle does, via hex(encode(text)))
     def decode(content: Array[Byte]): Array[Double] = {
-      val f = new Array[Double](dim)
+      val s = new Array[Long](dim)
       var i = 0
-      while (i < content.length) { f(i % dim) += (content(i) & 0xFF) / 255.0; i += 1 }
+      while (i < content.length) { s(i % dim) += (content(i) & 0xFF).toLong; i += 1 }
+      val f = new Array[Double](dim)
+      i = 0
+      while (i < dim) { f(i) = s(i) / 255.0; i += 1 }
       f
     }
     def checksum(content: Array[Byte]): Long = {
@@ -106,14 +112,16 @@ object Multimodal {
         md5(col("content")).as("content_md5"))
       .orderBy("doc_id")
 
-  /** Rows-only query exercising the full mapPartitions decode path
-    * (deterministic fake features; no portable oracle). */
+  /** Declared query exercising the full mapPartitions decode path. The
+    * fake decoder is pure integer/byte arithmetic, so the DuckDB oracle
+    * recomputes checksum and features byte-for-byte from hex(encode(text))
+    * — a hard hash-match gate on the whole decode plumbing. */
   def multimodalFakeFeatures(documents: DataFrame): DataFrame = {
     val feats = extractFeatures(asMedia(documents)).toDF()
     feats.select(col("doc_id"), col("media_type"), col("n_bytes"),
         col("checksum"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 2), 6).as("f1"))
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 2).as("f1"))
       .orderBy("doc_id")
   }
 }

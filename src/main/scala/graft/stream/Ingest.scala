@@ -97,17 +97,32 @@ object Ingest {
     fact.join(broadcast(dim.select(col("node"), col("topic_id"), col("longname"))),
       Seq("node"), "left_outer")
 
+  /** Idempotent per-epoch parquet write: the epoch id is a partition
+    * column and the write is a dynamic-partition overwrite, so a retried
+    * epoch (foreachBatch is at-least-once) replaces exactly its own
+    * `epoch=N` directories instead of appending duplicates — the sink
+    * converges to one copy per epoch for deterministic batches. */
+  private[graft] def writeEpochParquet(df: DataFrame, epochId: Long, path: String,
+                                       parts: Seq[String]): Unit =
+    df.withColumn("epoch", lit(epochId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(parts :+ "epoch": _*)
+      .parquet(path)
+
   /** T1/T2 end-to-end: one streaming pass, three routed sinks via
     * foreachBatch (the Spark form of insert_to_database's routing,
-    * AIRWISEv0.py:159-234 — but batched, pooled, and idempotent per epoch
-    * instead of one connection per row). */
+    * AIRWISEv0.py:159-234). Writes are epoch-idempotent — see
+    * [[writeEpochParquet]]. */
   def runIngest(raw: DataFrame, dim: DataFrame, outDir: String,
-                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                checkpoint: String,
+                trigger: Trigger = Trigger.AvailableNow()
+               ): org.apache.spark.sql.streaming.StreamingQuery = {
     val routed = routePackets(parseEnvelope(raw))
     routed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val arrival = current_timestamp()
         val b = batch.persist()
@@ -116,12 +131,48 @@ object Ingest {
         def ds(df: DataFrame): DataFrame = df.withColumn("ds",
           date_format(timestamp_seconds(col("timestamp_node")), "yyyy-MM-dd"))
         try {
-          ds(enrich(parseEnvironment(b, arrival), dim))
-            .write.mode("append").partitionBy("ds").parquet(s"$outDir/airwise_data")
-          enrich(parseBattery(b, arrival), dim)
-            .write.mode("append").parquet(s"$outDir/battery_data")
-          ds(enrich(parseV1Text(b, arrival), dim))
-            .write.mode("append").partitionBy("ds").parquet(s"$outDir/airwise_datav1")
+          writeEpochParquet(ds(enrich(parseEnvironment(b, arrival), dim)),
+            epochId, s"$outDir/airwise_data", Seq("ds"))
+          writeEpochParquet(enrich(parseBattery(b, arrival), dim),
+            epochId, s"$outDir/battery_data", Seq.empty)
+          writeEpochParquet(ds(enrich(parseV1Text(b, arrival), dim)),
+            epochId, s"$outDir/airwise_datav1", Seq("ds"))
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** [[runIngest]] wired from env config (sink dir, checkpoint, trigger). */
+  def runIngest(raw: DataFrame, dim: DataFrame, cfg: GraftConfig
+               ): org.apache.spark.sql.streaming.StreamingQuery =
+    runIngest(raw, dim, cfg.sinkDir, cfg.checkpointDir, cfg.trigger)
+
+  /** S4 deployment parity: the same routed ingest, but landing in a
+    * relational store over JDBC (the reference's Postgres INSERT path,
+    * AIRWISEv0.py:159-234) — batched, one connection per partition, and
+    * idempotent per epoch via [[graft.sources.Jdbc.writeEpoch]]'s
+    * epoch scope-delete. */
+  def runIngestJdbc(raw: DataFrame, dim: DataFrame, url: String,
+                    checkpoint: String,
+                    props: java.util.Properties = new java.util.Properties,
+                    trigger: Trigger = Trigger.AvailableNow()
+                   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val routed = routePackets(parseEnvelope(raw))
+    routed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val arrival = current_timestamp()
+        val b = batch.persist()
+        try {
+          graft.sources.Jdbc.writeEpoch(
+            enrich(parseEnvironment(b, arrival), dim), url, "airwise_data", epochId, props)
+          graft.sources.Jdbc.writeEpoch(
+            enrich(parseBattery(b, arrival), dim), url, "battery_data", epochId, props)
+          graft.sources.Jdbc.writeEpoch(
+            enrich(parseV1Text(b, arrival), dim), url, "airwise_datav1", epochId, props)
           ()
         } finally { b.unpersist(); () }
       }

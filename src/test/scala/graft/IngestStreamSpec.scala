@@ -46,4 +46,20 @@ class IngestStreamSpec extends SparkSpec {
     assert(v1.count() == 1)
     assert(v1.collect().head.getAs[Double]("pm2_5") == 1.0)
   }
+
+  test("epoch parquet write is idempotent: a retried epoch leaves one copy") {
+    val dir = Files.createTempDirectory("graft_epoch").toString
+    val b0 = Seq((1L, "2024-01-01", 20.5), (2L, "2024-01-02", 21.5))
+      .toDF("node", "ds", "temperature")
+    Ingest.writeEpochParquet(b0, 0L, dir, Seq("ds"))
+    // at-least-once retry of the same epoch: dynamic partition overwrite
+    // replaces epoch=0 rather than appending a second copy
+    Ingest.writeEpochParquet(b0, 0L, dir, Seq("ds"))
+    val b1 = Seq((3L, "2024-01-02", 22.5)).toDF("node", "ds", "temperature")
+    Ingest.writeEpochParquet(b1, 1L, dir, Seq("ds"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("epoch") === 0L).count() == 2)
+    assert(back.filter(col("epoch") === 1L).count() == 1)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.Jdbc
+import graft.stream.Ingest
+import graft.model.Schemas
+
+/** S4 deployment parity: the JDBC epoch writer (idempotence under retry)
+  * and the full streaming ingest → Derby round trip. */
+class JdbcSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def derbyUrl(db: String) = s"jdbc:derby:memory:$db;create=true"
+
+  test("writeEpoch is idempotent: rewriting an epoch leaves one copy") {
+    val url = derbyUrl("graft_idem")
+    val batch = Seq((1L, 20.5), (2L, 21.5)).toDF("node", "temperature")
+    Jdbc.writeEpoch(batch, url, "t_idem", epochId = 0L)
+    // retried epoch (foreachBatch at-least-once): same data, same epoch
+    Jdbc.writeEpoch(batch, url, "t_idem", epochId = 0L)
+    // a new epoch appends
+    val batch1 = Seq((3L, 22.5)).toDF("node", "temperature")
+    Jdbc.writeEpoch(batch1, url, "t_idem", epochId = 1L)
+    val back = spark.read.jdbc(url, "t_idem", new java.util.Properties)
+    assert(back.count() == 3)
+    assert(back.filter(col("epoch") === 0L).count() == 2)
+    assert(back.filter(col("epoch") === 1L).count() == 1)
+  }
+
+  test("streaming ingest lands routed rows in Derby, enriched") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = derbyUrl("graft_ingest")
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
+    val input = MemoryStream[String]
+    val dim = Schemas.nodeDimSeed.toDF("node", "topic_id", "longname")
+    val q = Ingest.runIngestJdbc(input.toDF(), dim, url, ckpt)
+    input.addData(
+      """{"from":1127718912,"payload":{"barometric_pressure":1013.2,"gas_resistance":120000.5,"iaq":51,"relative_humidity":40.2,"temperature":21.5},"timestamp":1760748340,"type":"telemetry"}""",
+      """{"from":1127718912,"payload":{"battery_level":92,"voltage":4.01},"timestamp":1760748350,"type":"telemetry"}""",
+      "garbage that is not json")
+    q.processAllAvailable()
+    q.stop()
+    val env = spark.read.jdbc(url, "airwise_data", new java.util.Properties)
+    assert(env.count() == 1)
+    val row = env.collect().head
+    assert(row.getAs[Double]("temperature") == 21.5)
+    assert(row.getAs[String]("longname") == "Farm1")
+    assert(row.getAs[Long]("epoch") == 0L)
+    val bat = spark.read.jdbc(url, "battery_data", new java.util.Properties)
+    assert(bat.count() == 1)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical/logical plan-shape gates for the most expensive declared
+  * queries (VERDICT r1 #9): pushdown, pruning, join strategy and hint
+  * regressions fail here instead of only surfacing in the bench. */
+class PlanSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+  def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  private def executed(df: DataFrame) = df.queryExecution.executedPlan.toString
+  private def analyzed(df: DataFrame) = df.queryExecution.analyzed.toString
+
+  test("filter_eq_type pushes its predicate into the parquet scan") {
+    val plan = executed(q("filter_eq_type"))
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,purchase)"),
+      s"expected pushed EqualTo filter:\n$plan")
+  }
+
+  test("filter_field_present prunes to exactly (event_id, props) and sorts once") {
+    val df = q("filter_field_present")
+    val plan = executed(df)
+    val readSchema = "ReadSchema: struct<event_id:bigint,props:string>"
+    assert(plan.contains(readSchema), s"expected pruned scan $readSchema in:\n$plan")
+    // one range shuffle for the total order, no stray hash shuffles
+    assert(plan.contains("rangepartitioning"), s"missing sort exchange:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"unexpected extra shuffle:\n$plan")
+  }
+
+  test("join_latest_dim carries no broadcast hint (AQE must choose)") {
+    val df = q("join_latest_dim")
+    assert(!analyzed(df).contains("ResolvedHint"),
+      "the latest-per-key dim is unbounded; a forced broadcast hint OOMs at scale")
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"latest-dim join must stay an equi-join:\n$plan")
+  }
+
+  test("dedup candidate joins are equi-joins, never all-pairs") {
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_near_minhash", "dedup_simhash")) {
+      val plan = executed(q(name))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name grew an all-pairs join:\n$plan")
+    }
+  }
+
+  test("dedup_embedding_cosine broadcasts only the bounded block-pair table") {
+    val plan = executed(q("dedup_embedding_cosine"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in block join:\n$plan")
+    // exactly one nested-loop: the 36-row (bi<=bj) block-pair fanout; the
+    // corpus sides must meet in equi-joins
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj == 1, s"expected exactly the block-pair fanout NLJ, got $nlj:\n$plan")
+  }
+
+  test("join_broadcast_dim keeps its (genuinely small) broadcast dim") {
+    assert(analyzed(q("join_broadcast_dim")).contains("ResolvedHint"),
+      "supplier dim is bounded-small and should stay hint-broadcast")
+  }
+}
