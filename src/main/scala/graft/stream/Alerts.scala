@@ -24,6 +24,35 @@ object Alerts {
     def deliver(e: NodeEvent): Unit = { delivered.add(e); () }
   }
 
+  /** Deployment sink: HTTP POST per transition — the Spark form of the
+    * reference's ntfy publisher (AIRWISEv0.py:51-68: requests.post with a
+    * Title header and the label as the body). One connection per delivery
+    * is the right shape here: the upstream latch makes alerts rare by
+    * construction. A non-2xx/3xx response throws, so a failed delivery
+    * fails the epoch and is retried by the stream (at-least-once). */
+  class HttpAlertSink(url: String, title: String = "graft-alert",
+                      connectTimeoutMs: Int = 5000,
+                      readTimeoutMs: Int = 5000) extends AlertSink {
+    def deliver(e: NodeEvent): Unit = {
+      val conn = java.net.URI.create(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        conn.setRequestProperty("Title", title)
+        conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+        val os = conn.getOutputStream
+        try os.write(label(e).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        val code = conn.getResponseCode
+        if (code >= 400)
+          throw new java.io.IOException(s"alert POST to $url failed: HTTP $code")
+      } finally conn.disconnect()
+    }
+  }
+
   /** Format the human-readable alert label (AIRWISEv0.py:54-56). */
   def label(e: NodeEvent): String =
     s"node ${e.node} is ${e.event} (at ${e.at_ms} ms)"
