@@ -214,6 +214,8 @@ object SparkEntry {
       "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, md5(text) AS text_md5 FROM documents GROUP BY md5(text) ORDER BY keep_doc_id",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2) SELECT da AS doc_a, db AS doc_b, CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS jaccard FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3 ORDER BY doc_a, doc_b""",
+    "dedup_near_minhash" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT::HUGEINT AS u FROM sh), seeds AS (SELECT seed, ((2*seed + 1) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS a, (seed * CAST('14029467366897019727' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS b FROM range(32) r(seed)), minsig AS (SELECT doc_id, seed, min(((u % 4294967296) * a + (((u // 4294967296) * a) % 4294967296) * 4294967296 + b) % CAST('18446744073709551616' AS HUGEINT)) AS mv FROM ex CROSS JOIN seeds GROUP BY doc_id, seed), bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS key FROM minsig GROUP BY doc_id, seed // 4), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), ver AS (SELECT c.doc_a, c.doc_b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id) SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents), dig AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(md5(tok), p + 1, 1)) - 1 AS d FROM toks CROSS JOIN range(16) r(p)), bitv AS (SELECT doc_id, p, b, SUM(CASE WHEN (d >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM dig CROSS JOIN range(4) r2(b) GROUP BY doc_id, p, b), sigd AS (SELECT doc_id, p, SUM(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END) AS sd FROM bitv GROUP BY doc_id, p), sig AS (SELECT d.doc_id, coalesce(s.sl, [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]) AS sl FROM documents d LEFT JOIN (SELECT doc_id, list(sd ORDER BY p) AS sl FROM sigd GROUP BY doc_id) s USING (doc_id)) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(list_sum(list_transform(range(1,17), i -> bit_count(xor(CAST(a.sl[i] AS BIGINT), CAST(b.sl[i] AS BIGINT))))) AS BIGINT) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE list_sum(list_transform(range(1,17), i -> bit_count(xor(CAST(a.sl[i] AS BIGINT), CAST(b.sl[i] AS BIGINT))))) <= 6 ORDER BY doc_a, doc_b""",
     "dedup_embedding_cosine" ->
@@ -222,6 +224,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT q.vec_id query_id, c.vec_id vec_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) cosine FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 10), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "sim_search_lsh_bucketed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END || CASE WHEN v[5] > 0 THEN '1' ELSE '0' END || CASE WHEN v[6] > 0 THEN '1' ELSE '0' END) bucket FROM e), p AS (SELECT q.vec_id query_id, c.vec_id vec_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) cosine FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id != q.vec_id WHERE q.vec_id < 50), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    "sim_search_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16), ac AS (SELECT n.vec_id, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rk FROM n CROSS JOIN c), assigned AS (SELECT n.vec_id, n.v, n.nrm, ac.cid AS cell FROM n JOIN ac ON n.vec_id = ac.vec_id AND ac.rk = 1), probes AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, ac.cid AS cell FROM n JOIN ac ON n.vec_id = ac.vec_id AND ac.rk <= 4 WHERE n.vec_id < 10), p AS (SELECT pr.query_id, a.vec_id, a.cell, list_dot_product(pr.qv, a.v) / (pr.qn * a.nrm) AS cosine FROM assigned a JOIN probes pr ON a.cell = pr.cell WHERE a.vec_id != pr.query_id), r AS (SELECT query_id, vec_id, cell, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM p) SELECT query_id, rn, vec_id, cell, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "text_tokenize_stats" ->
       "SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 100",
     "text_filter_lang" ->

@@ -75,9 +75,11 @@ object Similarity {
     * vectors — a fixed-seed stand-in for a k-means step); each query
     * probes its nProbe nearest cells and ranks exactly within them. The
     * cell equi-join bounds work to ~nProbe/nCells of the corpus per query —
-    * the IVF scale path next to [[simSearchLshBucketed]]. Rows-only
-    * (probe-set semantics aren't reasonably SQL-expressible); the spec
-    * checks recall against the brute-force baseline. */
+    * the IVF scale path next to [[simSearchLshBucketed]]. The whole
+    * pipeline — assignment argmax, probe set, in-cell ranking — is
+    * deterministic exact arithmetic, so the DuckDB oracle recomputes it
+    * bit-for-bit; the spec additionally checks recall against the
+    * brute-force baseline. */
   def simSearchIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
