@@ -46,12 +46,21 @@ object Bench {
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
-    val results = selected.map { case (name, fn) =>
-      name -> ((timeOnce(fn), timeOnce(fn)) match {
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      val r = (timeOnce(fn), timeOnce(fn)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Left(e), _)         => Left(e)
         case (_, Left(e))         => Left(e)
-      })
+      }
+      // once the dedup family is done its shared memoized frames have no
+      // further consumers — drop them so no cached partitions linger into
+      // later queries' memory budget (outside the timed region)
+      val nextIsDedup = selected.lift(i + 1).exists(_._1.startsWith("dedup"))
+      if (name.startsWith("dedup") && !nextIsDedup) {
+        graft.ext.Dedup.clearSharedCache(spark)
+        spark.catalog.clearCache()
+      }
+      name -> r
     }
     val timed  = results.collect { case (k, Right(v)) => k -> v }
     val failed = results.collect { case (k, Left(e)) => k -> e }
