@@ -104,6 +104,9 @@ object SparkEntry {
     "text_quality_score"    -> ((s, d) => ext.Text.textQualityScore(documents(s, d))),
     "text_token_count"      -> ((s, d) => ext.Text.textTokenCount(documents(s, d))),
     "text_fingerprint"      -> ((s, d) => ext.Text.textFingerprint(documents(s, d))),
+    // §2.10 extensions: sampling/splits (training-pipeline family, r2)
+    "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
+    "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
     // §2.10 extensions: sessions + multimodal plumbing
     "events_sessionize"     -> ((s, d) => ext.Sessions.eventsSessionize(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
@@ -238,6 +241,10 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS BIGINT) AS subword_tokens, n_chars FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents ORDER BY doc_id""",
+    "sample_hash_split" ->
+      """SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 90 THEN 'train' WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id""",
+    "sample_per_group" ->
+      """SELECT lang, rn, doc_id, source FROM (SELECT lang, doc_id, source, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) WHERE rn <= 50 ORDER BY lang, rn""",
     "events_sessionize" ->
       s"""WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT user_id, event_id, ts, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s) SELECT user_id, session_num, strftime(min(ts), $TS6) AS session_start_s, strftime(max(ts), $TS6) AS session_end_s, count(*) AS n_events FROM t GROUP BY user_id, session_num ORDER BY user_id, session_num""",
     "multimodal_extract_meta" ->

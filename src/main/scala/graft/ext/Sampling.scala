@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset sampling/splitting for training pipelines (north-star family,
+  * next to dedup/similarity/text): reproducible splits and quota sampling
+  * that behave identically at any cluster size.
+  *
+  * Both operators are pure map-side expressions or a single window pass —
+  * no extra shuffle beyond the window's own, no RNG (hash-derived
+  * assignment), so a re-run over 100 TB lands every row in the same split.
+  */
+object Sampling {
+
+  /** Stable 0..99 bucket from the first 4 hex digits of md5(key) — the
+    * engine-portable "random but reproducible" assignment (same spelling
+    * in the DuckDB oracle). */
+  def hashBucket(key: Column): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int") % 100)
+
+  /** Deterministic train/val/test split by content key. Hash-derived, so
+    * assignment is stable across runs, engines and partitionings — the
+    * property that keeps a training corpus split consistent when the
+    * pipeline is re-run incrementally. Map-side only; the split filter
+    * prunes at the scan when selecting one split downstream. */
+  def sampleHashSplit(documents: DataFrame, trainPct: Int = 90,
+                      valPct: Int = 5): DataFrame = {
+    val b = hashBucket(col("doc_id"))
+    documents.select(
+      col("doc_id"),
+      b.as("bucket"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Stratified quota sample: at most k docs per group (lang), lowest
+    * doc_id first — deterministic per-stratum downsampling (class
+    * balancing). One shuffle on the group key. */
+  def samplePerGroup(documents: DataFrame, k: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    documents
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+      .orderBy("lang", "rn")
+  }
+}
