@@ -96,6 +96,7 @@ object SparkEntry {
     // §2.10 extensions: similarity search
     "sim_search_cosine_topk"-> ((s, d) => ext.Similarity.simSearchCosineTopk(embeddings(s, d))),
     "sim_search_lsh_bucketed" -> ((s, d) => ext.Similarity.simSearchLshBucketed(embeddings(s, d))),
+    "sim_search_lsh_multiprobe" -> ((s, d) => ext.Similarity.simSearchLshMultiprobe(embeddings(s, d))),
     "sim_search_ivf"        -> ((s, d) => ext.Similarity.simSearchIvf(embeddings(s, d))),
     // §2.10 extensions: text analysis
     "text_tokenize_stats"   -> ((s, d) => ext.Text.textTokenizeStats(documents(s, d))),
@@ -227,6 +228,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT q.vec_id query_id, c.vec_id vec_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) cosine FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 10), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "sim_search_lsh_bucketed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END || CASE WHEN v[5] > 0 THEN '1' ELSE '0' END || CASE WHEN v[6] > 0 THEN '1' ELSE '0' END) bucket FROM e), p AS (SELECT q.vec_id query_id, c.vec_id vec_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) cosine FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id != q.vec_id WHERE q.vec_id < 50), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    "sim_search_lsh_multiprobe" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END || CASE WHEN v[5] > 0 THEN '1' ELSE '0' END || CASE WHEN v[6] > 0 THEN '1' ELSE '0' END) bucket FROM e), probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([bucket] || [substr(bucket, 1, i - 1) || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, i + 1) FOR i IN range(1, 7)]) AS bucket FROM n WHERE vec_id < 50), p AS (SELECT pr.query_id, c.vec_id, list_dot_product(pr.qv, c.v) / (pr.qn * c.nrm) cosine FROM n c JOIN probes pr ON c.bucket = pr.bucket AND c.vec_id != pr.query_id), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
     "sim_search_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16), ac AS (SELECT n.vec_id, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rk FROM n CROSS JOIN c), assigned AS (SELECT n.vec_id, n.v, n.nrm, ac.cid AS cell FROM n JOIN ac ON n.vec_id = ac.vec_id AND ac.rk = 1), probes AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, ac.cid AS cell FROM n JOIN ac ON n.vec_id = ac.vec_id AND ac.rk <= 4 WHERE n.vec_id < 10), p AS (SELECT pr.query_id, a.vec_id, a.cell, list_dot_product(pr.qv, a.v) / (pr.qn * a.nrm) AS cosine FROM assigned a JOIN probes pr ON a.cell = pr.cell WHERE a.vec_id != pr.query_id), r AS (SELECT query_id, vec_id, cell, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM p) SELECT query_id, rn, vec_id, cell, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "text_tokenize_stats" ->

@@ -70,6 +70,36 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Multiprobe LSH cosine search: each query probes its own sign bucket
+    * PLUS the `bits` Hamming-1 neighbor buckets (one sign flipped), so
+    * near-boundary neighbors lost by single-probe LSH are recovered —
+    * recall rises from ~1/2^bits toward brute force at (bits+1)× probe
+    * cost, still an equi-join (no cross join). A candidate's own bucket is
+    * unique, so no candidate is generated twice. Deterministic end to end
+    * — full DuckDB oracle. */
+  def simSearchLshMultiprobe(embeddings: DataFrame, nQueries: Int = 50,
+                             k: Int = 5, bits: Int = 6): DataFrame = {
+    val e = withNorm(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+    val flips = (1 to bits).map { i =>
+      concat(
+        substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), i + 1, bits - i))
+    }
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val pairs = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rn")
+  }
+
   /** IVF (inverted-file) search: the corpus is partitioned into nCells
     * Voronoi cells around deterministic centroids (the first nCells
     * vectors — a fixed-seed stand-in for a k-means step); each query

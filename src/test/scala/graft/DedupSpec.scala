@@ -97,6 +97,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall surprisingly low: $recall")
   }
 
+  test("multiprobe LSH recall dominates single-probe at equal ranking") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val brute = Similarity.simSearchCosineTopk(e, 20, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val single = recall(Similarity.simSearchLshBucketed(e, 20, 5).collect())
+    val multi = recall(Similarity.simSearchLshMultiprobe(e, 20, 5).collect())
+    assert(multi >= single, s"multiprobe recall $multi < single-probe $single")
+    assert(multi > 0.2, s"multiprobe recall surprisingly low: $multi")
+  }
+
   test("LSH buckets only ever contain same-sign-prefix vectors") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.simSearchLshBucketed(e, 10, 3)
