@@ -114,6 +114,8 @@ object SparkEntry {
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     // §3.3 composite: the cleandata.py parity chain end-to-end
     "clean_pipeline"        -> ((s, d) => batch.Clean.cleanPipeline(events(s, d))),
+    // composite flagship of the LLM-pipeline family (r2)
+    "corpus_prep_pipeline"  -> ((s, d) => ext.CorpusPrep.corpusPrepPipeline(documents(s, d))),
   )
 
   // DuckDB spellings of the Det helpers (see Det.scala):
@@ -252,6 +254,8 @@ object SparkEntry {
       s"""WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT user_id, event_id, ts, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s) SELECT user_id, session_num, strftime(min(ts), $TS6) AS session_start_s, strftime(max(ts), $TS6) AS session_end_s, count(*) AS n_events FROM t GROUP BY user_id, session_num ORDER BY user_id, session_num""",
     "multimodal_extract_meta" ->
       "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id",
+    "corpus_prep_pipeline" ->
+      """WITH s AS (SELECT doc_id, lang, text, n_chars, len(regexp_extract_all(lower(text), '[a-z0-9]+')) n_tok, len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) n_stop, len(regexp_extract_all(text, '[0-9]')) n_digit FROM documents), g AS (SELECT doc_id, lang, text, CAST(n_tok AS BIGINT) AS n_tokens, (CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(n_digit AS DOUBLE) / greatest(n_chars, 1))) AS quality_score FROM s WHERE (CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(n_digit AS DOUBLE) / greatest(n_chars, 1))) >= 2.0), d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM g) SELECT doc_id, lang, n_tokens, quality_score, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 90 THEN 'train' WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM d WHERE doc_id = keep_id ORDER BY doc_id""",
     "multimodal_fake_features" ->
       """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), feat AS (SELECT doc_id, CAST(sum(CASE WHEN i % 8 = 0 THEN byte ELSE 0 END) AS DOUBLE) / 255.0 AS f0, CAST(sum(CASE WHEN i % 8 = 1 THEN byte ELSE 0 END) AS DOUBLE) / 255.0 AS f1 FROM b GROUP BY doc_id), chk AS (SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list(CAST(byte AS HUGEINT) ORDER BY i)), (h, x) -> (31*h + x) % CAST('18446744073709551616' AS HUGEINT)) AS hu FROM b GROUP BY doc_id) SELECT d.doc_id, CASE WHEN d.doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes, CAST(CASE WHEN coalesce(c.hu, 1125899906842597) >= CAST('9223372036854775808' AS HUGEINT) THEN coalesce(c.hu, 1125899906842597) - CAST('18446744073709551616' AS HUGEINT) ELSE coalesce(c.hu, 1125899906842597) END AS BIGINT) AS checksum, coalesce(f.f0, 0.0) AS f0, coalesce(f.f1, 0.0) AS f1 FROM documents d LEFT JOIN feat f USING (doc_id) LEFT JOIN chk c USING (doc_id) ORDER BY doc_id""",
     "clean_pipeline" ->

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the composite flagship of the
+  * LLM-pipeline family (the analogue of `batch.Clean.cleanPipeline` for
+  * the reference's CSV chain): quality-gate → exact-dedup → reproducible
+  * split, in one declarative plan.
+  *
+  * Plan shape at scale: the quality gate is pure map-side expressions over
+  * the scan; dedup is one window over md5(text) (single shuffle); the
+  * split tag is map-side hash arithmetic. Nothing collects, nothing
+  * broadcasts unbounded — the whole chain is two shuffles (dedup window +
+  * final order). */
+object CorpusPrep {
+
+  /** Keep docs that pass the quality gate (same scoring terms as
+    * `text_quality_score`: ≥20 tokens, has stopwords, low digit ratio —
+    * score ≥ 2), drop exact duplicates (lowest doc_id is canonical, as
+    * `dedup_exact`), then tag each survivor with its `sample_hash_split`
+    * assignment. Output: one row per retained training document. */
+  def corpusPrepPipeline(documents: DataFrame, trainPct: Int = 90,
+                         valPct: Int = 5): DataFrame = {
+    val nTok = size(Text.tokens(col("text")))
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
+    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+    val quality =
+      when(nTok >= 20, 1.0).otherwise(0.0) +
+        when(nStop > 0, 1.0).otherwise(0.0) +
+        (lit(1.0) - nDigit.cast("double") / greatest(col("n_chars"), lit(1)))
+    val gated = documents
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("quality_score", quality)
+      .filter(col("quality_score") >= 2.0)
+    // exact dedup: canonical = lowest doc_id per identical text
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    val deduped = gated
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+    val b = Sampling.hashBucket(col("doc_id"))
+    deduped.select(
+      col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+}
