@@ -1,0 +1,33 @@
+package graft
+
+import graft.ext.{Dedup, Sampling}
+import graft.ops.Aggs
+
+/** Partitioning-invariance proofs: the determinism contract says every
+  * declared query returns identical results at any parallelism — the
+  * property that makes local oracle checks meaningful for a 1000-executor
+  * deployment. Run representative operators under skewed repartitionings
+  * and require bit-identical output. */
+class InvarianceSpec extends SparkSpec {
+
+  def docs = Tables.documents(spark, "/root/testdata/sf0.01")
+  def events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("ngram jaccard pairs are identical at 1 and 13 partitions") {
+    assert(rows(Dedup.dedupNgramJaccard(docs.coalesce(1))) ==
+      rows(Dedup.dedupNgramJaccard(docs.repartition(13))))
+  }
+
+  test("hash split assignment is partitioning-independent") {
+    assert(rows(Sampling.sampleHashSplit(docs.coalesce(1))) ==
+      rows(Sampling.sampleHashSplit(docs.repartition(13))))
+  }
+
+  test("decimal-exact metric summary is partitioning-independent") {
+    assert(rows(Aggs.aggMetricsSummary(events.coalesce(1))) ==
+      rows(Aggs.aggMetricsSummary(events.repartition(13))))
+  }
+}
