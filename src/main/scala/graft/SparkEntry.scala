@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_near_minhash"    -> ((s, d) => ext.Dedup.dedupNearMinhash(documents(s, d))),
     "dedup_simhash"         -> ((s, d) => ext.Dedup.dedupSimhash(documents(s, d))),
     "dedup_embedding_cosine"-> ((s, d) => ext.Similarity.dedupEmbeddingCosine(embeddings(s, d))),
+    "dedup_clusters"        -> ((s, d) => ext.Dedup.dedupClusters(documents(s, d))),
     // §2.10 extensions: similarity search
     "sim_search_cosine_topk"-> ((s, d) => ext.Similarity.simSearchCosineTopk(embeddings(s, d))),
     "sim_search_lsh_bucketed" -> ((s, d) => ext.Similarity.simSearchLshBucketed(embeddings(s, d))),
@@ -220,6 +221,8 @@ object SparkEntry {
       "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, md5(text) AS text_md5 FROM documents GROUP BY md5(text) ORDER BY keep_doc_id",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2) SELECT da AS doc_a, db AS doc_b, CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS jaccard FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3 ORDER BY doc_a, doc_b""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2), pairs AS (SELECT da, db FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3), edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM edges), reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_near_minhash" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT::HUGEINT AS u FROM sh), seeds AS (SELECT seed, ((2*seed + 1) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS a, (seed * CAST('14029467366897019727' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS b FROM range(32) r(seed)), minsig AS (SELECT doc_id, seed, min(((u % 4294967296) * a + (((u // 4294967296) * a) % 4294967296) * 4294967296 + b) % CAST('18446744073709551616' AS HUGEINT)) AS mv FROM ex CROSS JOIN seeds GROUP BY doc_id, seed), bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS key FROM minsig GROUP BY doc_id, seed // 4), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), ver AS (SELECT c.doc_a, c.doc_b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id) SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""",
     "dedup_simhash" ->

@@ -58,6 +58,25 @@ class DedupSpec extends SparkSpec {
     assert(true)
   }
 
+  test("clusters merge transitively: a~b, b~c below-threshold a~c join anyway") {
+    // 30 distinct tokens; three docs sliding by 5: (1,2) and (2,3) share
+    // 13/23 trigrams (jaccard .565), (1,3) only 8/28 (.286 < .3) — yet all
+    // three must land in cluster 1 via transitivity
+    val w = (1 to 30).map(i => s"tok$i")
+    val df = Seq(
+      (1L, w.slice(0, 20).mkString(" ")),
+      (2L, w.slice(5, 25).mkString(" ")),
+      (3L, w.slice(10, 30).mkString(" ")),
+      (4L, "an unrelated island document entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.dedupNgramJaccard(df).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"fixture wrong: $pairs")
+    val clusters = Dedup.dedupClusters(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("simhash: identical docs have hamming 0, near-dups small hamming") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
