@@ -59,4 +59,19 @@ class PlanSpec extends SparkSpec {
     assert(analyzed(q("join_broadcast_dim")).contains("ResolvedHint"),
       "supplier dim is bounded-small and should stay hint-broadcast")
   }
+
+  test("sample_hash_split stays map-side: only the output sort shuffles") {
+    val plan = executed(q("sample_hash_split"))
+    assert(plan.contains("rangepartitioning"), s"missing sort exchange:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"hash split must not shuffle — assignment is per-row arithmetic:\n$plan")
+  }
+
+  test("corpus_prep_pipeline and multiprobe search never go all-pairs") {
+    for (name <- Seq("corpus_prep_pipeline", "sim_search_lsh_multiprobe")) {
+      val plan = executed(q(name))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name grew an all-pairs join:\n$plan")
+    }
+  }
 }
