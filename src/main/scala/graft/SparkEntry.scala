@@ -69,6 +69,7 @@ object SparkEntry {
     "agg_count_by_type"     -> ((s, d) => Aggs.aggCountByType(events(s, d))),
     "agg_distinct_nodes"    -> ((s, d) => Aggs.aggDistinctNodes(events(s, d))),
     "agg_distinct_approx"   -> ((s, d) => Aggs.aggDistinctNodesApprox(events(s, d))),
+    "agg_distinct_kmv"      -> ((s, d) => Aggs.aggDistinctKmv(events(s, d))),
     "agg_salted_skew"       -> ((s, d) =>
       ops.Skew.saltedGroupSum(events(s, d), "event_type", "value").orderBy("event_type")),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
@@ -189,6 +190,8 @@ object SparkEntry {
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_distinct_nodes" ->
       "SELECT count(DISTINCT user_id) AS n_nodes, count(*) AS n_events FROM events",
+    "agg_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events), tk AS (SELECT h FROM h ORDER BY h LIMIT 64) SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_distinct_hashed, CASE WHEN (SELECT count(*) FROM tk) < 64 THEN CAST((SELECT count(*) FROM h) AS DOUBLE) ELSE 63.0 / (SELECT max(h) FROM tk) END AS est_distinct""",
     "agg_salted_skew" ->
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_time_bucket" ->

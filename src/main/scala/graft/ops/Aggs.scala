@@ -50,6 +50,28 @@ object Aggs {
       approx_count_distinct(col("user_id"), rsd).as("approx_nodes"),
       count(lit(1)).as("n_events"))
 
+  /** A4, portable sketch: K-minimum-values distinct estimate over the
+    * md5-derived u64 hash of the key — (k-1)/h_(k) with h uniform in
+    * [0,1). Unlike HLL (engine-specific registers), every step is exact
+    * deterministic arithmetic both engines can reproduce, so this sketch
+    * is hash-match oracle-checked. Plan: one distinct shuffle + a
+    * map-side partial top-k (TakeOrderedAndProject) — the declarative,
+    * verifiable form; [[aggDistinctNodesApprox]] (HLL) remains the
+    * shuffle-free scale path. Falls back to the exact count when fewer
+    * than k distinct hashes exist. */
+  def aggDistinctKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    val u64 = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 16), 16, 10)
+      .cast("decimal(38,0)").cast("double")
+    val h = events.select((u64 / lit(math.pow(2, 64))).as("h")).distinct()
+    val topk = h.orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+    val exact = h.agg(count(lit(1)).cast("long").as("n_distinct_hashed"))
+    topk.crossJoin(exact)
+      .select(col("n_distinct_hashed"),
+        when(col("m") < k, col("n_distinct_hashed").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("hk")).as("est_distinct"))
+  }
+
   /** A5: downsample to time buckets (graphdata.py:99-111). */
   def aggTimeBucket(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))

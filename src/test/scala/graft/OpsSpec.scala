@@ -87,6 +87,20 @@ class OpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("KMV distinct sketch lands near exact and falls back exactly when small") {
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = Aggs.aggDistinctNodes(events).collect().head.getAs[Long]("n_nodes")
+    val est = Aggs.aggDistinctKmv(events).collect().head.getAs[Double]("est_distinct")
+    // KMV std error ~ 1/sqrt(k) = 12.5% at k=64; allow 3 sigma
+    assert(math.abs(est - exact) / exact <= 0.375, s"est=$est exact=$exact")
+    // fewer distinct keys than k -> exact fallback
+    val tiny = Tables.events(spark, "/root/testdata/sf0.001")
+    val tinyExact = Aggs.aggDistinctNodes(tiny).collect().head.getAs[Long]("n_nodes")
+    val tinyEst = Aggs.aggDistinctKmv(tiny).collect().head.getAs[Double]("est_distinct")
+    assert(tinyExact < 64 && tinyEst == tinyExact.toDouble,
+      s"expected exact fallback: est=$tinyEst exact=$tinyExact")
+  }
+
   test("salted aggregation equals plain groupBy on a skewed key") {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
