@@ -17,14 +17,17 @@ class IngestStreamSpec extends SparkSpec {
     val input = MemoryStream[String]
     val dim = Schemas.nodeDimSeed.toDF("node", "topic_id", "longname")
 
-    val q = Ingest.runIngest(input.toDF().withColumnRenamed("value", "value"),
-      dim, s"$dir/out", s"$dir/ckpt")
+    // add BEFORE start: Trigger.AvailableNow snapshots available offsets at
+    // query start, so data added after start() races the snapshot and can
+    // be silently excluded on a slow host
     input.addData(
       """{"from":1127718912,"payload":{"barometric_pressure":1013.2,"gas_resistance":120000.5,"iaq":51,"relative_humidity":40.2,"temperature":21.5},"timestamp":1760748340,"type":"telemetry"}""",
       """{"from":1127718912,"payload":{"battery_level":92,"voltage":4.01},"timestamp":1760748350,"type":"telemetry"}""",
       """{"from":1127718913,"payload":{"text":"23.35,41.69,985.34,185623.00,1.00,1.00,1.00,4.98,148.62"},"timestamp":1760748360,"type":"text"}""",
       "garbage that is not json",
       """{"from":999,"payload":{"temperature":5.0},"timestamp":1760748370,"type":"telemetry"}""")
+    val q = Ingest.runIngest(input.toDF().withColumnRenamed("value", "value"),
+      dim, s"$dir/out", s"$dir/ckpt")
     q.processAllAvailable()
     q.stop()
 

@@ -35,11 +35,12 @@ class JdbcSinkSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
     val input = MemoryStream[String]
     val dim = Schemas.nodeDimSeed.toDF("node", "topic_id", "longname")
-    val q = Ingest.runIngestJdbc(input.toDF(), dim, url, ckpt)
+    // add BEFORE start: AvailableNow snapshots offsets at query start
     input.addData(
       """{"from":1127718912,"payload":{"barometric_pressure":1013.2,"gas_resistance":120000.5,"iaq":51,"relative_humidity":40.2,"temperature":21.5},"timestamp":1760748340,"type":"telemetry"}""",
       """{"from":1127718912,"payload":{"battery_level":92,"voltage":4.01},"timestamp":1760748350,"type":"telemetry"}""",
       "garbage that is not json")
+    val q = Ingest.runIngestJdbc(input.toDF(), dim, url, ckpt)
     q.processAllAvailable()
     q.stop()
     val env = spark.read.jdbc(url, "airwise_data", new java.util.Properties)
