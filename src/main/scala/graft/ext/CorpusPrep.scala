@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preparation — the composite flagship of the
@@ -10,10 +9,9 @@ import org.apache.spark.sql.functions._
   * split, in one declarative plan.
   *
   * Plan shape at scale: the quality gate is pure map-side expressions over
-  * the scan; dedup is one window over md5(text) (single shuffle); the
-  * split tag is map-side hash arithmetic. Nothing collects, nothing
-  * broadcasts unbounded — the whole chain is two shuffles (dedup window +
-  * final order). */
+  * the scan; dedup is a partial-aggregated groupBy on md5(text) plus a
+  * skew-tolerant join back; the split tag is map-side hash arithmetic.
+  * Nothing collects, nothing broadcasts unbounded. */
 object CorpusPrep {
 
   /** Keep docs that pass the quality gate (same scoring terms as
@@ -35,10 +33,16 @@ object CorpusPrep {
       .withColumn("n_tokens", nTok.cast("long"))
       .withColumn("quality_score", quality)
       .filter(col("quality_score") >= 2.0)
-    // exact dedup: canonical = lowest doc_id per identical text
-    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    // exact dedup: canonical = lowest doc_id per identical text. A window
+    // over the fingerprint would buffer a pathological duplicate group in
+    // one frame; the groupBy form partial-aggregates map-side and AQE
+    // splits any join skew on a hot fingerprint.
+    val keep = gated
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
     val deduped = gated
-      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(keep, "fp")
       .filter(col("doc_id") === col("keep_id"))
     val b = Sampling.hashBucket(col("doc_id"))
     deduped.select(
