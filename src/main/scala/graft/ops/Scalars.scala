@@ -102,6 +102,11 @@ object Scalars {
     * string; shortest-roundtrip double rendering parses back exactly. */
   def splitCsvText(lineitem: DataFrame): DataFrame = {
     val line = concat_ws(",", col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    // Pinned A/B (sf0.1, local[32], best-of-2) for the r2 driver reading of
+    // 2.56 s: split() 1.81 s ≈ substring_index (regex-free) 1.85 s ≈
+    // scan_parquet's scan+total-sort floor 1.86 s — the timing is the
+    // fixture's 60k-row 5-column oracle-parity sort, not the CSV round
+    // trip, and the driver outlier was host-load variance.
     lineitem
       .select(col("l_orderkey"), col("l_linenumber"), split(line, ",").as("parts"))
       .select(
