@@ -60,6 +60,7 @@ object SparkEntry {
     "join_broadcast_dim"    -> ((s, d) => Joins.joinBroadcastDim(lineitem(s, d), supplier(s, d))),
     "join_latest_dim"       -> ((s, d) => Joins.joinLatestDim(events(s, d))),
     "join_timeseries_align" -> ((s, d) => Joins.joinTimeseriesAlign(events(s, d))),
+    "join_timeseries_align_multi" -> ((s, d) => Joins.joinTimeseriesAlignMulti(events(s, d))),
     "join_asof_nearest"     -> ((s, d) => Joins.joinAsofNearest(events(s, d))),
     "join_semi_active_nodes"  -> ((s, d) => Joins.joinSemiActiveNodes(customer(s, d), orders(s, d))),
     "join_anti_unknown_nodes" -> ((s, d) => Joins.joinAntiUnknownNodes(customer(s, d), orders(s, d))),
@@ -122,6 +123,9 @@ object SparkEntry {
 
   // DuckDB spellings of the Det helpers (see Det.scala):
   private val DAVG = "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)"
+  // conditional davg: Det.davg(when(event_type = t, value))
+  private def CDAVG(t: String) =
+    s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) / COUNT(CASE WHEN event_type = '$t' THEN value END) AS ${t}_avg"
   private val TS6 = "'%Y-%m-%d %H:%M:%S.%f'"
   private val TS0 = "'%Y-%m-%d %H:%M:%S'"
 
@@ -176,6 +180,8 @@ object SparkEntry {
       s"""WITH dim AS (SELECT user_id, event_type AS latest_type, ts AS latest_ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1) SELECT e.event_id, e.user_id, d.latest_type, strftime(d.latest_ts, $TS6) AS latest_ts_s FROM events e LEFT JOIN dim d ON e.user_id = d.user_id ORDER BY e.event_id""",
     "join_timeseries_align" ->
       s"""WITH c AS (SELECT date_trunc('hour', ts) AS hour, $DAVG AS click_avg FROM events WHERE event_type = 'click' GROUP BY 1), p AS (SELECT date_trunc('hour', ts) AS hour, $DAVG AS purchase_avg FROM events WHERE event_type = 'purchase' GROUP BY 1) SELECT strftime(c.hour, $TS0) AS hour_s, c.click_avg, p.purchase_avg FROM c JOIN p ON c.hour = p.hour ORDER BY hour_s""",
+    "join_timeseries_align_multi" ->
+      s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, ${Seq("click", "purchase", "view", "signup", "error").map(CDAVG).mkString(", ")}, count(*) AS n_events FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour_s""",
     "join_asof_nearest" ->
       s"""SELECT p.event_id, p.user_id, strftime(p.ts, $TS6) AS ts_s, c.value AS last_click_value, strftime(c.ts, $TS6) AS last_click_ts_s FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""",
     "join_semi_active_nodes" ->
@@ -239,7 +245,7 @@ object SparkEntry {
     "sim_search_lsh_multiprobe" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END || CASE WHEN v[5] > 0 THEN '1' ELSE '0' END || CASE WHEN v[6] > 0 THEN '1' ELSE '0' END) bucket FROM e), probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([bucket] || [substr(bucket, 1, i - 1) || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, i + 1) FOR i IN range(1, 7)]) AS bucket FROM n WHERE vec_id < 50), p AS (SELECT pr.query_id, c.vec_id, list_dot_product(pr.qv, c.v) / (pr.qn * c.nrm) cosine FROM n c JOIN probes pr ON c.bucket = pr.bucket AND c.vec_id != pr.query_id), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
     "sim_search_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16), ac AS (SELECT n.vec_id, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rk FROM n CROSS JOIN c), assigned AS (SELECT n.vec_id, n.v, n.nrm, ac.cid AS cell FROM n JOIN ac ON n.vec_id = ac.vec_id AND ac.rk = 1), probes AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, ac.cid AS cell FROM n JOIN ac ON n.vec_id = ac.vec_id AND ac.rk <= 4 WHERE n.vec_id < 10), p AS (SELECT pr.query_id, a.vec_id, a.cell, list_dot_product(pr.qv, a.v) / (pr.qn * a.nrm) AS cosine FROM assigned a JOIN probes pr ON a.cell = pr.cell WHERE a.vec_id != pr.query_id), r AS (SELECT query_id, vec_id, cell, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM p) SELECT query_id, rn, vec_id, cell, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16), a1 AS (SELECT n.vec_id, n.v, c0.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c0.cv) / (n.nrm * c0.cn) DESC, c0.cid) AS rk FROM n CROSS JOIN c0), s1 AS (SELECT cid AS cell, v FROM a1 WHERE rk = 1), d1 AS (SELECT cell, unnest(range(64)) AS i, v FROM s1), m1 AS (SELECT cell, i, CAST(SUM(CAST(v[CAST(i+1 AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mx FROM d1 GROUP BY cell, i), c1l AS (SELECT cell AS cid, list(mx ORDER BY i) AS cv FROM m1 GROUP BY cell), c1 AS (SELECT c0.cid, COALESCE(c1l.cv, c0.cv) AS cv, sqrt(list_dot_product(COALESCE(c1l.cv, c0.cv), COALESCE(c1l.cv, c0.cv))) AS cn FROM c0 LEFT JOIN c1l ON c0.cid = c1l.cid), a2 AS (SELECT n.vec_id, n.v, c1.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c1.cv) / (n.nrm * c1.cn) DESC, c1.cid) AS rk FROM n CROSS JOIN c1), s2 AS (SELECT cid AS cell, v FROM a2 WHERE rk = 1), d2 AS (SELECT cell, unnest(range(64)) AS i, v FROM s2), m2 AS (SELECT cell, i, CAST(SUM(CAST(v[CAST(i+1 AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mx FROM d2 GROUP BY cell, i), c2l AS (SELECT cell AS cid, list(mx ORDER BY i) AS cv FROM m2 GROUP BY cell), cf AS (SELECT c1.cid, COALESCE(c2l.cv, c1.cv) AS cv, sqrt(list_dot_product(COALESCE(c2l.cv, c1.cv), COALESCE(c2l.cv, c1.cv))) AS cn FROM c1 LEFT JOIN c2l ON c1.cid = c2l.cid), ac AS (SELECT n.vec_id, cf.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, cf.cv) / (n.nrm * cf.cn) DESC, cf.cid) AS rk FROM n CROSS JOIN cf), assigned AS (SELECT n.vec_id, n.v, n.nrm, ac.cid AS cell FROM n JOIN ac ON n.vec_id = ac.vec_id AND ac.rk = 1), probes AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, ac.cid AS cell FROM n JOIN ac ON n.vec_id = ac.vec_id AND ac.rk <= 4 WHERE n.vec_id < 10), p AS (SELECT pr.query_id, a.vec_id, a.cell, list_dot_product(pr.qv, a.v) / (pr.qn * a.nrm) AS cosine FROM assigned a JOIN probes pr ON a.cell = pr.cell WHERE a.vec_id != pr.query_id), r AS (SELECT query_id, vec_id, cell, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM p) SELECT query_id, rn, vec_id, cell, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "text_tokenize_stats" ->
       "SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 100",
     "text_filter_lang" ->

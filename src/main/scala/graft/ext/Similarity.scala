@@ -101,24 +101,54 @@ object Similarity {
   }
 
   /** IVF (inverted-file) search: the corpus is partitioned into nCells
-    * Voronoi cells around deterministic centroids (the first nCells
-    * vectors — a fixed-seed stand-in for a k-means step); each query
-    * probes its nProbe nearest cells and ranks exactly within them. The
-    * cell equi-join bounds work to ~nProbe/nCells of the corpus per query —
-    * the IVF scale path next to [[simSearchLshBucketed]]. The whole
-    * pipeline — assignment argmax, probe set, in-cell ranking — is
-    * deterministic exact arithmetic, so the DuckDB oracle recomputes it
-    * bit-for-bit; the spec additionally checks recall against the
+    * Voronoi cells around deterministic k-means centroids — the first
+    * nCells vectors seed `lloydIters` fixed iterations of Lloyd's
+    * algorithm — and each query probes its nProbe nearest cells, ranking
+    * exactly within them. The cell equi-join bounds work to
+    * ~nProbe/nCells of the corpus per query — the IVF scale path next to
+    * [[simSearchLshBucketed]], and cell balance (what the 100 TB story
+    * depends on) comes from the refinement, not from hoping the first
+    * nCells vectors spread well.
+    *
+    * Determinism across engines: each Lloyd iteration assigns by exact
+    * cosine (ties by centroid id) and recomputes every centroid as the
+    * per-dimension DECIMAL(38,12)-summed mean — order-independent, so the
+    * distributed Spark mean and DuckDB's single-threaded mean are the
+    * same doubles and the whole pipeline stays a hard hash-match oracle
+    * gate; an emptied cell keeps its previous centroid (COALESCE in the
+    * oracle). Per iteration Spark runs ONE job collecting nCells×dim mean
+    * rows (bounded, 1024 values here) — the corpus itself is never
+    * collected. The spec additionally checks recall against the
     * brute-force baseline. */
   def simSearchIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
-                   nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+                   nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    val centroids = vecs.filter(_._1 < nCells).collect().sortBy(_._1)
+    var centroids = vecs.filter(_._1 < nCells).collect().sortBy(_._1)
       .map { case (id, v) => (id, v, math.sqrt(dotP(v, v))) }
+    for (_ <- 1 to lloydIters) {
+      val bcIter = spark.sparkContext.broadcast(centroids)
+      val assigned1 = vecs.mapPartitions { it =>
+        val cents = bcIter.value
+        it.map { case (_, v) => (nearestCells(cents, v, 1).head, v) }
+      }.toDF("cell", "v")
+      val means = assigned1
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1))).as("mx"))
+        .collect()
+      val byCell = means.groupBy(_.getAs[Long]("cell")).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("mx"))
+      }
+      centroids = centroids.map { case (cid, cv, _) =>
+        val nv = byCell.getOrElse(cid, cv)
+        (cid, nv, math.sqrt(dotP(nv, nv)))
+      }
+    }
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = vecs.mapPartitions { it =>
       val cents = bc.value

@@ -58,6 +58,26 @@ object Joins {
       .orderBy("hour_s")
   }
 
+  /** J3 breadth: the reference's full-width comparison analytics
+    * (graphdata.py:98-192 overlays six metrics across sources on one time
+    * axis). One hash aggregation produces every aligned series — a
+    * conditional average per event type plus the row count — instead of
+    * N filtered aggregations joined N ways: one shuffle on the hour key
+    * total, partial/final map-side combine, no join at all. At 100 TB the
+    * N-way self-join form scans the fact table N times and shuffles N
+    * aggregates; this form is one scan, one shuffle, regardless of N. */
+  def joinTimeseriesAlignMulti(events: DataFrame): DataFrame = {
+    val types = Seq("click", "purchase", "view", "signup", "error")
+    val aligned = types.map(t =>
+      davg(when(col("event_type") === t, col("value"))).as(s"${t}_avg"))
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(aligned.head, aligned.tail :+ count(lit(1)).as("n_events"): _*)
+      .select(Seq(fmtTsSec(col("hour")).as("hour_s")) ++
+        types.map(t => col(s"${t}_avg")) :+ col("n_events"): _*)
+      .orderBy("hour_s")
+  }
+
   /** J4: as-of join — for each purchase, the latest click at or before it,
     * per user (graphdata.py:100-104 nearest-sample alignment).
     *

@@ -28,15 +28,32 @@ object Heartbeat {
 
   val OfflineThresholdMs: Long = 100L * 60 * 1000 // AIRWISEv0.py:20
 
+  /** State TTL: a node still silent this long AFTER its OFFLINE alert is
+    * decommissioned — its keyed state is removed entirely, so fleet churn
+    * (nodes replaced over months, AIRWISEv0.py:41-49 static seed vs runtime
+    * upserts) can never accumulate unbounded state at 100× fleet size. A
+    * retired node that later reappears is simply a brand-new node. */
+  val RetireAfterMs: Long = 10L * OfflineThresholdMs
+
   /** State-transition function, factored out so tests drive it directly
     * with TestGroupState (no clock-waiting). */
-  def update(offlineMs: Long)(node: Long, packets: Iterator[Packet],
-                              state: GroupState[NodeState]): Iterator[NodeEvent] = {
+  def update(offlineMs: Long, retireMs: Long = RetireAfterMs)(
+      node: Long, packets: Iterator[Packet],
+      state: GroupState[NodeState]): Iterator[NodeEvent] = {
     if (state.hasTimedOut) {
-      // silent past threshold: alert once, latch, leave state for recovery
       val st = state.get
-      state.update(st.copy(alertSent = true))
-      Iterator(NodeEvent(node, "OFFLINE", state.getCurrentProcessingTimeMs()))
+      if (st.alertSent) {
+        // second timeout with the latch still set: silent for the whole
+        // retire horizon past OFFLINE — drop the node's state (TTL)
+        state.remove()
+        Iterator(NodeEvent(node, "RETIRED", state.getCurrentProcessingTimeMs()))
+      } else {
+        // silent past threshold: alert once, latch, keep state for recovery
+        // and arm the retire clock
+        state.update(st.copy(alertSent = true))
+        state.setTimeoutDuration(retireMs)
+        Iterator(NodeEvent(node, "OFFLINE", state.getCurrentProcessingTimeMs()))
+      }
     } else {
       val newest = packets.map(_.ts_ms).foldLeft(Long.MinValue)(math.max)
       val prev = state.getOption
@@ -50,12 +67,13 @@ object Heartbeat {
 
   /** T3–T5 wiring: packets stream -> transition events stream. */
   def monitor(packets: Dataset[Packet],
-              offlineMs: Long = OfflineThresholdMs): Dataset[NodeEvent] = {
+              offlineMs: Long = OfflineThresholdMs,
+              retireMs: Long = RetireAfterMs): Dataset[NodeEvent] = {
     val spark = packets.sparkSession
     import spark.implicits._
     packets
       .groupByKey(_.node)
       .flatMapGroupsWithState[NodeState, NodeEvent](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update(offlineMs))
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update(offlineMs, retireMs))
   }
 }

@@ -148,6 +148,34 @@ object Ingest {
                ): org.apache.spark.sql.streaming.StreamingQuery =
     runIngest(raw, dim, cfg.sinkDir, cfg.checkpointDir, cfg.trigger)
 
+  /** S3 deployment transport: line-delimited JSON envelopes over TCP —
+    * the deployment-shaped counterpart of the reference's broker
+    * subscription entry point (AIRWISEv0.py:33-38,365-375). A broker
+    * bridge (`mosquitto_sub ... | nc -lk PORT` or any TCP feeder) delivers
+    * one envelope per line; the returned frame has the single STRING
+    * `value` column [[parseEnvelope]] expects, so every downstream
+    * transform is byte-identical to the file/MemoryStream path — transport
+    * is the only thing that changes (SURVEY.md §7.3).
+    *
+    * A Kafka transport is the same two lines with
+    * `.format("kafka").option("kafka.bootstrap.servers", ...)` plus
+    * `selectExpr("CAST(value AS STRING) AS value")` — not wired here
+    * because the Kafka connector jar isn't on this container's classpath. */
+  def socketSource(spark: org.apache.spark.sql.SparkSession,
+                   host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port)
+      .load()
+
+  /** [[runIngest]] over a TCP line transport: the full deployment shape —
+    * socket in, routed epoch-idempotent parquet out. */
+  def runIngestSocket(spark: org.apache.spark.sql.SparkSession,
+                      host: String, port: Int, dim: DataFrame,
+                      outDir: String, checkpoint: String
+                     ): org.apache.spark.sql.streaming.StreamingQuery =
+    runIngest(socketSource(spark, host, port), dim, outDir, checkpoint,
+      trigger = Trigger.ProcessingTime(0L))
+
   /** S4 deployment parity: the same routed ingest, but landing in a
     * relational store over JDBC (the reference's Postgres INSERT path,
     * AIRWISEv0.py:159-234) — batched, one connection per partition, and

@@ -39,6 +39,24 @@ class HeartbeatSpec extends SparkSpec {
     // state stays latched, so no duplicate alert can be emitted
   }
 
+  test("second timeout retires the node: state evicted (TTL)") {
+    // node already latched OFFLINE; the retire-horizon timeout fires
+    val st = TestGroupState.create[NodeState](Optional.of(NodeState(500L, alertSent = true)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 11L * threshold, eventTimeWatermarkMs = Optional.empty(),
+      hasTimedOut = true)
+    val out = update(1L, Iterator.empty, st).toList
+    assert(out.map(_.event) == List("RETIRED"))
+    assert(st.isRemoved, "decommissioned node must not hold state forever")
+  }
+
+  test("retired node returning is a brand-new node: no ONLINE event") {
+    val st = freshState // no state — it was evicted at retirement
+    val out = update(1L, Iterator(Packet(1L, 999000L)), st).toList
+    assert(out.isEmpty, "fresh admission is silent, not a recovery")
+    assert(st.get == NodeState(999000L, alertSent = false))
+  }
+
   test("packet after OFFLINE emits exactly one ONLINE and resets latch") {
     val st = TestGroupState.create[NodeState](Optional.of(NodeState(500L, alertSent = true)),
       org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,

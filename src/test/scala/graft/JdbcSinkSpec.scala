@@ -29,6 +29,32 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.filter(col("epoch") === 1L).count() == 1)
   }
 
+  test("a failed attempt's stage stragglers never reach the visible table") {
+    val url = derbyUrl("graft_stage")
+    val batch = Seq((1L, 20.5)).toDF("node", "temperature")
+    Jdbc.writeEpoch(batch, url, "t_stage", epochId = 0L)
+    // simulate a crashed attempt: rows parked in the stage for epoch 1
+    // (loaded but the swap transaction never ran)
+    Seq((9L, 99.9)).toDF("node", "temperature").withColumn("epoch", lit(1L))
+      .write.mode("append").jdbc(url, "t_stage_stage", new java.util.Properties)
+    // the retry writes DIFFERENT data for epoch 1 — stragglers must be
+    // discarded, not merged
+    Jdbc.writeEpoch(Seq((3L, 22.5)).toDF("node", "temperature"), url, "t_stage", 1L)
+    val back = spark.read.jdbc(url, "t_stage", new java.util.Properties)
+    assert(back.count() == 2)
+    assert(back.filter(col("epoch") === 1L).collect().map(_.getAs[Long]("node")).toSeq == Seq(3L))
+    // and the stage ends the write empty for that epoch
+    val stage = spark.read.jdbc(url, "t_stage_stage", new java.util.Properties)
+    assert(stage.filter(col("epoch") === 1L).count() == 0)
+  }
+
+  test("table identifiers are validated before SQL interpolation") {
+    val batch = Seq((1L, 20.5)).toDF("node", "temperature")
+    intercept[IllegalArgumentException] {
+      Jdbc.writeEpoch(batch, derbyUrl("graft_ident"), """t"; DROP TABLE x--""", 0L)
+    }
+  }
+
   test("streaming ingest lands routed rows in Derby, enriched") {
     implicit val sqlCtx = spark.sqlContext
     val url = derbyUrl("graft_ingest")
