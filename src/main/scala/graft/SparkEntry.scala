@@ -108,6 +108,7 @@ object SparkEntry {
     "text_quality_score"    -> ((s, d) => ext.Text.textQualityScore(documents(s, d))),
     "text_token_count"      -> ((s, d) => ext.Text.textTokenCount(documents(s, d))),
     "text_fingerprint"      -> ((s, d) => ext.Text.textFingerprint(documents(s, d))),
+    "text_pii_scrub"        -> ((s, d) => ext.Text.textPiiScrub(documents(s, d))),
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
@@ -258,6 +259,8 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS BIGINT) AS subword_tokens, n_chars FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents ORDER BY doc_id""",
+    "text_pii_scrub" ->
+      """WITH s AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS synth FROM documents) SELECT doc_id, CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(synth, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones, CAST(len(regexp_extract_all(synth, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips, md5(regexp_replace(regexp_replace(regexp_replace(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5 FROM s ORDER BY doc_id""",
     "sample_hash_split" ->
       """SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 90 THEN 'train' WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id""",
     "sample_per_group" ->

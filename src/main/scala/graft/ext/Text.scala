@@ -89,4 +89,41 @@ object Text {
       col("doc_id"),
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fingerprint")
     ).orderBy("doc_id")
+
+  /** PII patterns shared by the scrubber and its spec. Plain character
+    * classes + bounded quantifiers only — identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB), no alternation-order pitfalls. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing — the redaction gate every pretraining corpus runs
+    * before tokenization: emails, phone numbers and IPv4 addresses are
+    * counted then replaced with typed placeholders. The fixture corpus is
+    * synthetic word soup, so the query embeds deterministic PII derived
+    * from doc_id (the same construct-then-process pattern as
+    * strip_tz_suffix / scan_csv_typed) and the oracle recomputes the
+    * identical scrub; the output carries md5(scrubbed) rather than the
+    * full text, so every byte of the redaction is hash-gated while the
+    * result row stays narrow. Pure codegen'd expressions, map-side — at
+    * corpus scale this is a zero-shuffle pass. */
+  def textPiiScrub(documents: DataFrame): DataFrame = {
+    val synth = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-010-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+    def n(pat: String): Column =
+      size(regexp_extract_all(synth, lit(pat), lit(0))).cast("long")
+    // email first, then phone, then IP — same fixed order as the oracle
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(synth,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+    documents.select(
+      col("doc_id"),
+      n(EmailRe).as("n_emails"),
+      n(PhoneRe).as("n_phones"),
+      n(Ipv4Re).as("n_ips"),
+      md5(scrubbed.cast("binary")).as("scrubbed_md5")
+    ).orderBy("doc_id")
+  }
 }

@@ -75,8 +75,10 @@ class OpsSpec extends SparkSpec {
       val out = stream.Ingest.parseV1Text(routed, current_timestamp())
       out.count() == 1
     }
-    prop.check(_.withMinSuccessfulTests(20))
-    assert(true)
+    // Prop.check only PRINTS — Test.check returns the result to assert on
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"v1 parser property failed: $res")
   }
 
   test("approx distinct census is within the configured error of exact") {

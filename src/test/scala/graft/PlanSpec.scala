@@ -67,6 +67,14 @@ class PlanSpec extends SparkSpec {
       s"hash split must not shuffle — assignment is per-row arithmetic:\n$plan")
   }
 
+  test("join_timeseries_align_multi is one aggregation pass: no join, one hash shuffle") {
+    val plan = executed(q("join_timeseries_align_multi"))
+    assert(!plan.contains("Join"),
+      s"multi-metric alignment must be conditional aggregation, not an N-way self-join:\n$plan")
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected exactly the one groupBy(hour) shuffle, got $hashEx:\n$plan")
+  }
+
   test("corpus_prep_pipeline and multiprobe search never go all-pairs") {
     for (name <- Seq("corpus_prep_pipeline", "sim_search_lsh_multiprobe")) {
       val plan = executed(q(name))

@@ -54,6 +54,24 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Long]("subword_tokens") == 6L)
   }
 
+  test("PII scrub redacts crafted emails/phones/IPs in document text") {
+    import org.apache.spark.sql.functions._
+    // craft text that ITSELF carries PII (beyond the query's synthesized
+    // tail): every pattern must be counted and replaced
+    val df = docsOf(
+      (1L, "reach me at bob.smith+spam@corp.example.org or 415-555-0199 host 192.168.1.254 done", "en", "s", 80L))
+    val scrubbed = df.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        Text.EmailRe, "<EMAIL>"), Text.PhoneRe, "<PHONE>"), Text.Ipv4Re, "<IP>").as("t"))
+      .collect().head.getAs[String]("t")
+    assert(scrubbed == "reach me at <EMAIL> or <PHONE> host <IP> done", scrubbed)
+    val counted = Text.textPiiScrub(df).collect().head
+    // 1 crafted + 1 synthesized of each kind
+    assert(counted.getAs[Long]("n_emails") == 2L)
+    assert(counted.getAs[Long]("n_phones") == 2L)
+    assert(counted.getAs[Long]("n_ips") == 2L)
+  }
+
   test("tokenize stats counts term and document frequencies") {
     val df = docsOf(
       (1L, "spark spark flink", "en", "s", 17L),
