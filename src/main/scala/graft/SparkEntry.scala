@@ -62,6 +62,7 @@ object SparkEntry {
     "join_timeseries_align" -> ((s, d) => Joins.joinTimeseriesAlign(events(s, d))),
     "join_timeseries_align_multi" -> ((s, d) => Joins.joinTimeseriesAlignMulti(events(s, d))),
     "join_asof_nearest"     -> ((s, d) => Joins.joinAsofNearest(events(s, d))),
+    "join_range_tier"       -> ((s, d) => Joins.joinRangeTier(events(s, d))),
     "join_semi_active_nodes"  -> ((s, d) => Joins.joinSemiActiveNodes(customer(s, d), orders(s, d))),
     "join_anti_unknown_nodes" -> ((s, d) => Joins.joinAntiUnknownNodes(customer(s, d), orders(s, d))),
     // §2.5 aggregations
@@ -73,6 +74,8 @@ object SparkEntry {
     "agg_distinct_kmv"      -> ((s, d) => Aggs.aggDistinctKmv(events(s, d))),
     "agg_salted_skew"       -> ((s, d) =>
       ops.Skew.saltedGroupSum(events(s, d), "event_type", "value").orderBy("event_type")),
+    "agg_quantiles"         -> ((s, d) => Aggs.aggQuantiles(events(s, d))),
+    "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
     "agg_partial_final"     -> ((s, d) => Aggs.aggPartialFinal(events(s, d))),
@@ -201,6 +204,12 @@ object SparkEntry {
       """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events), tk AS (SELECT h FROM h ORDER BY h LIMIT 64) SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_distinct_hashed, CASE WHEN (SELECT count(*) FROM tk) < 64 THEN CAST((SELECT count(*) FROM h) AS DOUBLE) ELSE 63.0 / (SELECT max(h) FROM tk) END AS est_distinct""",
     "agg_salted_skew" ->
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "agg_quantiles" ->
+      """WITH t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events) SELECT event_type, max(n) AS n, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99 FROM t GROUP BY event_type ORDER BY event_type""",
+    "agg_value_histogram" ->
+      "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, CAST(floor(value / 25.0) AS BIGINT)::DOUBLE * 25.0 AS bucket_lo, count(*) AS n, min(value) AS lo_seen, max(value) AS hi_seen FROM events GROUP BY 1 ORDER BY bucket",
+    "join_range_tier" ->
+      "SELECT event_id, value, tier FROM events LEFT JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1000000.0)) AS t(tier, lo, hi) ON value >= lo AND value < hi ORDER BY event_id",
     "agg_time_bucket" ->
       s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, user_id, $DAVG AS avg_value, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY hour_s, user_id""",
     "agg_rollup_node_day" ->

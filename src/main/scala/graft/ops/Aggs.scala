@@ -106,4 +106,40 @@ object Aggs {
         max(col("hourly_avg")).as("max_hourly_avg"),
         count(lit(1)).as("n_hours"))
       .orderBy("user_id")
+
+  /** Exact discrete percentiles per key — the monitoring-dashboard op
+    * (p50/p90/p99 of a metric per event class). Discrete (the value AT row
+    * ceil(q·n), no interpolation), so the result is engine-portable where
+    * interpolated quantiles are not: percentile_cont's midpoint arithmetic
+    * differs between engines on halfway points, an exact row lookup never
+    * does. One window pass + one hash aggregation — two shuffles on the
+    * same key, no self-join. For a 100 TB single pass, approx sketch
+    * percentiles (t-digest-style) are the cheaper alternative; this is the
+    * labeled exact path, like dedup_embedding_cosine next to its LSH. */
+  def aggQuantiles(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val counted = events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def at(q: Double) = max(when(col("rn") === ceil(col("n") * q), col("value")))
+    counted.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** Fixed-width value histogram — the distribution view behind the
+    * reference's plots (graphdata.py's per-metric series). Bucket
+    * assignment is pure map-side arithmetic (floor(value/width)), so the
+    * whole query is one partial/final hash aggregation; bucket bounds are
+    * derived from the bucket id, not stored. */
+  def aggValueHistogram(events: DataFrame, width: Double = 25.0): DataFrame =
+    events
+      .groupBy(floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo_seen"), max(col("value")).as("hi_seen"))
+      .withColumn("bucket_lo", col("bucket").cast("double") * width)
+      .select(col("bucket"), col("bucket_lo"), col("n"), col("lo_seen"), col("hi_seen"))
+      .orderBy("bucket")
 }

@@ -106,6 +106,31 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Range join against a (tiny) tier table: classify each reading into
+    * the [lo, hi) band it falls in — the sensor-threshold banding the
+    * reference hardcodes as if/elif chains (AIRWISEv0.py:165-168 routing,
+    * alert thresholds AIRWISEv0.py:20). Non-equi joins can't hash; the
+    * scale-correct form when one side is a handful of band rows is a
+    * broadcast nested-loop with the FACT side streaming in place — no
+    * shuffle of the big side, work linear in facts × bands. (If both sides
+    * were large, the standard trick is banding both sides to a common
+    * bucket grid and equi-joining on bucket — overkill for a bounded tier
+    * dimension.) left_outer keeps out-of-band readings with a NULL tier. */
+  def joinRangeTier(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tiers = Seq(
+      ("low", 0.0, 50.0),
+      ("mid", 50.0, 200.0),
+      ("high", 200.0, 1000000.0)
+    ).toDF("tier", "lo", "hi")
+    events
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"),
+        "left_outer")
+      .select(col("event_id"), col("value"), col("tier"))
+      .orderBy("event_id")
+  }
+
   /** J5: semi join — keys present in the other set (heartbeat ∩ dim,
     * AIRWISEv0.py:80-87). */
   def joinSemiActiveNodes(customer: DataFrame, orders: DataFrame): DataFrame =

@@ -75,6 +75,14 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected exactly the one groupBy(hour) shuffle, got $hashEx:\n$plan")
   }
 
+  test("join_range_tier broadcasts the tier table and never shuffles the fact side") {
+    val plan = executed(q("join_range_tier"))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj == 1, s"range join should be one broadcast NLJ over the 3-row tier table:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"the fact side must stream through the range join unshuffled:\n$plan")
+  }
+
   test("corpus_prep_pipeline and multiprobe search never go all-pairs") {
     for (name <- Seq("corpus_prep_pipeline", "sim_search_lsh_multiprobe")) {
       val plan = executed(q(name))
