@@ -63,6 +63,7 @@ object SparkEntry {
     "join_timeseries_align_multi" -> ((s, d) => Joins.joinTimeseriesAlignMulti(events(s, d))),
     "join_asof_nearest"     -> ((s, d) => Joins.joinAsofNearest(events(s, d))),
     "join_range_tier"       -> ((s, d) => Joins.joinRangeTier(events(s, d))),
+    "join_interval_bucket"  -> ((s, d) => Joins.joinIntervalBucket(events(s, d))),
     "join_semi_active_nodes"  -> ((s, d) => Joins.joinSemiActiveNodes(customer(s, d), orders(s, d))),
     "join_anti_unknown_nodes" -> ((s, d) => Joins.joinAntiUnknownNodes(customer(s, d), orders(s, d))),
     // §2.5 aggregations
@@ -210,6 +211,8 @@ object SparkEntry {
       "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, CAST(floor(value / 25.0) AS BIGINT)::DOUBLE * 25.0 AS bucket_lo, count(*) AS n, min(value) AS lo_seen, max(value) AS hi_seen FROM events GROUP BY 1 ORDER BY bucket",
     "join_range_tier" ->
       "SELECT event_id, value, tier FROM events LEFT JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1000000.0)) AS t(tier, lo, hi) ON value >= lo AND value < hi ORDER BY event_id",
+    "join_interval_bucket" ->
+      "WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'), p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') SELECT p.event_id, count(c.c_us) AS n_nearby_clicks FROM p LEFT JOIN c ON p.user_id = c.user_id AND abs(c.c_us - p.p_us) <= 300000000 GROUP BY p.event_id ORDER BY event_id",
     "agg_time_bucket" ->
       s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, user_id, $DAVG AS avg_value, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY hour_s, user_id""",
     "agg_rollup_node_day" ->

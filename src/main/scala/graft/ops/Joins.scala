@@ -131,6 +131,35 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Big-big range join, banded: for every purchase, count the same
+    * user's clicks within ±tolerance — the two-large-sides interval join
+    * [[joinRangeTier]]'s doc promises. A naive interval join is a
+    * cross-join-with-filter (quadratic); the scale form bands time into
+    * tolerance-width buckets: each click lands in ONE bucket, each
+    * purchase probes its bucket ±1 (any in-tolerance pair differs by at
+    * most one bucket), and the (user, bucket) EQUI-join co-locates
+    * candidates before the exact |Δt| filter. Work is linear in rows ×
+    * bucket occupancy, shuffle is a plain hash partition — survives 100×
+    * where the interval cross-join explodes. Each click has exactly one
+    * bucket, so no candidate pair is generated twice (no dedup pass). */
+  def joinIntervalBucket(events: DataFrame, toleranceMin: Int = 5): DataFrame = {
+    val tolUs = toleranceMin * 60L * 1000000L
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", floor(col("c_us") / tolUs))
+    val probes = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("pb", floor(col("p_us") / tolUs))
+      .withColumn("bucket", explode(array(col("pb") - 1, col("pb"), col("pb") + 1)))
+    probes.join(clicks, Seq("user_id", "bucket"), "left_outer")
+      .groupBy(col("event_id"))
+      // tolerance folded into the count, not a filter: a purchase whose
+      // candidates are ALL out of tolerance must still appear with n = 0
+      .agg(count(when(abs(col("c_us") - col("p_us")) <= tolUs, col("c_us")))
+        .as("n_nearby_clicks"))
+      .orderBy("event_id")
+  }
+
   /** J5: semi join — keys present in the other set (heartbeat ∩ dim,
     * AIRWISEv0.py:80-87). */
   def joinSemiActiveNodes(customer: DataFrame, orders: DataFrame): DataFrame =

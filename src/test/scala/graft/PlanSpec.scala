@@ -83,6 +83,12 @@ class PlanSpec extends SparkSpec {
       s"the fact side must stream through the range join unshuffled:\n$plan")
   }
 
+  test("join_interval_bucket stays an equi-join: banding defeats the interval cross join") {
+    val plan = executed(q("join_interval_bucket"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded interval join must co-locate via (user, bucket) equi-join:\n$plan")
+  }
+
   test("corpus_prep_pipeline and multiprobe search never go all-pairs") {
     for (name <- Seq("corpus_prep_pipeline", "sim_search_lsh_multiprobe")) {
       val plan = executed(q(name))
