@@ -76,6 +76,7 @@ object SparkEntry {
     "agg_salted_skew"       -> ((s, d) =>
       ops.Skew.saltedGroupSum(events(s, d), "event_type", "value").orderBy("event_type")),
     "agg_quantiles"         -> ((s, d) => Aggs.aggQuantiles(events(s, d))),
+    "agg_quantiles_sampled" -> ((s, d) => Aggs.aggQuantilesSampled(events(s, d))),
     "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
@@ -207,6 +208,8 @@ object SparkEntry {
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_quantiles" ->
       """WITH t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events) SELECT event_type, max(n) AS n, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99 FROM t GROUP BY event_type ORDER BY event_type""",
+    "agg_quantiles_sampled" ->
+      """WITH s AS (SELECT event_type, event_id, value FROM events WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 < 0.1), t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM s) SELECT event_type, max(n) AS n_sample, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50_est, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_est, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99_est FROM t GROUP BY event_type ORDER BY event_type""",
     "agg_value_histogram" ->
       "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, CAST(floor(value / 25.0) AS BIGINT)::DOUBLE * 25.0 AS bucket_lo, count(*) AS n, min(value) AS lo_seen, max(value) AS hi_seen FROM events GROUP BY 1 ORDER BY bucket",
     "join_range_tier" ->

@@ -116,16 +116,39 @@ object Aggs {
     * same key, no self-join. For a 100 TB single pass, approx sketch
     * percentiles (t-digest-style) are the cheaper alternative; this is the
     * labeled exact path, like dedup_embedding_cosine next to its LSH. */
-  def aggQuantiles(events: DataFrame): DataFrame = {
+  def aggQuantiles(events: DataFrame): DataFrame =
+    discreteQuantiles(events, "n", "")
+
+  /** [[aggQuantiles]] at 100 TB: the same discrete percentiles over a
+    * deterministic md5-hash sample of the rows — the window sort runs on
+    * `fraction` of the data, bounding the per-key sort the exact path
+    * pays in full. The sample is a pure filter (map-side, pushdown-able)
+    * keyed on the same portable md5-u64 as [[aggDistinctKmv]], so the
+    * estimator is bit-reproducible in both engines and hash-match
+    * oracle-checked — the sketch-with-a-hard-oracle pattern, vs
+    * engine-specific approx_percentile which could only be rows-only. */
+  def aggQuantilesSampled(events: DataFrame, fraction: Double = 0.1): DataFrame = {
+    val u64 = conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 16), 16, 10)
+      .cast("decimal(38,0)").cast("double")
+    discreteQuantiles(events.filter((u64 / lit(math.pow(2, 64))) < fraction),
+      "n_sample", "_est")
+  }
+
+  /** Shared exact-discrete-percentile core: the value AT row ceil(q·n) in
+    * (value, event_id) order per event_type — no interpolation, so the
+    * result is engine-portable (interpolated quantiles differ between
+    * engines at representational halfway points). One window pass + one
+    * hash agg, both on the event_type key. */
+  private def discreteQuantiles(df: DataFrame, nName: String, suffix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    val counted = events
+    val counted = df
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
     def at(q: Double) = max(when(col("rn") === ceil(col("n") * q), col("value")))
     counted.groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"),
-        at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"))
+      .agg(max(col("n")).as(nName),
+        at(0.5).as(s"p50$suffix"), at(0.9).as(s"p90$suffix"), at(0.99).as(s"p99$suffix"))
       .orderBy("event_type")
   }
 

@@ -81,6 +81,22 @@ class OpsSpec extends SparkSpec {
     assert(res.passed, s"v1 parser property failed: $res")
   }
 
+  test("hash-sampled quantiles track the exact discrete quantiles") {
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = Aggs.aggQuantiles(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p50")).toMap
+    val est = Aggs.aggQuantilesSampled(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p50_est")).toMap
+    // ~200 sampled rows/type on an exponential-ish value column: sampled
+    // median sd ≈ 1/(2·f(m)·√n) ≈ 10% of the median — allow ~3.5 sigma
+    // (the md5 sample is deterministic, so this is a fixed property of the
+    // fixture, not a flake source; observed worst drift is 25%)
+    exact.foreach { case (t, p50) =>
+      assert(math.abs(est(t) - p50) / p50 <= 0.35,
+        s"$t: sampled median ${est(t)} drifted from exact $p50")
+    }
+  }
+
   test("approx distinct census is within the configured error of exact") {
     val events = Tables.events(spark, "/root/testdata/sf0.01")
     val exact = Aggs.aggDistinctNodes(events).collect().head.getAs[Long]("n_nodes")
