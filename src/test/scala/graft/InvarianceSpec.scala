@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Dedup, Sampling}
-import graft.ops.Aggs
+import graft.ops.{Aggs, Joins}
 
 /** Partitioning-invariance proofs: the determinism contract says every
   * declared query returns identical results at any parallelism — the
@@ -29,5 +29,27 @@ class InvarianceSpec extends SparkSpec {
   test("decimal-exact metric summary is partitioning-independent") {
     assert(rows(Aggs.aggMetricsSummary(events.coalesce(1))) ==
       rows(Aggs.aggMetricsSummary(events.repartition(13))))
+  }
+
+  test("discrete quantiles (exact + sampled) are partitioning-independent") {
+    assert(rows(Aggs.aggQuantiles(events.coalesce(1))) ==
+      rows(Aggs.aggQuantiles(events.repartition(13))))
+    assert(rows(Aggs.aggQuantilesSampled(events.coalesce(1))) ==
+      rows(Aggs.aggQuantilesSampled(events.repartition(13))))
+  }
+
+  test("banded interval join and multi-metric align are partitioning-independent") {
+    assert(rows(Joins.joinIntervalBucket(events.coalesce(1))) ==
+      rows(Joins.joinIntervalBucket(events.repartition(13))))
+    assert(rows(Joins.joinTimeseriesAlignMulti(events.coalesce(1))) ==
+      rows(Joins.joinTimeseriesAlignMulti(events.repartition(13))))
+  }
+
+  test("connected-components labels are partitioning-independent") {
+    Dedup.clearSharedCache(spark) // memoized labels would defeat the A/B
+    val a = rows(Dedup.dedupClusters(docs.coalesce(1)))
+    Dedup.clearSharedCache(spark)
+    val b = rows(Dedup.dedupClusters(docs.repartition(13)))
+    assert(a == b)
   }
 }
