@@ -86,6 +86,7 @@ object SparkEntry {
     "window_gap_to_prev"    -> ((s, d) => Windows.windowGapToPrev(events(s, d))),
     "window_moving_avg"     -> ((s, d) => Windows.windowMovingAvg(events(s, d))),
     "window_rank_hottest"   -> ((s, d) => Windows.windowRankHottest(events(s, d))),
+    "window_ntile_quartile" -> ((s, d) => Windows.windowNtileQuartile(events(s, d))),
     // §2.7 sort/limit/topk
     "sort_by_time"          -> ((s, d) => SetSort.sortByTime(events(s, d))),
     "limit_head"            -> ((s, d) => SetSort.limitHead(events(s, d))),
@@ -94,6 +95,8 @@ object SparkEntry {
     "union_multi_file"      -> ((s, d) => SetSort.unionMultiFile(events(s, d))),
     "except_missing_nodes"  -> ((s, d) => SetSort.exceptMissingNodes(events(s, d))),
     "intersect_common_times"-> ((s, d) => SetSort.intersectCommonTimes(events(s, d))),
+    "except_all_hours"      -> ((s, d) => SetSort.exceptAllClickErrorHours(events(s, d))),
+    "intersect_all_hours"   -> ((s, d) => SetSort.intersectAllClickPurchaseHours(events(s, d))),
     // §2.10 extensions: dedup
     "dedup_exact"           -> ((s, d) => ext.Dedup.dedupExact(documents(s, d))),
     "dedup_ngram_jaccard"   -> ((s, d) => ext.Dedup.dedupNgramJaccard(documents(s, d))),
@@ -121,6 +124,7 @@ object SparkEntry {
     "events_sessionize"     -> ((s, d) => ext.Sessions.eventsSessionize(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
+    "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
     // §3.3 composite: the cleandata.py parity chain end-to-end
     "clean_pipeline"        -> ((s, d) => batch.Clean.cleanPipeline(events(s, d))),
     // composite flagship of the LLM-pipeline family (r2)
@@ -242,6 +246,14 @@ object SparkEntry {
       "SELECT user_id FROM (SELECT DISTINCT user_id FROM events EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') ORDER BY user_id",
     "intersect_common_times" ->
       s"""SELECT strftime(hour, $TS0) AS hour_s FROM (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'click' INTERSECT SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'purchase') ORDER BY hour_s""",
+    "except_all_hours" ->
+      s"""SELECT user_id, strftime(date_trunc('hour', ts), $TS0) AS hour_s FROM events WHERE event_type = 'click' EXCEPT ALL SELECT user_id, strftime(date_trunc('hour', ts), $TS0) FROM events WHERE event_type = 'error' ORDER BY user_id, hour_s""",
+    "intersect_all_hours" ->
+      s"""SELECT user_id, strftime(date_trunc('hour', ts), $TS0) AS hour_s FROM events WHERE event_type = 'click' INTERSECT ALL SELECT user_id, strftime(date_trunc('hour', ts), $TS0) FROM events WHERE event_type = 'purchase' ORDER BY user_id, hour_s""",
+    "window_ntile_quartile" ->
+      "SELECT event_id, event_type, value, CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile FROM events ORDER BY event_id",
+    "multimodal_frame_energies" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), f AS (SELECT doc_id, i // 64 AS frame_no, count(*) AS cnt, sum(byte) AS s FROM b GROUP BY 1, 2) SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, CAST(s AS DOUBLE) / 255.0 AS energy FROM f WHERE cnt = 64 AND frame_no % 2 = 0 ORDER BY doc_id, frame_no""",
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, md5(text) AS text_md5 FROM documents GROUP BY md5(text) ORDER BY keep_doc_id",
     "dedup_ngram_jaccard" ->

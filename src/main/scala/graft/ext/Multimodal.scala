@@ -112,6 +112,29 @@ object Multimodal {
         md5(col("content")).as("content_md5"))
       .orderBy("doc_id")
 
+  /** Declared query exercising [[frameSampleStub]] end-to-end: every 2nd
+    * complete 64-byte frame's energy (byte-sum / 255 — exact integer
+    * arithmetic divided once, so bit-identical in any engine). This is
+    * the video-frame-sampling plumbing made real: slice fan-out in
+    * mapPartitions, per-frame kernel, ordered (doc, frame) output; a real
+    * codec replaces the energy kernel, the flow is unchanged. The DuckDB
+    * oracle recomputes the identical frames byte-for-byte from
+    * hex(encode(text)). */
+  def multimodalFrameEnergies(documents: DataFrame, frameBytes: Int = 64,
+                              everyNth: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    frameSampleStub(asMedia(documents), frameBytes, everyNth)
+      .map { r =>
+        val fno = r.media_type.substring(r.media_type.indexOf("frame=") + 6).toLong
+        var s = 0L
+        r.content.foreach(b => s += (b & 0xFF).toLong)
+        (r.doc_id, fno, s / 255.0)
+      }
+      .toDF("doc_id", "frame_no", "energy")
+      .orderBy("doc_id", "frame_no")
+  }
+
   /** Declared query exercising the full mapPartitions decode path. The
     * fake decoder is pure integer/byte arithmetic, so the DuckDB oracle
     * recomputes checksum and features byte-for-byte from hex(encode(text))

@@ -73,6 +73,16 @@ object VectorDot {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
 
+  private[functions] val info =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[VectorDot].getName, "vector_dot")
+
+  private[functions] val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VectorDot(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"vector_dot expects 2 arguments, got ${exprs.length}")
+  }
+
   /** Column-API form: usable without registration. */
   def vector_dot(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(VectorDot(GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))

@@ -57,4 +57,24 @@ object SetSort {
       .select(fmtTsSec(col("hour")).as("hour_s"))
       .orderBy("hour_s")
   }
+
+  private def userHours(events: DataFrame, tpe: String): DataFrame =
+    events.filter(col("event_type") === tpe)
+      .select(col("user_id"), fmtTsSec(date_trunc("hour", col("ts"))).as("hour_s"))
+
+  /** U4: multiset difference — per-(user, hour) click occurrences minus
+    * error occurrences, MULTIPLICITY KEPT (max(m−n, 0) copies survive):
+    * the bag form of U2 for occurrence accounting, where DISTINCT-based
+    * EXCEPT silently conflates "5 clicks, 1 error" with "1 click, 1
+    * error". Same hash shuffle as except; counts ride the aggregation. */
+  def exceptAllClickErrorHours(events: DataFrame): DataFrame =
+    userHours(events, "click").exceptAll(userHours(events, "error"))
+      .orderBy("user_id", "hour_s")
+
+  /** U5: multiset intersection — min(m, n) copies per (user, hour): hours
+    * where a user both clicked and purchased, weighted by the smaller
+    * occurrence count. */
+  def intersectAllClickPurchaseHours(events: DataFrame): DataFrame =
+    userHours(events, "click").intersectAll(userHours(events, "purchase"))
+      .orderBy("user_id", "hour_s")
 }

@@ -62,4 +62,19 @@ object Windows {
         col("user_id"), col("value"))
       .orderBy("day_s", "rnk", "event_id")
   }
+
+  /** W5 (r3): equal-depth banding — ntile quartiles of value per event
+    * class (the "which quartile is this reading in" dashboard column).
+    * SQL-standard ntile over a TOTAL order (value, event_id) is fully
+    * deterministic — earlier tiles take the remainder rows in every
+    * engine — so it hash-matches across engines where percent-style
+    * bucketing on ties would not. One window shuffle on the class key. */
+  def windowNtileQuartile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("event_id"), col("event_type"), col("value"), col("quartile"))
+      .orderBy("event_id")
+  }
 }

@@ -49,6 +49,36 @@ class VectorDotSpec extends SparkSpec {
     assert(uneven.select(vector_dot(col("a"), col("b"))).collect().head.getDouble(0) == 30.0)
   }
 
+  test("vector_dot is SQL-callable after per-session registration") {
+    graft.functions.VectorDot.register(spark)
+    val v = spark.sql("SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("GraftExtensions injects vector_dot at session build (deployment conf path)") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate returns the active session and ignores new extensions —
+    // clear active/default so a FRESH session (same SparkContext) is built
+    // with the extensions applied, exactly as spark.sql.extensions would
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      // no VectorDot.register call: the function must come from injection
+      val v = s2.sql("SELECT vector_dot(array(1.0d, 2.0d, 3.0d), array(1.0d, 1.0d, 1.0d)) AS d")
+        .collect().head.getDouble(0)
+      assert(v == 6.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("works on the real embeddings inside whole-stage codegen") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("embedding").cast("array<double>").as("v"))
