@@ -76,6 +76,8 @@ object SparkEntry {
     "agg_salted_skew"       -> ((s, d) =>
       ops.Skew.saltedGroupSum(events(s, d), "event_type", "value").orderBy("event_type")),
     "agg_quantiles"         -> ((s, d) => Aggs.aggQuantiles(events(s, d))),
+    "agg_pivot_type_hour"   -> ((s, d) => Aggs.aggPivotTypeHour(events(s, d))),
+    "agg_cube_type_day"     -> ((s, d) => Aggs.aggCubeTypeDay(events(s, d))),
     "agg_quantiles_sampled" -> ((s, d) => Aggs.aggQuantilesSampled(events(s, d))),
     "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
@@ -117,6 +119,7 @@ object SparkEntry {
     "text_token_count"      -> ((s, d) => ext.Text.textTokenCount(documents(s, d))),
     "text_fingerprint"      -> ((s, d) => ext.Text.textFingerprint(documents(s, d))),
     "text_pii_scrub"        -> ((s, d) => ext.Text.textPiiScrub(documents(s, d))),
+    "text_token_positions"  -> ((s, d) => ext.Text.textTokenPositions(documents(s, d))),
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
@@ -212,6 +215,12 @@ object SparkEntry {
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_quantiles" ->
       """WITH t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events) SELECT event_type, max(n) AS n, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99 FROM t GROUP BY event_type ORDER BY event_type""",
+    "agg_pivot_type_hour" ->
+      s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS click, CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase, CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS view, CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS signup, CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour_s""",
+    "agg_cube_type_day" ->
+      s"""SELECT CAST(GROUPING(event_type) AS INT) AS g_type, CAST(GROUPING(day) AS INT) AS g_day, event_type, day, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value FROM (SELECT event_type, strftime(date_trunc('day', ts), $TS0) AS day, value FROM events) GROUP BY CUBE(event_type, day) ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST""",
+    "text_token_positions" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents) SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i+1 AS INT)] AS token FROM (SELECT doc_id, t, unnest(range(least(5, len(t)))) AS i FROM toks) ORDER BY doc_id, pos""",
     "agg_quantiles_sampled" ->
       """WITH s AS (SELECT event_type, event_id, value FROM events WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 < 0.1), t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM s) SELECT event_type, max(n) AS n_sample, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50_est, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_est, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99_est FROM t GROUP BY event_type ORDER BY event_type""",
     "agg_value_histogram" ->

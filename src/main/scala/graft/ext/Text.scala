@@ -90,6 +90,18 @@ object Text {
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fingerprint")
     ).orderBy("doc_id")
 
+  /** Positional tokenization — the table-generating (Generator) surface
+    * with ordinality: the first `maxPos` tokens of each document with
+    * their 0-based positions (the shape prefix-dedup and title
+    * extraction consume). posexplode keeps the position without a window
+    * or join; the cap bounds output at corpus scale. */
+  def textTokenPositions(documents: DataFrame, maxPos: Int = 5): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(slice(tokens(col("text")), 1, maxPos))
+        .as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+
   /** PII patterns shared by the scrubber and its spec. Plain character
     * classes + bounded quantifiers only — identical semantics in Java
     * regex (Spark) and RE2 (DuckDB), no alternation-order pitfalls. */

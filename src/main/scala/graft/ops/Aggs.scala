@@ -107,6 +107,42 @@ object Aggs {
         count(lit(1)).as("n_hours"))
       .orderBy("user_id")
 
+  /** A10 (r3): pivot — hours × event-type value sums as a wide table (the
+    * spreadsheet shape of the reference's overlay plots). Spark's pivot
+    * with an EXPLICIT value list compiles to a join-free two-stage
+    * aggregation — pre-agg on (hour, type), then pivotfirst on hour; two
+    * key shuffles, both partial-aggregated (plan-gated). Omitting the
+    * value list would add a distinct-values collect job, so at scale
+    * always pass it; when one shuffle matters, the conditional-agg form
+    * ([[graft.ops.Joins.joinTimeseriesAlignMulti]]) produces the same
+    * wide output in a single aggregation. */
+  def aggPivotTypeHour(events: DataFrame): DataFrame = {
+    val types = Seq("click", "purchase", "view", "signup", "error")
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .pivot("event_type", types)
+      .agg(dsum(col("value")))
+      .select(Seq(fmtTsSec(col("hour")).as("hour_s")) ++ types.map(col): _*)
+      .orderBy("hour_s")
+  }
+
+  /** A11 (r3): cube — all four (event_type × day) grouping sets in one
+    * pass (rollup's lattice sibling; reporting totals by type, by day,
+    * by both, and grand). grouping() columns disambiguate NULL keys from
+    * cube NULLs, as in [[aggRollupNodeDay]]. */
+  def aggCubeTypeDay(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", fmtTsSec(date_trunc("day", col("ts"))))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day")).cast("int").as("g_day"),
+        count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("g_type"), col("g_day"), col("event_type"), col("day"),
+        col("n"), col("sum_value"))
+      .orderBy(col("g_type"), col("g_day"),
+        col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
   /** Exact discrete percentiles per key — the monitoring-dashboard op
     * (p50/p90/p99 of a metric per event class). Discrete (the value AT row
     * ceil(q·n), no interpolation), so the result is engine-portable where

@@ -89,6 +89,16 @@ class PlanSpec extends SparkSpec {
       s"banded interval join must co-locate via (user, bucket) equi-join:\n$plan")
   }
 
+  test("pivot with explicit values stays a join-free two-stage aggregation") {
+    val plan = executed(q("agg_pivot_type_hour"))
+    assert(!plan.contains("Join"), s"pivot must not become a self-join:\n$plan")
+    // Spark pivots via pre-agg on (group, pivot) then pivotfirst on group:
+    // exactly two key shuffles, both partial-aggregated. (The one-shuffle
+    // form of the same output is join_timeseries_align_multi.)
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected pivot's two agg shuffles, got $hashEx:\n$plan")
+  }
+
   test("corpus_prep_pipeline and multiprobe search never go all-pairs") {
     for (name <- Seq("corpus_prep_pipeline", "sim_search_lsh_multiprobe")) {
       val plan = executed(q(name))
