@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * equivalently use `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vector_dot"), VectorDot.info, VectorDot.builder))
+    // rewrite interpreted self-HOF dots (norms) into the codegen'd kernel
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSelfHofDot)
+  }
 }

@@ -79,6 +79,41 @@ class VectorDotSpec extends SparkSpec {
     }
   }
 
+  test("injected optimizer rule rewrites the self-HOF dot (norm) to vector_dot") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      // parquet-backed data: a LocalRelation would be constant-folded away
+      // before the rewritten expression is visible in the optimized plan
+      val e = Tables.embeddings(s2, "/root/testdata/sf0.001")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+      val hofNorm = e.selectExpr("vec_id",
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) AS d")
+      assert(hofNorm.queryExecution.optimizedPlan.toString.contains("vector_dot"),
+        s"norm HOF not rewritten:\n${hofNorm.queryExecution.optimizedPlan}")
+      val native = e.select(col("vec_id"), vector_dot(col("v"), col("v")).as("d"))
+      assert(hofNorm.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq ==
+        native.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq,
+        "rewritten values must be bit-identical to the native kernel")
+      // two DIFFERENT arrays must NOT rewrite: zip_with pads the shorter
+      // side with NULL (aggregate -> NULL) while vector_dot dots the prefix
+      val different = e.selectExpr(
+        "aggregate(zip_with(slice(v, 1, 3), slice(v, 1, 2), (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) AS d")
+      assert(!different.queryExecution.optimizedPlan.toString.contains("vector_dot"),
+        "unsound rewrite of a two-array HOF dot")
+      assert(different.limit(1).collect().head.isNullAt(0), "padding semantics preserved")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("works on the real embeddings inside whole-stage codegen") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("embedding").cast("array<double>").as("v"))
