@@ -84,9 +84,17 @@ object Bench {
     val note = "dedup_* share one memoized shingle pass; first dedup query's cold run absorbs it"
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_ok":${timed.size},"n_failed":${failed.size},"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}","note":"$note"}"""
+    // Compact summary (~120 bytes, no per-query map): with 85 queries the full
+    // line is ~2.6 KB and a bounded tail capture of stdout cuts its HEAD —
+    // where "metric":"total" lives. Printing this short record LAST means any
+    // plausible capture window contains one complete parseable JSON line.
+    val summary =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_ok":${timed.size},"n_failed":${failed.size},"sf":"${esc(sfDir)}"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
-    // last line of output, after Spark's shutdown messages
+    // last lines of output, after Spark's shutdown messages: full record
+    // first, compact summary as the very last line
     println(json)
+    println(summary)
   }
 }

@@ -79,6 +79,7 @@ object SparkEntry {
     "agg_pivot_type_hour"   -> ((s, d) => Aggs.aggPivotTypeHour(events(s, d))),
     "agg_cube_type_day"     -> ((s, d) => Aggs.aggCubeTypeDay(events(s, d))),
     "agg_quantiles_sampled" -> ((s, d) => Aggs.aggQuantilesSampled(events(s, d))),
+    "agg_quantiles_banded"  -> ((s, d) => Aggs.aggQuantilesBanded(events(s, d))),
     "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
@@ -106,6 +107,7 @@ object SparkEntry {
     "dedup_simhash"         -> ((s, d) => ext.Dedup.dedupSimhash(documents(s, d))),
     "dedup_embedding_cosine"-> ((s, d) => ext.Similarity.dedupEmbeddingCosine(embeddings(s, d))),
     "dedup_clusters"        -> ((s, d) => ext.Dedup.dedupClusters(documents(s, d))),
+    "dedup_incremental"     -> ((s, d) => ext.Dedup.dedupIncremental(documents(s, d))),
     // §2.10 extensions: similarity search
     "sim_search_cosine_topk"-> ((s, d) => ext.Similarity.simSearchCosineTopk(embeddings(s, d))),
     "sim_search_lsh_bucketed" -> ((s, d) => ext.Similarity.simSearchLshBucketed(embeddings(s, d))),
@@ -215,6 +217,10 @@ object SparkEntry {
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_quantiles" ->
       """WITH t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events) SELECT event_type, max(n) AS n, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99 FROM t GROUP BY event_type ORDER BY event_type""",
+    // banded two-phase quantiles are EXACT — same discrete definition,
+    // same oracle SQL as agg_quantiles (only the Spark-side plan differs)
+    "agg_quantiles_banded" ->
+      """WITH t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events) SELECT event_type, max(n) AS n, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99 FROM t GROUP BY event_type ORDER BY event_type""",
     "agg_pivot_type_hour" ->
       s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS click, CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase, CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS view, CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS signup, CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour_s""",
     "agg_cube_type_day" ->
@@ -271,6 +277,8 @@ object SparkEntry {
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2), pairs AS (SELECT da, db FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3), edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM edges), reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_near_minhash" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT::HUGEINT AS u FROM sh), seeds AS (SELECT seed, ((2*seed + 1) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS a, (seed * CAST('14029467366897019727' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS b FROM range(32) r(seed)), minsig AS (SELECT doc_id, seed, min(((u % 4294967296) * a + (((u // 4294967296) * a) % 4294967296) * 4294967296 + b) % CAST('18446744073709551616' AS HUGEINT)) AS mv FROM ex CROSS JOIN seeds GROUP BY doc_id, seed), bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS key FROM minsig GROUP BY doc_id, seed // 4), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), ver AS (SELECT c.doc_a, c.doc_b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id) SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""",
+    "dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT::HUGEINT AS u FROM sh), seeds AS (SELECT seed, ((2*seed + 1) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS a, (seed * CAST('14029467366897019727' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS b FROM range(32) r(seed)), minsig AS (SELECT doc_id, seed, min(((u % 4294967296) * a + (((u // 4294967296) * a) % 4294967296) * 4294967296 + b) % CAST('18446744073709551616' AS HUGEINT)) AS mv FROM ex CROSS JOIN seeds GROUP BY doc_id, seed), bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS key FROM minsig GROUP BY doc_id, seed // 4), cand AS (SELECT DISTINCT n.doc_id AS doc_id, e.doc_id AS store_id FROM bands n JOIN bands e ON n.band = e.band AND n.key = e.key WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0), ver AS (SELECT c.doc_id, c.store_id, CAST(len(list_intersect(sn.s, se.s)) AS DOUBLE) / (len(sn.s) + len(se.s) - len(list_intersect(sn.s, se.s))) AS jaccard FROM cand c JOIN sh sn ON c.doc_id = sn.doc_id JOIN sh se ON c.store_id = se.doc_id), near AS (SELECT doc_id, store_id AS near_dup_of, jaccard FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY store_id) AS rn FROM ver WHERE jaccard >= 0.3) WHERE rn = 1), store AS (SELECT md5(text) AS m, min(doc_id) AS exact_dup_of FROM documents WHERE doc_id % 2 = 0 GROUP BY md5(text)), exact AS (SELECT d.doc_id, s.exact_dup_of FROM documents d LEFT JOIN store s ON md5(d.text) = s.m WHERE d.doc_id % 2 = 1) SELECT e.doc_id, CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup' WHEN n.near_dup_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status, COALESCE(e.exact_dup_of, n.near_dup_of) AS dup_of, CASE WHEN e.exact_dup_of IS NULL THEN n.jaccard END AS jaccard FROM exact e LEFT JOIN near n USING (doc_id) ORDER BY doc_id""",
     "dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents), dig AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(md5(tok), p + 1, 1)) - 1 AS d FROM toks CROSS JOIN range(16) r(p)), bitv AS (SELECT doc_id, p, b, SUM(CASE WHEN (d >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM dig CROSS JOIN range(4) r2(b) GROUP BY doc_id, p, b), sigd AS (SELECT doc_id, p, SUM(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END) AS sd FROM bitv GROUP BY doc_id, p), sig AS (SELECT d.doc_id, coalesce(s.sl, [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]) AS sl FROM documents d LEFT JOIN (SELECT doc_id, list(sd ORDER BY p) AS sl FROM sigd GROUP BY doc_id) s USING (doc_id)) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(list_sum(list_transform(range(1,17), i -> bit_count(xor(CAST(a.sl[i] AS BIGINT), CAST(b.sl[i] AS BIGINT))))) AS BIGINT) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE list_sum(list_transform(range(1,17), i -> bit_count(xor(CAST(a.sl[i] AS BIGINT), CAST(b.sl[i] AS BIGINT))))) <= 6 ORDER BY doc_a, doc_b""",
     "dedup_embedding_cosine" ->

@@ -20,8 +20,13 @@ import org.apache.spark.sql.types._
   * the JVM kernels in graft.ext, and DuckDB's list_dot_product, so it is
   * interchangeable wherever those are oracle-checked.
   *
-  * Null semantics: NULL if either array is NULL (NullIntolerant); array
-  * elements must be non-null (embedding vectors — enforced upstream).
+  * Null semantics: NULL if either array is NULL, and NULL if a null
+  * element is encountered in the scanned region (the common prefix) —
+  * matching `aggregate(zip_with(v, v, ...))`, which nulls the whole sum
+  * on any null element, so the optimizer rewrite in
+  * [[graft.plans.RewriteSelfHofDot]] is exact even for
+  * `containsNull=true` arrays. When both element types are
+  * `containsNull=false` the per-element check is elided from codegen.
   * Arrays of different length dot over the common prefix.
   */
 case class VectorDot(left: Expression, right: Expression)
@@ -39,13 +44,26 @@ case class VectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
 
+  // A null ELEMENT also nulls the result, so nullability must cover the
+  // element types, not just the array columns themselves.
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (elementsNullable && (a.isNullAt(i) || b.isNullAt(i))) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -53,10 +71,17 @@ case class VectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // Only pay the per-element null check when the schema says elements
+      // can be null; containsNull=false keeps the loop branch-free.
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
          |}
        """.stripMargin

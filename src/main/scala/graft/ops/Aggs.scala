@@ -188,6 +188,61 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** The 100 TB EXACT quantile form (VERDICT r3 #4): the exact path in
+    * [[aggQuantiles]] window-sorts each event_type in full, so its
+    * parallelism is bounded by the number of types — few types at 100 TB
+    * means one giant sorted partition each. This banded two-phase form
+    * removes that bound while staying EXACT and bit-identical:
+    *
+    *  1. histogram pass: count rows per (event_type, value-band) — one
+    *     partial/final hash agg; the result is tiny (types × bands).
+    *  2. locate, on the tiny histogram, the band containing global rank
+    *     ceil(q·n) and the rank offset inside it (band = floor(value /
+    *     width) is monotone in value, so global (value, event_id) order =
+    *     band order then in-band order — the per-band split is exact,
+    *     not approximate).
+    *  3. probe pass: broadcast the ≤ types×3 target-band rows back onto
+    *     the events, keeping ONLY rows in a target band (~n/bands of the
+    *     data), and row_number within (type, quantile) finds the value at
+    *     the in-band offset.
+    *
+    * The full per-type sort is replaced by per-band sorts of just the
+    * probed bands, so both passes scale with partitions, not with the
+    * number of types. Same discrete value-at-ceil(q·n) definition as
+    * [[aggQuantiles]] — the oracle is the same SQL. */
+  def aggQuantilesBanded(events: DataFrame, bandWidth: Double = 25.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val banded = events.select(col("event_type"), col("value"), col("event_id"),
+      floor(col("value") / bandWidth).cast("long").as("band"))
+    val hist = banded.groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("band"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val qdf = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).toDF("qname", "q")
+    // the band holding global rank t = ceil(q·n): first band with cum >= t;
+    // the offset inside it is t minus the rows in all earlier bands
+    val targets = cum.crossJoin(broadcast(qdf))
+      .withColumn("t", ceil(col("n") * col("q")).cast("long"))
+      .filter(col("cum") >= col("t") && col("cum") - col("cnt") < col("t"))
+      .select(col("event_type"), col("band"), col("qname"),
+        (col("t") - (col("cum") - col("cnt"))).as("local_rn"), col("n"))
+    val wq = Window.partitionBy(col("event_type"), col("qname"))
+      .orderBy(col("value"), col("event_id"))
+    val picked = banded.join(broadcast(targets), Seq("event_type", "band"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === col("local_rn"))
+    picked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("qname") === "p50", col("value"))).as("p50"),
+        max(when(col("qname") === "p90", col("value"))).as("p90"),
+        max(when(col("qname") === "p99", col("value"))).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-width value histogram — the distribution view behind the
     * reference's plots (graphdata.py's per-metric series). Bucket
     * assignment is pure map-side arithmetic (floor(value/width)), so the

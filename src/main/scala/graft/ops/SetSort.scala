@@ -8,17 +8,26 @@ import graft.Det._
 /** Sort / limit / top-k (SURVEY.md §2.7) and set operations (§2.8). */
 object SetSort {
 
-  /** O1: global sort on time before output (cleandata.py:29). */
+  /** O1: global sort on time before output (cleandata.py:29).
+    *
+    * Sorts on the NATIVE (ts, event_id) int64 keys, rendering the string
+    * form in the projection above: `yyyy-MM-dd HH:mm:ss.SSSSSS` is
+    * fixed-width and lexicographically order-preserving, so the total
+    * order is provably identical to sorting the rendered string — but the
+    * range-sort comparator is an 8-byte long instead of a 26-char string
+    * (the plan you want carrying 100 TB through a range exchange). */
   def sortByTime(events: DataFrame): DataFrame =
-    events.select(col("event_id"), fmtTs(col("ts")).as("ts_s"),
+    events.orderBy(col("ts"), col("event_id"))
+      .select(col("event_id"), fmtTs(col("ts")).as("ts_s"),
         col("user_id"), col("event_type"), col("value"))
-      .orderBy(col("ts_s"), col("event_id"))
 
-  /** O2: single-row probe (fetchone, AIRWISEv0.py:319-320). */
+  /** O2: single-row probe (fetchone, AIRWISEv0.py:319-320). Native-key
+    * order (see [[sortByTime]]); orderBy+limit collapses to
+    * TakeOrderedAndProject, so no global sort materializes. */
   def limitHead(events: DataFrame): DataFrame =
-    events.select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"))
-      .orderBy(col("ts_s"), col("event_id"))
+    events.orderBy(col("ts"), col("event_id"))
       .limit(1)
+      .select(col("event_id"), fmtTs(col("ts")).as("ts_s"), col("user_id"))
 
   /** O3: most-recent-N readings per node (dashboard ext of AIRWISEv0.py:258). */
   def topkRecentPerNode(events: DataFrame): DataFrame = {

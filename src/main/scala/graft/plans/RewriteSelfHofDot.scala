@@ -23,7 +23,10 @@ import graft.functions.VectorDot
   * different arrays zip_with pads the shorter side with NULL — making the
   * whole aggregate NULL — while vector_dot dots the common prefix; the
   * self-dot never pads, so the rewrite is exact there and is not applied
-  * anywhere else.
+  * anywhere else. Null ELEMENTS are also exact: the HOF fold nulls the
+  * whole sum on any null element, and [[VectorDot]] returns NULL on a
+  * null element in the scanned region (for the self-dot, the whole
+  * array), so `containsNull=true` arrays need no extra guard.
   */
 object RewriteSelfHofDot extends Rule[LogicalPlan] {
 

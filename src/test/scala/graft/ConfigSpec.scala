@@ -42,7 +42,8 @@ class ConfigSpec extends SparkSpec {
       org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
       batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty(),
       hasTimedOut = false)
-    Heartbeat.update(cfg.offlineThresholdMs)(1L, Iterator(Packet(1L, 500L)), st).toList
+    Heartbeat.update(cfg.offlineThresholdMs,
+      Heartbeat.retireFor(cfg.offlineThresholdMs))(1L, Iterator(Packet(1L, 500L)), st).toList
     // TestGroupState records the armed duration as an absolute timestamp
     // relative to batchProcessingTimeMs: 1000 + 7s from config
     assert(st.getTimeoutTimestampMs.isPresent)

@@ -130,6 +130,20 @@ class DedupSpec extends SparkSpec {
     assert(multi > 0.2, s"multiprobe recall surprisingly low: $multi")
   }
 
+  test("embedding-cosine block count scales with corpus size (bounded per-task memory)") {
+    // VERDICT r3 #3: nBlocks is derived from a corpus count so each task's
+    // two resident blocks stay <= rowsPerBlock rows at ANY corpus size
+    def perBlock(n: Long, rpb: Long): Double = n.toDouble / Similarity.blocksFor(n, rpb)
+    assert(Similarity.blocksFor(500, 65536) == 8, "small corpora keep the floor of 8")
+    for (n <- Seq(1000000L, 100000000L, 10000000000L))
+      assert(perBlock(n, 65536) <= 65536.0, s"block size unbounded at n=$n")
+    // derived path produces the same pairs as an explicitly pinned nBlocks=8
+    val e = Tables.embeddings(spark, sf)
+    val derived = Similarity.dedupEmbeddingCosine(e).collect()
+    val pinned = Similarity.dedupEmbeddingCosine(e, nBlocks = 8).collect()
+    assert(derived.toSeq == pinned.toSeq, "block count must not change the pair set")
+  }
+
   test("LSH buckets only ever contain same-sign-prefix vectors") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.simSearchLshBucketed(e, 10, 3)

@@ -36,6 +36,7 @@ class JdbcSinkSpec extends SparkSpec {
     // simulate a crashed attempt: rows parked in the stage for epoch 1
     // (loaded but the swap transaction never ran)
     Seq((9L, 99.9)).toDF("node", "temperature").withColumn("epoch", lit(1L))
+      .withColumn("part", lit(0))
       .write.mode("append").jdbc(url, "t_stage_stage", new java.util.Properties)
     // the retry writes DIFFERENT data for epoch 1 — stragglers must be
     // discarded, not merged

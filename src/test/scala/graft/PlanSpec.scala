@@ -99,6 +99,26 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 2, s"expected pivot's two agg shuffles, got $hashEx:\n$plan")
   }
 
+  test("sort_by_time range-sorts on native (ts, event_id), not the rendered string") {
+    val plan = executed(q("sort_by_time"))
+    // the range exchange must compare int64 ts, with date_format applied
+    // ABOVE the sort — a 26-char string comparator in the range partitioner
+    // is the wrong plan to carry to a cluster (VERDICT r3 #2)
+    val range = "rangepartitioning\\(([^)]*)".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(range.exists(keys => keys.contains("ts") && !keys.contains("date_format")),
+      s"expected native sort keys in range exchange:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("Sort"),
+      s"missing sort:\n$plan")
+  }
+
+  test("limit_head is TakeOrderedAndProject on native keys (no global sort)") {
+    val plan = executed(q("limit_head"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit(1) should collapse to TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"limit(1) must not materialize a global range sort:\n$plan")
+  }
+
   test("corpus_prep_pipeline and multiprobe search never go all-pairs") {
     for (name <- Seq("corpus_prep_pipeline", "sim_search_lsh_multiprobe")) {
       val plan = executed(q(name))

@@ -43,6 +43,23 @@ class VectorDotSpec extends SparkSpec {
       bad.getMessage.toLowerCase.contains("cannot resolve"))
   }
 
+  test("null ELEMENT yields NULL — exact vs the HOF fold (ADVICE r3)") {
+    // aggregate(zip_with(v,v,*),0.0,+) is NULL when v has a null element;
+    // vector_dot must agree or the injected rewrite would silently change
+    // user SQL results on containsNull=true arrays.
+    val withNullElem = Seq(
+      (1L, Array(Option(1.0), None, Option(3.0))),
+      (2L, Array(Option(1.0), Option(2.0), Option(3.0)))
+    ).toDF("id", "v").selectExpr("id", "CAST(v AS array<double>) AS v")
+    val out = withNullElem.select(
+      col("id"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)").as("hof"),
+      vector_dot(col("v"), col("v")).as("native"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2), "null element must null both forms")
+    assert(out(1).getDouble(1) == 14.0 && out(1).getDouble(2) == 14.0)
+  }
+
   test("different lengths dot over common prefix (documented semantics)") {
     val uneven = Seq((1L, Array(1.0, 2.0, 3.0), Array(10.0, 10.0)))
       .toDF("id", "a", "b")
