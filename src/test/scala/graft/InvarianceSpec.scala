@@ -45,6 +45,20 @@ class InvarianceSpec extends SparkSpec {
       rows(Joins.joinTimeseriesAlignMulti(events.repartition(13))))
   }
 
+  test("banded quantiles agree with the single-sort exact path at any partitioning") {
+    val exact = rows(Aggs.aggQuantiles(events))
+    assert(rows(Aggs.aggQuantilesBanded(events.coalesce(1))) == exact)
+    assert(rows(Aggs.aggQuantilesBanded(events.repartition(13))) == exact)
+  }
+
+  test("incremental dedup verdicts are partitioning-independent") {
+    Dedup.clearSharedCache(spark) // shingle memo keyed by plan — clear between A/B
+    val a = rows(Dedup.dedupIncremental(docs.coalesce(1)))
+    Dedup.clearSharedCache(spark)
+    val b = rows(Dedup.dedupIncremental(docs.repartition(13)))
+    assert(a == b)
+  }
+
   test("connected-components labels are partitioning-independent") {
     Dedup.clearSharedCache(spark) // memoized labels would defeat the A/B
     val a = rows(Dedup.dedupClusters(docs.coalesce(1)))

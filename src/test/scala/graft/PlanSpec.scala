@@ -119,6 +119,21 @@ class PlanSpec extends SparkSpec {
       s"limit(1) must not materialize a global range sort:\n$plan")
   }
 
+  test("agg_quantiles_banded probes target bands via broadcast, never all-pairs") {
+    val plan = executed(q("agg_quantiles_banded"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in band probe:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the tiny target-band table must broadcast onto the events:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probing must not shuffle the fact side into a join:\n$plan")
+  }
+
+  test("dedup_incremental joins are all equi-joins (store probe, never all-pairs)") {
+    val plan = executed(q("dedup_incremental"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup grew an all-pairs join:\n$plan")
+  }
+
   test("corpus_prep_pipeline and multiprobe search never go all-pairs") {
     for (name <- Seq("corpus_prep_pipeline", "sim_search_lsh_multiprobe")) {
       val plan = executed(q(name))
