@@ -122,6 +122,7 @@ object SparkEntry {
     "text_fingerprint"      -> ((s, d) => ext.Text.textFingerprint(documents(s, d))),
     "text_pii_scrub"        -> ((s, d) => ext.Text.textPiiScrub(documents(s, d))),
     "text_token_positions"  -> ((s, d) => ext.Text.textTokenPositions(documents(s, d))),
+    "text_chunk_windows"    -> ((s, d) => ext.Text.textChunkWindows(documents(s, d))),
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
@@ -134,6 +135,7 @@ object SparkEntry {
     "clean_pipeline"        -> ((s, d) => batch.Clean.cleanPipeline(events(s, d))),
     // composite flagship of the LLM-pipeline family (r2)
     "corpus_prep_pipeline"  -> ((s, d) => ext.CorpusPrep.corpusPrepPipeline(documents(s, d))),
+    "corpus_pack_sequences" -> ((s, d) => ext.CorpusPrep.corpusPackSequences(documents(s, d))),
   )
 
   // DuckDB spellings of the Det helpers (see Det.scala):
@@ -227,6 +229,13 @@ object SparkEntry {
       s"""SELECT CAST(GROUPING(event_type) AS INT) AS g_type, CAST(GROUPING(day) AS INT) AS g_day, event_type, day, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value FROM (SELECT event_type, strftime(date_trunc('day', ts), $TS0) AS day, value FROM events) GROUP BY CUBE(event_type, day) ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST""",
     "text_token_positions" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents) SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i+1 AS INT)] AS token FROM (SELECT doc_id, t, unnest(range(least(5, len(t)))) AS i FROM toks) ORDER BY doc_id, pos""",
+    "text_chunk_windows" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), c AS (SELECT doc_id, t, unnest(range(((len(t)-1)//32)+1)) AS i FROM toks WHERE len(t) > 0) SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, CAST(i*32 AS BIGINT) AS start_tok, CAST(len(t[(i*32+1):(i*32+64)]) AS BIGINT) AS chunk_tokens, md5(array_to_string(t[(i*32+1):(i*32+64)], ' ')) AS chunk_md5 FROM c ORDER BY doc_id, chunk_id""",
+    // the oracle spells the pack offset as the naive all-rows running sum;
+    // the Spark side computes the same prefix sum with the two-phase
+    // distributed scan (per-range totals + tiny base cumsum + local window)
+    "corpus_pack_sequences" ->
+      """WITH s AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents), c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start_off FROM s) SELECT CAST(start_off // 512 AS BIGINT) AS bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM c GROUP BY 1 ORDER BY bin""",
     "agg_quantiles_sampled" ->
       """WITH s AS (SELECT event_type, event_id, value FROM events WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 < 0.1), t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM s) SELECT event_type, max(n) AS n_sample, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50_est, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_est, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99_est FROM t GROUP BY event_type ORDER BY event_type""",
     "agg_value_histogram" ->

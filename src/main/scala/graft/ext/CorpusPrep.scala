@@ -52,4 +52,43 @@ object CorpusPrep {
         .otherwise("test").as("split"))
       .orderBy("doc_id")
   }
+
+  /** Sequence packing — the step between chunking and the training loader:
+    * concatenate documents in doc_id order and cut the stream at
+    * `budget`-token boundaries; each doc is assigned to the pack (bin)
+    * where it STARTS. The global running token offset is a prefix sum,
+    * computed distributed in two phases instead of one all-rows window:
+    *
+    *  1. per-range totals: docs group into coarse `rangeSize`-wide doc_id
+    *     ranges, one hash agg → a tiny (n_docs/rangeSize)-row frame;
+    *  2. range base offsets: exclusive cumsum over that tiny frame (the
+    *     only single-partition window, over ~1/rangeSize of the rows);
+    *  3. local cumsum per range (window partitioned by range — scales
+    *     with partitions) + broadcast base = the exact global offset.
+    *
+    * This is the textbook distributed scan: the naive
+    * `sum() OVER (ORDER BY doc_id)` — which IS the oracle's spelling —
+    * would funnel 100 TB through one sorted partition. Output: per pack,
+    * doc count / token total / doc_id span. */
+  def corpusPackSequences(documents: DataFrame, budget: Int = 512,
+                          rangeSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = documents
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("rng", floor(col("doc_id") / rangeSize))
+    val rangeTotals = sized.groupBy(col("rng")).agg(sum(col("n")).as("rn"))
+    val base = rangeTotals
+      .withColumn("base", coalesce(
+        sum(col("rn")).over(Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng"), col("base"))
+    val w = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+    sized.join(broadcast(base), "rng")
+      .withColumn("start_off", col("base") + sum(col("n")).over(w) - col("n"))
+      .withColumn("bin", floor(col("start_off") / budget))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+  }
 }

@@ -102,6 +102,31 @@ object Text {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
       .orderBy("doc_id", "pos")
 
+  /** Training-window chunking — the op that turns cleaned documents into
+    * model-ready sequences: fixed `chunkSize`-token windows every `stride`
+    * tokens (overlapping when stride < chunkSize), each chunk carried as
+    * (position, length, md5-of-joined-tokens) so the full chunk bytes are
+    * hash-gated without shipping them. The generator child is a cheap int
+    * `sequence` (the re-evaluation cliff bites expensive generator
+    * children, not pass-through columns), and the whole op is one
+    * map-side Generate — zero shuffles before the output sort, linear fan
+    * -out ~n_tokens/stride per doc. */
+  def textChunkWindows(documents: DataFrame, chunkSize: Int = 64, stride: Int = 32): DataFrame = {
+    val chunk = slice(col("t"), col("i") * stride + 1, lit(chunkSize))
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), floor((size(col("t")) - 1) / stride).cast("int"))).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("chunk_id"),
+        (col("i") * stride).cast("long").as("start_tok"),
+        size(chunk).cast("long").as("chunk_tokens"),
+        md5(array_join(chunk, " ").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** PII patterns shared by the scrubber and its spec. Plain character
     * classes + bounded quantifiers only — identical semantics in Java
     * regex (Spark) and RE2 (DuckDB), no alternation-order pitfalls. */

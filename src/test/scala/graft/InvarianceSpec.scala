@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Sampling}
+import graft.ext.{CorpusPrep, Dedup, Sampling, Text}
 import graft.ops.{Aggs, Joins}
 
 /** Partitioning-invariance proofs: the determinism contract says every
@@ -57,6 +57,26 @@ class InvarianceSpec extends SparkSpec {
     Dedup.clearSharedCache(spark)
     val b = rows(Dedup.dedupIncremental(docs.repartition(13)))
     assert(a == b)
+  }
+
+  test("two-phase pack prefix sum equals the naive global window, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val naive = docs
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("start_off",
+        sum(col("n")).over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"))
+      .withColumn("bin", floor(col("start_off") / 512))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+    val expected = rows(naive)
+    assert(rows(CorpusPrep.corpusPackSequences(docs)) == expected)
+    // small rangeSize forces many ranges; skewed partitioning must not matter
+    assert(rows(CorpusPrep.corpusPackSequences(
+      docs.repartition(13), budget = 512, rangeSize = 64)) == expected)
   }
 
   test("connected-components labels are partitioning-independent") {

@@ -72,6 +72,18 @@ class TextSpec extends SparkSpec {
     assert(counted.getAs[Long]("n_ips") == 2L)
   }
 
+  test("chunk windows tile documents with stride overlap and clamp the tail") {
+    // 70 tokens, chunkSize 64, stride 32 -> starts at 0, 32, 64
+    val text = (1 to 70).map(i => s"w$i").mkString(" ")
+    val out = Text.textChunkWindows(docsOf((1L, text, "en", "s", text.length.toLong)))
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start_tok"),
+      r.getAs[Long]("chunk_tokens"))).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 32L, 38L), (2L, 64L, 6L)))
+    // empty document produces no chunks
+    assert(Text.textChunkWindows(docsOf((2L, "!!!", "en", "s", 3L))).count() == 0)
+  }
+
   test("tokenize stats counts term and document frequencies") {
     val df = docsOf(
       (1L, "spark spark flink", "en", "s", 17L),
