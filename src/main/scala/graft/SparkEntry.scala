@@ -81,6 +81,7 @@ object SparkEntry {
     "agg_quantiles_sampled" -> ((s, d) => Aggs.aggQuantilesSampled(events(s, d))),
     "agg_quantiles_banded"  -> ((s, d) => Aggs.aggQuantilesBanded(events(s, d))),
     "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
+    "agg_mode_per_key"      -> ((s, d) => Aggs.aggModePerKey(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
     "agg_partial_final"     -> ((s, d) => Aggs.aggPartialFinal(events(s, d))),
@@ -128,9 +129,11 @@ object SparkEntry {
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
     // §2.10 extensions: sessions + multimodal plumbing
     "events_sessionize"     -> ((s, d) => ext.Sessions.eventsSessionize(events(s, d))),
+    "events_funnel_stages"  -> ((s, d) => ext.Sessions.eventsFunnelStages(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
+    "multimodal_blockhash"  -> ((s, d) => ext.Multimodal.multimodalBlockhash(documents(s, d))),
     // §3.3 composite: the cleandata.py parity chain end-to-end
     "clean_pipeline"        -> ((s, d) => batch.Clean.cleanPipeline(events(s, d))),
     // composite flagship of the LLM-pipeline family (r2)
@@ -238,6 +241,12 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents), c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start_off FROM s) SELECT CAST(start_off // 512 AS BIGINT) AS bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM c GROUP BY 1 ORDER BY bin""",
     "agg_quantiles_sampled" ->
       """WITH s AS (SELECT event_type, event_id, value FROM events WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 < 0.1), t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM s) SELECT event_type, max(n) AS n_sample, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50_est, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_est, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99_est FROM t GROUP BY event_type ORDER BY event_type""",
+    "agg_mode_per_key" ->
+      "SELECT user_id, top_type, n FROM (SELECT user_id, event_type AS top_type, count(*) AS n, row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn FROM events GROUP BY user_id, event_type) WHERE rn = 1 ORDER BY user_id",
+    "events_funnel_stages" ->
+      s"""WITH w1 AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type = 'click' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM w2), u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3 FROM w3 GROUP BY user_id) SELECT user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage, strftime(t1, $TS6) AS t1_s, strftime(t2, $TS6) AS t2_s, strftime(t3, $TS6) AS t3_s FROM u ORDER BY user_id""",
+    "multimodal_blockhash" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), bs AS (SELECT doc_id, i % 16 AS blk, sum(byte) AS s FROM b GROUP BY 1, 2), tot AS (SELECT doc_id, sum(s) AS total FROM bs GROUP BY 1), sig0 AS (SELECT bs.doc_id, sum(CASE WHEN bs.s * 16 > tot.total THEN (1 << CAST(blk AS INT)) ELSE 0 END) AS bh FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY bs.doc_id), sig AS (SELECT d.doc_id, coalesce(s0.bh, 0) AS bh FROM documents d LEFT JOIN sig0 s0 USING (doc_id)) SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(bit_count(xor(CAST(a.bh AS BIGINT), CAST(b2.bh AS BIGINT))) AS BIGINT) AS hamming FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id WHERE bit_count(xor(CAST(a.bh AS BIGINT), CAST(b2.bh AS BIGINT))) <= 2 ORDER BY doc_a, doc_b""",
     "agg_value_histogram" ->
       "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, CAST(floor(value / 25.0) AS BIGINT)::DOUBLE * 25.0 AS bucket_lo, count(*) AS n, min(value) AS lo_seen, max(value) AS hi_seen FROM events GROUP BY 1 ORDER BY bucket",
     "join_range_tier" ->

@@ -135,6 +135,52 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Perceptual-hash-style near-dup detection for media payloads — the
+    * image-dedup analogue of [[graft.ext.Dedup.dedupSimhash]] for text: a
+    * 16-bit blockhash signature (bit b set iff the byte-sum of slot-b
+    * bytes, i % 16 == b, exceeds the per-block mean — the integer compare
+    * `sum·16 > total`, exact in any engine), candidates via 3-chunk
+    * pigeonhole (hamming ≤ 2 guarantees an equal 6/5/5-bit chunk, so the
+    * pair search is an equi-join, never all-pairs), verified with
+    * bit_count(xor). A real pHash/dHash swaps in for the byte kernel; the
+    * signature→band→verify flow — the part that must scale — is
+    * unchanged. DuckDB recomputes identical signatures from
+    * hex(encode(text)), so the whole pipeline is a hash-match gate. */
+  def multimodalBlockhash(documents: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sig = asMedia(documents).map { r =>
+      val s = new Array[Long](16)
+      var i = 0
+      while (i < r.content.length) { s(i % 16) += (r.content(i) & 0xFFL); i += 1 }
+      var total = 0L
+      s.foreach(total += _)
+      var h = 0
+      var b = 0
+      while (b < 16) { if (s(b) * 16 > total) h |= (1 << b); b += 1 }
+      (r.doc_id, h)
+    }.toDF("doc_id", "bh")
+    val chunks = sig.select(col("doc_id"), col("bh"),
+      explode(array(
+        struct(lit(0).as("chunk"), col("bh").bitwiseAND(63).as("key")),
+        struct(lit(1).as("chunk"), shiftright(col("bh"), 6).bitwiseAND(31).as("key")),
+        struct(lit(2).as("chunk"), shiftright(col("bh"), 11).bitwiseAND(31).as("key"))
+      )).as("ck"))
+      .select(col("doc_id"), col("bh"), col("ck.chunk"), col("ck.key"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bh").as("ha"), col("b.bh").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb")).cast("long")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Declared query exercising the full mapPartitions decode path. The
     * fake decoder is pure integer/byte arithmetic, so the DuckDB oracle
     * recomputes checksum and features byte-for-byte from hex(encode(text))

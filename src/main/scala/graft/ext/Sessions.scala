@@ -34,4 +34,31 @@ object Sessions {
         col("n_events"))
       .orderBy("user_id", "session_num")
   }
+
+  /** Ordered funnel analysis — click → view → purchase, each stage only
+    * counting events strictly AFTER the previous stage's first hit (the
+    * user-journey query every product-analytics engine ships). The nested
+    * stage dependency needs NO self-join: three stacked whole-partition
+    * window minima over the SAME user_id partitioning (t2's condition
+    * reads t1 computed one select earlier), so the plan is ONE shuffle on
+    * user_id + window passes + the final per-user aggregate — where the
+    * textbook formulation is a 3-way self-join. Scales as a single hash
+    * repartition regardless of funnel depth. */
+  def eventsFunnelStages(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = events
+      .withColumn("t1", min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
+        fmtTs(col("t1")).as("t1_s"), fmtTs(col("t2")).as("t2_s"),
+        fmtTs(col("t3")).as("t3_s"))
+      .orderBy("user_id")
+  }
 }

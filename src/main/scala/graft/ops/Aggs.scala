@@ -243,6 +243,24 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** Mode per key — each node's most frequent event class (the dominant-
+    * traffic-type view of A3), deterministic ties by lexicographic type.
+    * Two-stage: (user, type) counts (partial-aggregated) then a top-1
+    * window on the user key — both shuffles on user_id, no self-join.
+    * DuckDB's mode() breaks ties engine-specifically, so the oracle
+    * spells the same count+row_number form. */
+  def aggModePerKey(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"), col("n"))
+      .orderBy("user_id")
+  }
+
   /** Fixed-width value histogram — the distribution view behind the
     * reference's plots (graphdata.py's per-metric series). Bucket
     * assignment is pure map-side arithmetic (floor(value/width)), so the

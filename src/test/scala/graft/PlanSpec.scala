@@ -134,6 +134,20 @@ class PlanSpec extends SparkSpec {
       s"incremental dedup grew an all-pairs join:\n$plan")
   }
 
+  test("events_funnel_stages is one user-key shuffle: stacked windows, no self-join") {
+    val plan = executed(q("events_funnel_stages"))
+    assert(!plan.contains("Join"),
+      s"funnel must be stacked windows over one partitioning, not a self-join:\n$plan")
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected exactly one user_id shuffle, got $hashEx:\n$plan")
+  }
+
+  test("multimodal_blockhash candidates come from the chunk equi-join, never all-pairs") {
+    val plan = executed(q("multimodal_blockhash"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blockhash grew an all-pairs join:\n$plan")
+  }
+
   test("corpus_prep_pipeline and multiprobe search never go all-pairs") {
     for (name <- Seq("corpus_prep_pipeline", "sim_search_lsh_multiprobe")) {
       val plan = executed(q(name))
