@@ -64,6 +64,12 @@ object SparkEntry {
     "join_asof_nearest"     -> ((s, d) => Joins.joinAsofNearest(events(s, d))),
     "join_range_tier"       -> ((s, d) => Joins.joinRangeTier(events(s, d))),
     "join_interval_bucket"  -> ((s, d) => Joins.joinIntervalBucket(events(s, d))),
+    // salted form of J1: bit-identical output, skew spread over (key, salt)
+    "join_salted_skew"      -> ((s, d) =>
+      ops.Skew.saltedJoin(lineitem(s, d),
+          supplier(s, d).select(col("s_suppkey").as("l_suppkey"), col("s_name")), "l_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("s_name"))
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey")),
     "join_semi_active_nodes"  -> ((s, d) => Joins.joinSemiActiveNodes(customer(s, d), orders(s, d))),
     "join_anti_unknown_nodes" -> ((s, d) => Joins.joinAntiUnknownNodes(customer(s, d), orders(s, d))),
     // §2.5 aggregations
@@ -82,6 +88,7 @@ object SparkEntry {
     "agg_quantiles_banded"  -> ((s, d) => Aggs.aggQuantilesBanded(events(s, d))),
     "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
     "agg_mode_per_key"      -> ((s, d) => Aggs.aggModePerKey(events(s, d))),
+    "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
     "agg_partial_final"     -> ((s, d) => Aggs.aggPartialFinal(events(s, d))),
@@ -124,12 +131,14 @@ object SparkEntry {
     "text_pii_scrub"        -> ((s, d) => ext.Text.textPiiScrub(documents(s, d))),
     "text_token_positions"  -> ((s, d) => ext.Text.textTokenPositions(documents(s, d))),
     "text_chunk_windows"    -> ((s, d) => ext.Text.textChunkWindows(documents(s, d))),
+    "text_ngram_counts"     -> ((s, d) => ext.Text.textNgramCounts(documents(s, d))),
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
     // §2.10 extensions: sessions + multimodal plumbing
     "events_sessionize"     -> ((s, d) => ext.Sessions.eventsSessionize(events(s, d))),
     "events_funnel_stages"  -> ((s, d) => ext.Sessions.eventsFunnelStages(events(s, d))),
+    "events_retention_cohort" -> ((s, d) => ext.Sessions.eventsRetentionCohort(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
@@ -241,6 +250,17 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents), c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start_off FROM s) SELECT CAST(start_off // 512 AS BIGINT) AS bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM c GROUP BY 1 ORDER BY bin""",
     "agg_quantiles_sampled" ->
       """WITH s AS (SELECT event_type, event_id, value FROM events WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 < 0.1), t AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM s) SELECT event_type, max(n) AS n_sample, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50_est, max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_est, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99_est FROM t GROUP BY event_type ORDER BY event_type""",
+    // salted join is bit-identical to the plain left join — same oracle as J1
+    "join_salted_skew" ->
+      "SELECT l_orderkey, l_linenumber, l_suppkey, s_name FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey ORDER BY l_orderkey, l_linenumber, l_suppkey",
+    // closed-form Pearson from exact integer power sums (both engines'
+    // built-in corr() is an order-dependent double accumulation)
+    "stat_corr_hourly" ->
+      "WITH h AS (SELECT date_trunc('hour', ts) AS hour, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y FROM events GROUP BY 1), s AS (SELECT count(*) AS n_hours, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, CAST(sum(CAST(x*y AS HUGEINT)) AS DOUBLE) AS sxy, CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS sxx, CAST(sum(CAST(y*y AS HUGEINT)) AS DOUBLE) AS syy FROM h) SELECT n_hours, (n_hours * sxy - sx * sy) / (sqrt(n_hours * sxx - sx * sx) * sqrt(n_hours * syy - sy * sy)) AS corr_xy FROM s",
+    "events_retention_cohort" ->
+      s"""WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY 1), d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events) SELECT strftime(f.cohort_day, $TS0) AS cohort_day_s, CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset, count(DISTINCT d.user_id) AS n_users FROM d JOIN f USING (user_id) GROUP BY f.cohort_day, date_diff('day', f.cohort_day, d.day) ORDER BY cohort_day_s, day_offset""",
+    "text_ngram_counts" ->
+      """WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), bg AS (SELECT t[CAST(i+1 AS INT)] AS w1, t[CAST(i+2 AS INT)] AS w2 FROM (SELECT t, unnest(range(len(t)-1)) AS i FROM toks WHERE len(t) >= 2)), c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2), tot AS (SELECT w1, w2, n, sum(n) OVER (PARTITION BY w1) AS w1_total FROM c) SELECT w1, w2, n, CAST(n AS DOUBLE) / CAST(w1_total AS DOUBLE) AS cond_p FROM tot ORDER BY n DESC, w1, w2 LIMIT 100""",
     "agg_mode_per_key" ->
       "SELECT user_id, top_type, n FROM (SELECT user_id, event_type AS top_type, count(*) AS n, row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn FROM events GROUP BY user_id, event_type) WHERE rn = 1 ORDER BY user_id",
     "events_funnel_stages" ->

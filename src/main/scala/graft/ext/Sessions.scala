@@ -35,6 +35,26 @@ object Sessions {
       .orderBy("user_id", "session_num")
   }
 
+  /** Cohort retention — the "day-N retention" matrix every growth
+    * dashboard renders: users cohorted by their FIRST active day, then
+    * distinct-counted per (cohort day, day offset). Two hash aggs + one
+    * equi-join on user_id (no hint: the cohort dim is per-user and
+    * unbounded, AQE decides the strategy — same call as
+    * join_latest_dim). */
+  def eventsRetentionCohort(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(fmtTsSec(col("cohort_day")).as("cohort_day_s"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day_s", "day_offset")
+  }
+
   /** Ordered funnel analysis — click → view → purchase, each stage only
     * counting events strictly AFTER the previous stage's first hit (the
     * user-journey query every product-analytics engine ships). The nested

@@ -127,6 +127,32 @@ object Text {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Bigram language-model counts — the n-gram statistics table LM-data
+    * work keeps next to the corpus: top-N (w1, w2) pairs with their count
+    * and the conditional probability P(w2 | w1) = n(w1,w2) / n(w1,·).
+    * The pair fan-out is a cheap int-sequence Generate (as
+    * [[textChunkWindows]]); the w1 marginal rides a window over the
+    * already-aggregated bigram table (no second pass over the corpus);
+    * cond_p is one long/long double division — exactly rounded, so the
+    * whole table hash-matches cross-engine. */
+  def textNgramCounts(documents: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("t"),
+        explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+      .select(element_at(col("t"), col("i") + 1).as("w1"),
+        element_at(col("t"), col("i") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("w1_total", sum(col("n")).over(Window.partitionBy(col("w1"))))
+      .select(col("w1"), col("w2"), col("n"),
+        (col("n").cast("double") / col("w1_total").cast("double")).as("cond_p"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** PII patterns shared by the scrubber and its spec. Plain character
     * classes + bounded quantifiers only — identical semantics in Java
     * regex (Spark) and RE2 (DuckDB), no alternation-order pitfalls. */

@@ -243,6 +243,36 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** Pearson correlation between two per-hour series — click vs purchase
+    * event counts per hour (does engagement traffic co-move with
+    * transactions?). Both engines' built-in `corr` accumulates doubles in
+    * visit order (order-dependent, engine-specific), so this computes the
+    * textbook closed form from INTEGER power sums instead: counts are
+    * exact longs, Σx/Σy/Σxy/Σx²/Σy² are exact DECIMAL(38,0) sums, and the
+    * final formula is a fixed-order chain of correctly-rounded double ops
+    * (×, −, √, ÷) — bit-identical on any engine and any partitioning,
+    * which makes even a statistics aggregate hash-match oracle-able.
+    * Plan: one (hour) hash agg + one 1-row final — two shuffles, tiny. */
+  def statCorrHourlyCounts(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sums = hourly.agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+    sums.select(col("n_hours"),
+      ((col("n_hours") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n_hours") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n_hours") * col("syy") - col("sy") * col("sy")))).as("corr_xy"))
+  }
+
   /** Mode per key — each node's most frequent event class (the dominant-
     * traffic-type view of A3), deterministic ties by lexicographic type.
     * Two-stage: (user, type) counts (partial-aggregated) then a top-1
