@@ -135,6 +135,7 @@ object SparkEntry {
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
+    "sample_upweight"       -> ((s, d) => ext.Sampling.sampleUpweight(documents(s, d))),
     // §2.10 extensions: sessions + multimodal plumbing
     "events_sessionize"     -> ((s, d) => ext.Sessions.eventsSessionize(events(s, d))),
     "events_funnel_stages"  -> ((s, d) => ext.Sessions.eventsFunnelStages(events(s, d))),
@@ -345,6 +346,8 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS synth FROM documents) SELECT doc_id, CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(synth, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones, CAST(len(regexp_extract_all(synth, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips, md5(regexp_replace(regexp_replace(regexp_replace(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5 FROM s ORDER BY doc_id""",
     "sample_hash_split" ->
       """SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 90 THEN 'train' WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id""",
+    "sample_upweight" ->
+      """WITH s AS (SELECT doc_id, (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(n_chars, 1))) AS q FROM documents), e AS (SELECT doc_id, CASE WHEN q >= 2.5 THEN 2 WHEN q >= 1.5 THEN 1 ELSE 0 END AS epochs FROM s) SELECT doc_id, CAST(epochs AS BIGINT) AS epochs, CAST(unnest(range(1, epochs + 1)) AS BIGINT) AS copy_id FROM e WHERE epochs > 0 ORDER BY doc_id, copy_id""",
     "sample_per_group" ->
       """SELECT lang, rn, doc_id, source FROM (SELECT lang, doc_id, source, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) WHERE rn <= 50 ORDER BY lang, rn""",
     "events_sessionize" ->

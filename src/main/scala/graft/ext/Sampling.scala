@@ -38,6 +38,32 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted upsampling — the "epochs per document" step of
+    * curriculum/quality-weighted training mixes: high-quality docs are
+    * repeated (2 epochs at quality ≥ 2.5, 1 otherwise, 0 = dropped below
+    * 1.5), emitted as explicit (doc_id, copy_id) rows the training loader
+    * consumes. The fan-out is an int-sequence Generate (map-side, no
+    * shuffle before the output sort); weights are derived from the same
+    * deterministic quality terms as `text_quality_score`, so the whole
+    * expansion is hash-match oracled. */
+  def sampleUpweight(documents: DataFrame): DataFrame = {
+    val nTok = size(Text.tokens(col("text")))
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
+    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+    val quality =
+      when(nTok >= 20, 1.0).otherwise(0.0) +
+        when(nStop > 0, 1.0).otherwise(0.0) +
+        (lit(1.0) - nDigit.cast("double") / greatest(col("n_chars"), lit(1)))
+    documents
+      .withColumn("epochs",
+        when(quality >= 2.5, 2L).when(quality >= 1.5, 1L).otherwise(0L))
+      .filter(col("epochs") > 0)
+      .select(col("doc_id"), col("epochs"),
+        explode(sequence(lit(1L), col("epochs"))).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+
   /** Stratified quota sample: at most k docs per group (lang), lowest
     * doc_id first — deterministic per-stratum downsampling (class
     * balancing). One shuffle on the group key. */
