@@ -79,6 +79,26 @@ class InvarianceSpec extends SparkSpec {
       docs.repartition(13), budget = 512, rangeSize = 64)) == expected)
   }
 
+  test("funnel, mode, correlation and retention are partitioning-independent") {
+    import graft.ext.Sessions
+    assert(rows(Sessions.eventsFunnelStages(events.coalesce(1))) ==
+      rows(Sessions.eventsFunnelStages(events.repartition(13))))
+    assert(rows(Aggs.aggModePerKey(events.coalesce(1))) ==
+      rows(Aggs.aggModePerKey(events.repartition(13))))
+    assert(rows(Aggs.statCorrHourlyCounts(events.coalesce(1))) ==
+      rows(Aggs.statCorrHourlyCounts(events.repartition(13))))
+    assert(rows(Sessions.eventsRetentionCohort(events.coalesce(1))) ==
+      rows(Sessions.eventsRetentionCohort(events.repartition(13))))
+  }
+
+  test("blockhash pairs and ngram counts are partitioning-independent") {
+    import graft.ext.{Multimodal, Text => T}
+    assert(rows(Multimodal.multimodalBlockhash(docs.coalesce(1))) ==
+      rows(Multimodal.multimodalBlockhash(docs.repartition(13))))
+    assert(rows(T.textNgramCounts(docs.coalesce(1))) ==
+      rows(T.textNgramCounts(docs.repartition(13))))
+  }
+
   test("connected-components labels are partitioning-independent") {
     Dedup.clearSharedCache(spark) // memoized labels would defeat the A/B
     val a = rows(Dedup.dedupClusters(docs.coalesce(1)))
