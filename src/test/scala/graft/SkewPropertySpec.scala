@@ -45,6 +45,31 @@ class SkewPropertySpec extends SparkSpec {
     assert(res.passed, s"saltedGroupSum diverged from plain groupBy: $res")
   }
 
+  test("property: banded quantiles equal the single-sort exact path on arbitrary data") {
+    // negative values, duplicate values, single-row types, band-boundary
+    // values (exact multiples of the width) — the cases the fixture's
+    // benign distribution never exercises
+    val eventRows: Gen[List[(Long, String, Double)]] = for {
+      nTypes <- Gen.chooseNum(1, 3)
+      n <- Gen.chooseNum(1, 80)
+      rs <- Gen.listOfN(n, for {
+        t <- Gen.chooseNum(0, nTypes - 1).map(i => s"t$i")
+        v <- Gen.oneOf(
+          Gen.chooseNum(-500.0, 500.0).map(x => math.rint(x * 4) / 4),
+          Gen.chooseNum(-20, 20).map(_ * 25.0)) // exactly on band edges
+      } yield (t, v))
+    } yield rs.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+    val prop = forAll(eventRows) { rs =>
+      val df = rs.toDF("event_id", "event_type", "value")
+      def render(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(_.toString).toSeq
+      render(graft.ops.Aggs.aggQuantilesBanded(df)) ==
+        render(graft.ops.Aggs.aggQuantiles(df))
+    }
+    val res = SCTest.check(checkParams, prop)
+    assert(res.passed, s"banded quantiles diverged from the exact path: $res")
+  }
+
   test("property: saltedJoin equals plain left join on arbitrary distributions") {
     val inputs = for {
       n <- Gen.chooseNum(0, 40)
