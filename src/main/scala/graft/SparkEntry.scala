@@ -34,6 +34,7 @@ object SparkEntry {
     // §2.1 scans
     "scan_parquet"      -> ((s, d) => Scans.scanParquet(lineitem(s, d))),
     "scan_csv_typed"    -> ((s, d) => Scalars.scanCsvTyped(events(s, d))),
+    "scan_jsonl_typed"  -> ((s, d) => Scalars.scanJsonlTyped(events(s, d))),
     // §2.2 scalar expressions
     "project_columns"       -> ((s, d) => Scalars.projectColumns(customer(s, d))),
     "unit_convert_f_to_c"   -> ((s, d) => Scalars.unitConvertFtoC(events(s, d))),
@@ -163,6 +164,9 @@ object SparkEntry {
     "scan_parquet" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, strftime(l_shipdate, $TS0) AS ship_ts FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, ship_ts""",
     "scan_csv_typed" ->
+      "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id",
+    // typed JSON round-trip is value-exact -> same plain-projection oracle
+    "scan_jsonl_typed" ->
       "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id",
     "project_columns" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",

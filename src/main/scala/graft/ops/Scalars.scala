@@ -29,6 +29,24 @@ object Scalars {
       .orderBy("event_id")
   }
 
+  /** S2b: typed JSON-line parse — from_json with an explicit schema over a
+    * constructed JSON payload (the v0 daemon's whole-message json.loads,
+    * AIRWISEv0.py:105-153, as a TYPED parse rather than the per-field
+    * extraction of json_extract_fields). Round-trip exact: to_json renders
+    * doubles in shortest round-trip form, so the parsed values are
+    * bit-identical to the source columns and the oracle is a plain
+    * projection. */
+  def scanJsonlTyped(events: DataFrame): DataFrame = {
+    val schema = "user_id BIGINT, event_type STRING, value DOUBLE"
+    events
+      .select(col("event_id"),
+        to_json(struct(col("user_id"), col("event_type"), col("value"))).as("line"))
+      .select(col("event_id"),
+        from_json(col("line"), StructType.fromDDL(schema)).as("r"))
+      .select(col("event_id"), col("r.user_id"), col("r.event_type"), col("r.value"))
+      .orderBy("event_id")
+  }
+
   /** F1: explicit column-subset projection (cleandata.py:32-42). */
   def projectColumns(customer: DataFrame): DataFrame =
     customer.select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
