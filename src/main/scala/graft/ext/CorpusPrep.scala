@@ -21,17 +21,9 @@ object CorpusPrep {
     * assignment. Output: one row per retained training document. */
   def corpusPrepPipeline(documents: DataFrame, trainPct: Int = 90,
                          valPct: Int = 5): DataFrame = {
-    val nTok = size(Text.tokens(col("text")))
-    val nStop = size(regexp_extract_all(lower(col("text")),
-      lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
-    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
-    val quality =
-      when(nTok >= 20, 1.0).otherwise(0.0) +
-        when(nStop > 0, 1.0).otherwise(0.0) +
-        (lit(1.0) - nDigit.cast("double") / greatest(col("n_chars"), lit(1)))
     val gated = documents
-      .withColumn("n_tokens", nTok.cast("long"))
-      .withColumn("quality_score", quality)
+      .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("quality_score", Text.qualityScore)
       .filter(col("quality_score") >= 2.0)
     // exact dedup: canonical = lowest doc_id per identical text. A window
     // over the fingerprint would buffer a pathological duplicate group in

@@ -47,14 +47,7 @@ object Sampling {
     * deterministic quality terms as `text_quality_score`, so the whole
     * expansion is hash-match oracled. */
   def sampleUpweight(documents: DataFrame): DataFrame = {
-    val nTok = size(Text.tokens(col("text")))
-    val nStop = size(regexp_extract_all(lower(col("text")),
-      lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
-    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
-    val quality =
-      when(nTok >= 20, 1.0).otherwise(0.0) +
-        when(nStop > 0, 1.0).otherwise(0.0) +
-        (lit(1.0) - nDigit.cast("double") / greatest(col("n_chars"), lit(1)))
+    val quality = Text.qualityScore
     documents
       .withColumn("epochs",
         when(quality >= 2.5, 2L).when(quality >= 1.5, 1L).otherwise(0L))

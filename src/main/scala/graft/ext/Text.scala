@@ -16,6 +16,23 @@ object Text {
   /** Word tokens, lowercased. Same regex semantics in Java regex and RE2. */
   def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
+  /** The shared quality heuristic (≥20 tokens, has stopwords, low digit
+    * ratio — each worth one point), over a `text` column with an
+    * `n_chars` column in scope. ONE definition consumed by
+    * [[textQualityScore]], [[graft.ext.CorpusPrep.corpusPrepPipeline]]
+    * and [[graft.ext.Sampling.sampleUpweight]], so the three operators
+    * can never drift apart (they are oracle-checked against the same
+    * SQL spelling). */
+  def qualityScore: Column = {
+    val nTok = size(tokens(col("text")))
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
+    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+    when(nTok >= 20, 1.0).otherwise(0.0) +
+      when(nStop > 0, 1.0).otherwise(0.0) +
+      (lit(1.0) - nDigit.cast("double") / greatest(col("n_chars"), lit(1)))
+  }
+
   /** X4: tokenize + term stats: top-100 tokens by frequency. */
   def textTokenizeStats(documents: DataFrame): DataFrame =
     documents
@@ -54,8 +71,7 @@ object Text {
   /** Quality scoring: length/token/stopword/digit ratios combined into one
     * score (the classic pretraining-data heuristic filter). */
   def textQualityScore(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks)
+    val nTok = size(tokens(col("text")))
     val nStop = size(regexp_extract_all(lower(col("text")),
       lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
     val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
@@ -65,10 +81,7 @@ object Text {
       (col("n_chars").cast("double") / greatest(nTok, lit(1))).as("avg_token_len"),
       (nStop.cast("double") / greatest(nTok, lit(1))).as("stopword_ratio"),
       (nDigit.cast("double") / greatest(col("n_chars"), lit(1))).as("digit_ratio"),
-      (when(nTok >= 20, 1.0).otherwise(0.0)
-        + when(nStop > 0, 1.0).otherwise(0.0)
-        + (lit(1.0) - nDigit.cast("double") / greatest(col("n_chars"), lit(1)))
-      ).as("quality_score")
+      qualityScore.as("quality_score")
     ).orderBy("doc_id")
   }
 
@@ -176,16 +189,23 @@ object Text {
       lit("@example.com or 555-010-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
       lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
-    def n(pat: String): Column =
-      size(regexp_extract_all(synth, lit(pat), lit(0))).cast("long")
     // email first, then phone, then IP — same fixed order as the oracle
     val scrubbed = regexp_replace(regexp_replace(regexp_replace(synth,
       EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+    // match counts = placeholder occurrences in the ALREADY-scrubbed text
+    // (plain substring splits — r4: halves the regex traversals vs a
+    // second regexp_extract_all pass over the raw text; the placeholders
+    // can't collide because each pattern's matches are consumed before
+    // the next pass, and `<…>` never occurs in the token corpus).
+    // The oracle keeps the extract_all spelling — values are identical.
+    def n(placeholder: String): Column =
+      (size(split(scrubbed, lit(java.util.regex.Pattern.quote(placeholder)))) - 1)
+        .cast("long")
     documents.select(
       col("doc_id"),
-      n(EmailRe).as("n_emails"),
-      n(PhoneRe).as("n_phones"),
-      n(Ipv4Re).as("n_ips"),
+      n("<EMAIL>").as("n_emails"),
+      n("<PHONE>").as("n_phones"),
+      n("<IP>").as("n_ips"),
       md5(scrubbed.cast("binary")).as("scrubbed_md5")
     ).orderBy("doc_id")
   }
