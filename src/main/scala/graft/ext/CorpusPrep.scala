@@ -25,17 +25,20 @@ object CorpusPrep {
       .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
       .withColumn("quality_score", Text.qualityScore)
       .filter(col("quality_score") >= 2.0)
-    // exact dedup: canonical = lowest doc_id per identical text. A window
-    // over the fingerprint would buffer a pathological duplicate group in
-    // one frame; the groupBy form partial-aggregates map-side and AQE
-    // splits any join skew on a hot fingerprint.
-    val keep = gated
-      .groupBy(md5(col("text").cast("binary")).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"))
+    // exact dedup: canonical = lowest doc_id per identical text, in ONE
+    // partial-aggregated pass — min_by carries the canonical doc's whole
+    // row through the fingerprint groupBy (constant agg buffer: one
+    // struct), so the gate's regex scan runs once and there is no join
+    // back (r4 — the r2 groupBy+join form scanned the corpus twice). A
+    // window over the fingerprint would instead buffer a pathological
+    // duplicate group in one frame — still avoided.
     val deduped = gated
-      .withColumn("fp", md5(col("text").cast("binary")))
-      .join(keep, "fp")
-      .filter(col("doc_id") === col("keep_id"))
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.n_tokens").as("n_tokens"), col("r.quality_score").as("quality_score"))
     val b = Sampling.hashBucket(col("doc_id"))
     deduped.select(
       col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"),
