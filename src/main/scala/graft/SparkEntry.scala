@@ -99,6 +99,8 @@ object SparkEntry {
     "window_moving_avg"     -> ((s, d) => Windows.windowMovingAvg(events(s, d))),
     "window_rank_hottest"   -> ((s, d) => Windows.windowRankHottest(events(s, d))),
     "window_ntile_quartile" -> ((s, d) => Windows.windowNtileQuartile(events(s, d))),
+    "window_topk_hourly"    -> ((s, d) => Windows.windowTopkHourly(events(s, d))),
+    "window_zscore_hours"   -> ((s, d) => Windows.windowZscoreHours(events(s, d))),
     // §2.7 sort/limit/topk
     "sort_by_time"          -> ((s, d) => SetSort.sortByTime(events(s, d))),
     "limit_head"            -> ((s, d) => SetSort.limitHead(events(s, d))),
@@ -310,6 +312,12 @@ object SparkEntry {
       s"""SELECT user_id, strftime(date_trunc('hour', ts), $TS0) AS hour_s FROM events WHERE event_type = 'click' INTERSECT ALL SELECT user_id, strftime(date_trunc('hour', ts), $TS0) FROM events WHERE event_type = 'purchase' ORDER BY user_id, hour_s""",
     "window_ntile_quartile" ->
       "SELECT event_id, event_type, value, CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile FROM events ORDER BY event_id",
+    "window_topk_hourly" ->
+      s"""SELECT hour_s, rnk, event_type, n FROM (SELECT strftime(hour, $TS0) AS hour_s, event_type, n, CAST(row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS BIGINT) AS rnk FROM (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n FROM events GROUP BY 1, 2)) WHERE rnk <= 3 ORDER BY hour_s, rnk""",
+    // z from exact integer power sums; the (x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n))
+    // chain is spelled identically on both sides (fixed-order double ops)
+    "window_zscore_hours" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS x FROM events GROUP BY 1, 2), s AS (SELECT event_type, hour, x, count(*) OVER (PARTITION BY event_type) AS n, CAST(sum(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type) AS DOUBLE) AS sx, CAST(sum(CAST(x*x AS HUGEINT)) OVER (PARTITION BY event_type) AS DOUBLE) AS sxx FROM h) SELECT event_type, strftime(hour, $TS0) AS hour_s, x, (x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)) AS z FROM s WHERE (sxx/n - (sx/n)*(sx/n)) > 0 AND abs((x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n))) > 2.0 ORDER BY event_type, hour_s""",
     "multimodal_frame_energies" ->
       """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), f AS (SELECT doc_id, i // 64 AS frame_no, count(*) AS cnt, sum(byte) AS s FROM b GROUP BY 1, 2) SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, CAST(s AS DOUBLE) / 255.0 AS energy FROM f WHERE cnt = 64 AND frame_no % 2 = 0 ORDER BY doc_id, frame_no""",
     "dedup_exact" ->

@@ -63,6 +63,55 @@ object Windows {
       .orderBy("day_s", "rnk", "event_id")
   }
 
+  /** W6 (r4): per-hour busiest event classes — the batch dual (and
+    * hash-match oracle anchor) of the streaming trending top-k
+    * (`stream/Windowed.trendingTopK`). One (hour, type) count agg + a
+    * top-k window on the hour key. */
+  def windowTopkHourly(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("hour"))
+      .orderBy(col("n").desc, col("event_type"))
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(fmtTsSec(col("hour")).as("hour_s"), col("rnk"),
+        col("event_type"), col("n"))
+      .orderBy("hour_s", "rnk")
+  }
+
+  /** W7 (r4): traffic anomaly detection — per event class, hours whose
+    * event count deviates from that class's mean by more than `zCut`
+    * standard deviations (the alert-threshold analytics behind the
+    * reference's offline detector, generalized from "no packets" to "an
+    * anomalous packet RATE"). Determinism: counts are integers, so the
+    * per-class power sums are exact (DECIMAL(38,0)), and mean/var/z are a
+    * fixed-order chain of correctly-rounded double ops — bit-identical
+    * cross-engine, same pattern as `stat_corr_hourly`. Population
+    * variance (÷ n), spelled identically in the oracle. */
+  def windowZscoreHours(events: DataFrame, zCut: Double = 2.0): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type"))
+    val stats = hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x").cast(dec)).over(w).cast("double"))
+      .withColumn("sxx", sum((col("x") * col("x")).cast(dec)).over(w).cast("double"))
+    val mean = col("sx") / col("n")
+    val variance = col("sxx") / col("n") - mean * mean
+    stats
+      .withColumn("z", (col("x") - mean) / sqrt(variance))
+      // variance > 0 guard: a zero/negative-epsilon variance makes z NaN,
+      // and NaN comparison semantics differ between engines — exclude
+      // degenerate classes identically on both sides
+      .filter(variance > 0 && abs(col("z")) > zCut)
+      .select(col("event_type"), fmtTsSec(col("hour")).as("hour_s"),
+        col("x"), col("z"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** W5 (r3): equal-depth banding — ntile quartiles of value per event
     * class (the "which quartile is this reading in" dashboard column).
     * SQL-standard ntile over a TOTAL order (value, event_id) is fully

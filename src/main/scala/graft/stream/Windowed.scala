@@ -34,6 +34,35 @@ object Windowed {
       .select(col("w.start").as("bucket_start"), col("node"),
         col("avg_metric"), col("n"))
 
+  /** T13 (r4): streaming "trending" top-k — per tumbling window, the k
+    * busiest keys. Window functions (rank) are not allowed mid-stream, so
+    * the rank runs in foreachBatch over each micro-batch's FINALIZED
+    * windows (append mode + watermark ⇒ a window is emitted exactly once,
+    * complete), which is the standard shape: stream does the heavy
+    * windowed count with bounded state, the per-window top-k is a
+    * tiny batch computation on the emitted rows. The batch dual
+    * (`window_topk_hourly` in SparkEntry) is the oracle-checked form. */
+  def trendingTopK(packets: DataFrame, every: String = "10 minutes",
+                   watermark: String = "30 minutes", k: Int = 3)
+                  (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = packets
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), every).as("w"), col("node"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket_start"), col("node"), col("n"))
+    counts.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wr = Window.partitionBy(col("bucket_start"))
+          .orderBy(col("n").desc, col("node"))
+        sink(batch
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= k))
+      }
+      .start()
+  }
+
   /** T9: online-episode segmentation — gaps > threshold split sessions
     * (the dual of the offline alert, AIRWISEv0.py:81-96), via the built-in
     * session_window. */

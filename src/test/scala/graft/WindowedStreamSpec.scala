@@ -63,6 +63,35 @@ class WindowedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trending top-k ranks finalized windows in foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Pkt]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Timestamp, Long, Long, Long)]
+    val q = Windowed.trendingTopK(input.toDF(), "10 minutes", "30 minutes", k = 2) { top =>
+      top.collect().foreach(r => got.add((r.getAs[Timestamp]("bucket_start"),
+        r.getAs[Long]("rnk"), r.getAs[Long]("node"), r.getAs[Long]("n"))))
+    }
+    try {
+      // window [10:00,10:10): node 1 -> 3 events, node 2 -> 2, node 3 -> 1
+      input.addData(
+        Pkt(ts("2024-01-01 10:01:00"), 1L, 0.0), Pkt(ts("2024-01-01 10:02:00"), 1L, 0.0),
+        Pkt(ts("2024-01-01 10:03:00"), 1L, 0.0), Pkt(ts("2024-01-01 10:04:00"), 2L, 0.0),
+        Pkt(ts("2024-01-01 10:05:00"), 2L, 0.0), Pkt(ts("2024-01-01 10:06:00"), 3L, 0.0))
+      q.processAllAvailable()
+      // advance the watermark far past the window, then let append emit
+      input.addData(Pkt(ts("2024-01-01 12:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      input.addData(Pkt(ts("2024-01-01 12:00:01"), 9L, 0.0))
+      q.processAllAvailable()
+      val first = got.toArray(Array.empty[(Timestamp, Long, Long, Long)])
+        .filter(_._1 == ts("2024-01-01 10:00:00")).sortBy(_._2).toSeq
+      // top-2 only: node 3's single event must be cut
+      assert(first == Seq(
+        (ts("2024-01-01 10:00:00"), 1L, 1L, 3L),
+        (ts("2024-01-01 10:00:00"), 2L, 2L, 2L)), first.toString)
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to every overlapping window") {
     val batch = Seq(
       Pkt(ts("2024-01-01 10:07:00"), 1L, 10.0)).toDF()
