@@ -209,7 +209,14 @@ object Aggs {
     * The full per-type sort is replaced by per-band sorts of just the
     * probed bands, so both passes scale with partitions, not with the
     * number of types. Same discrete value-at-ceil(q·n) definition as
-    * [[aggQuantiles]] — the oracle is the same SQL. */
+    * [[aggQuantiles]] — the oracle is the same SQL.
+    *
+    * `bandWidth` tuning: the probe pass holds ~n/n_bands rows per target
+    * band, so pick a width giving ≫ 1 bands over the value range (a
+    * degenerate single band degrades to the exact path's one-partition
+    * sort — correctness unaffected). When the range is unknown, derive
+    * the width from a cheap min/max or the md5-sampled quantiles
+    * ([[aggQuantilesSampled]]) first. */
   def aggQuantilesBanded(events: DataFrame, bandWidth: Double = 25.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
