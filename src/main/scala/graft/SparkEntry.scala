@@ -65,6 +65,7 @@ object SparkEntry {
     "join_asof_nearest"     -> ((s, d) => Joins.joinAsofNearest(events(s, d))),
     "join_range_tier"       -> ((s, d) => Joins.joinRangeTier(events(s, d))),
     "join_interval_bucket"  -> ((s, d) => Joins.joinIntervalBucket(events(s, d))),
+    "ts_fill_gaps"          -> ((s, d) => Joins.tsFillGaps(events(s, d))),
     // salted form of J1: bit-identical output, skew spread over (key, salt)
     "join_salted_skew"      -> ((s, d) =>
       ops.Skew.saltedJoin(lineitem(s, d),
@@ -119,6 +120,7 @@ object SparkEntry {
     "dedup_embedding_cosine"-> ((s, d) => ext.Similarity.dedupEmbeddingCosine(embeddings(s, d))),
     "dedup_clusters"        -> ((s, d) => ext.Dedup.dedupClusters(documents(s, d))),
     "dedup_incremental"     -> ((s, d) => ext.Dedup.dedupIncremental(documents(s, d))),
+    "dedup_graph_degrees"   -> ((s, d) => ext.Dedup.dedupGraphDegrees(documents(s, d))),
     // §2.10 extensions: similarity search
     "sim_search_cosine_topk"-> ((s, d) => ext.Similarity.simSearchCosineTopk(embeddings(s, d))),
     "sim_search_lsh_bucketed" -> ((s, d) => ext.Similarity.simSearchLshBucketed(embeddings(s, d))),
@@ -280,6 +282,10 @@ object SparkEntry {
       "SELECT event_id, value, tier FROM events LEFT JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1000000.0)) AS t(tier, lo, hi) ON value >= lo AND value < hi ORDER BY event_id",
     "join_interval_bucket" ->
       "WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'), p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') SELECT p.event_id, count(c.c_us) AS n_nearby_clicks FROM p LEFT JOIN c ON p.user_id = c.user_id AND abs(c.c_us - p.p_us) <= 300000000 GROUP BY p.event_id ORDER BY event_id",
+    "ts_fill_gaps" ->
+      s"""WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour, $DAVG AS avg_value FROM events GROUP BY 1, 2), bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1), spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds), j AS (SELECT s.user_id, s.hour, h.avg_value FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour) SELECT user_id, strftime(hour, $TS0) AS hour_s, avg_value, last_value(avg_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, avg_value IS NULL AS is_gap FROM j ORDER BY user_id, hour_s""",
+    "dedup_graph_degrees" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2), pairs AS (SELECT da, db FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3), d AS (SELECT da AS doc_id FROM pairs UNION ALL SELECT db FROM pairs), deg AS (SELECT doc_id, count(*) AS degree FROM d GROUP BY 1) SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1 ORDER BY degree""",
     "agg_time_bucket" ->
       s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, user_id, $DAVG AS avg_value, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY hour_s, user_id""",
     "agg_rollup_node_day" ->

@@ -160,6 +160,35 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** J8 (r4): time-series gap filling with forward fill — the canonical
+    * sparse-sensor op (the reference's nodes report irregularly;
+    * graphdata.py plots them on a shared axis, which implicitly
+    * interpolates): materialize each node's full hourly spine
+    * (min..max hour), left-join the observed hourly averages, and carry
+    * the last observation forward across the gaps
+    * (`last(..., ignoreNulls)` over an unbounded-preceding frame).
+    * Per-node spine generation is a cheap sequence Generate off a tiny
+    * (user, min, max) aggregate; the fill window shares the join's
+    * (user) key, so the whole op is the hourly agg + one spine join +
+    * one ordered window — all on the same key. */
+  def tsFillGaps(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(davg(col("value")).as("avg_value"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour"), "left_outer")
+      .withColumn("filled_value", last(col("avg_value"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("avg_value").isNull)
+      .select(col("user_id"), fmtTsSec(col("hour")).as("hour_s"),
+        col("avg_value"), col("filled_value"), col("is_gap"))
+      .orderBy("user_id", "hour_s")
+  }
+
   /** J5: semi join — keys present in the other set (heartbeat ∩ dim,
     * AIRWISEv0.py:80-87). */
   def joinSemiActiveNodes(customer: DataFrame, orders: DataFrame): DataFrame =
