@@ -74,6 +74,7 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_suppkey")),
     "join_semi_active_nodes"  -> ((s, d) => Joins.joinSemiActiveNodes(customer(s, d), orders(s, d))),
     "join_anti_unknown_nodes" -> ((s, d) => Joins.joinAntiUnknownNodes(customer(s, d), orders(s, d))),
+    "snapshot_diff"         -> ((s, d) => Joins.snapshotDiff(events(s, d))),
     // §2.5 aggregations
     "agg_last_seen_per_node"-> ((s, d) => Aggs.aggLastSeenPerNode(events(s, d))),
     "agg_metrics_summary"   -> ((s, d) => Aggs.aggMetricsSummary(events(s, d))),
@@ -90,6 +91,7 @@ object SparkEntry {
     "agg_quantiles_banded"  -> ((s, d) => Aggs.aggQuantilesBanded(events(s, d))),
     "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
     "agg_mode_per_key"      -> ((s, d) => Aggs.aggModePerKey(events(s, d))),
+    "agg_weighted_avg"      -> ((s, d) => Aggs.aggWeightedAvg(lineitem(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
@@ -102,6 +104,7 @@ object SparkEntry {
     "window_ntile_quartile" -> ((s, d) => Windows.windowNtileQuartile(events(s, d))),
     "window_topk_hourly"    -> ((s, d) => Windows.windowTopkHourly(events(s, d))),
     "window_zscore_hours"   -> ((s, d) => Windows.windowZscoreHours(events(s, d))),
+    "window_percent_rank"   -> ((s, d) => Windows.windowPercentRank(events(s, d))),
     // §2.7 sort/limit/topk
     "sort_by_time"          -> ((s, d) => SetSort.sortByTime(events(s, d))),
     "limit_head"            -> ((s, d) => SetSort.limitHead(events(s, d))),
@@ -137,6 +140,8 @@ object SparkEntry {
     "text_token_positions"  -> ((s, d) => ext.Text.textTokenPositions(documents(s, d))),
     "text_chunk_windows"    -> ((s, d) => ext.Text.textChunkWindows(documents(s, d))),
     "text_ngram_counts"     -> ((s, d) => ext.Text.textNgramCounts(documents(s, d))),
+    "text_repetition_ratio" -> ((s, d) => ext.Text.textRepetitionRatio(documents(s, d))),
+    "text_decontaminate"    -> ((s, d) => ext.Text.textDecontaminate(documents(s, d))),
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
@@ -145,6 +150,7 @@ object SparkEntry {
     "events_sessionize"     -> ((s, d) => ext.Sessions.eventsSessionize(events(s, d))),
     "events_funnel_stages"  -> ((s, d) => ext.Sessions.eventsFunnelStages(events(s, d))),
     "events_retention_cohort" -> ((s, d) => ext.Sessions.eventsRetentionCohort(events(s, d))),
+    "scd2_intervals"        -> ((s, d) => ext.Sessions.scd2Intervals(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
@@ -378,5 +384,17 @@ object SparkEntry {
       """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), feat AS (SELECT doc_id, CAST(sum(CASE WHEN i % 8 = 0 THEN byte ELSE 0 END) AS DOUBLE) / 255.0 AS f0, CAST(sum(CASE WHEN i % 8 = 1 THEN byte ELSE 0 END) AS DOUBLE) / 255.0 AS f1 FROM b GROUP BY doc_id), chk AS (SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list(CAST(byte AS HUGEINT) ORDER BY i)), (h, x) -> (31*h + x) % CAST('18446744073709551616' AS HUGEINT)) AS hu FROM b GROUP BY doc_id) SELECT d.doc_id, CASE WHEN d.doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes, CAST(CASE WHEN coalesce(c.hu, 1125899906842597) >= CAST('9223372036854775808' AS HUGEINT) THEN coalesce(c.hu, 1125899906842597) - CAST('18446744073709551616' AS HUGEINT) ELSE coalesce(c.hu, 1125899906842597) END AS BIGINT) AS checksum, coalesce(f.f0, 0.0) AS f0, coalesce(f.f1, 0.0) AS f1 FROM documents d LEFT JOIN feat f USING (doc_id) LEFT JOIN chk c USING (doc_id) ORDER BY doc_id""",
     "clean_pipeline" ->
       s"""SELECT event_id, strftime(timezone('America/Los_Angeles', timezone('UTC', TRY_CAST(strftime(ts, $TS6) AS TIMESTAMP))), $TS0) AS pacific_time, round(TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE), 3) AS value_r FROM events WHERE event_type IN ('click', 'view') AND TRY_CAST(strftime(ts, $TS6) AS TIMESTAMP) IS NOT NULL ORDER BY event_id""",
+    "snapshot_diff" ->
+      s"""WITH a AS (SELECT user_id, count(*) AS n_before, max(ts) AS last_before FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1), b AS (SELECT user_id, count(*) AS n_after, max(ts) AS last_after FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1) SELECT coalesce(a.user_id, b.user_id) AS user_id, coalesce(a.n_before, 0) AS n_before, coalesce(b.n_after, 0) AS n_after, strftime(a.last_before, $TS6) AS last_before_s, strftime(b.last_after, $TS6) AS last_after_s, CASE WHEN a.user_id IS NULL THEN 'added' WHEN b.user_id IS NULL THEN 'removed' WHEN a.n_before = b.n_after THEN 'same' ELSE 'changed' END AS status FROM a FULL JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
+    "agg_weighted_avg" ->
+      "SELECT l_returnflag, CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS weighted_sum, CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty, count(*) AS n_items, CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "window_percent_rank" ->
+      "SELECT event_id, event_type, value, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_id",
+    "scd2_intervals" ->
+      s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2), t AS (SELECT *, CASE WHEN n >= 4 THEN 'high' WHEN n >= 2 THEN 'mid' ELSE 'low' END AS tier FROM daily), g AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day) - row_number() OVER (PARTITION BY user_id, tier ORDER BY day) AS island FROM t) SELECT user_id, tier, strftime(min(day), $TS0) AS valid_from, strftime(max(day), $TS0) AS valid_to, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events FROM g GROUP BY user_id, tier, island ORDER BY user_id, valid_from""",
+    "text_repetition_ratio" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), bg AS (SELECT doc_id, t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)] AS bigram FROM (SELECT doc_id, t, unnest(range(len(t)-1)) AS i FROM toks WHERE len(t) >= 2)), c AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2) SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS top_n, 1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_frac, CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_share FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), g AS (SELECT DISTINCT doc_id, t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)] || ' ' || t[CAST(i+3 AS INT)] AS gram FROM (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks WHERE len(t) >= 3)), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), h AS (SELECT doc_id, count(*) AS shared FROM g JOIN bench USING (gram) WHERE doc_id % 10 <> 0 GROUP BY doc_id) SELECT d.doc_id, CAST(coalesce(h.shared, 0) AS BIGINT) AS n_shared, CAST(CASE WHEN coalesce(h.shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM documents d LEFT JOIN h USING (doc_id) WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""",
   )
 }

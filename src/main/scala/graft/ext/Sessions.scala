@@ -81,4 +81,37 @@ object Sessions {
         fmtTs(col("t3")).as("t3_s"))
       .orderBy("user_id")
   }
+
+  /** SCD-type-2 interval build (gaps-and-islands): collapse each user's
+    * run of consecutive same-tier activity days into one validity
+    * interval `[valid_from, valid_to]` — the change-history table a
+    * warehouse keeps for a slowly-changing attribute. The island id is
+    * the classic difference of two row_numbers (global day order minus
+    * per-tier day order), which is constant exactly within a maximal
+    * same-tier run. Shuffle shape: the daily rollup map-side combines
+    * before its (user, day) shuffle — at corpus scale the raw events
+    * never cross the wire — then ONE re-shuffle of the (tiny) daily
+    * frame onto user_id serves both windows AND the island aggregate
+    * ([user_id] ⊆ clustering keys ⇒ distribution satisfied, no further
+    * exchange). Deterministic: days are unique per user after the
+    * rollup, so every window order is total. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tier",
+        when(col("n") >= 4, "high").when(col("n") >= 2, "mid").otherwise("low"))
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wTier = Window.partitionBy(col("user_id"), col("tier")).orderBy(col("day"))
+    daily
+      .withColumn("island", row_number().over(wAll) - row_number().over(wTier))
+      .groupBy(col("user_id"), col("tier"), col("island"))
+      .agg(min(col("day")).as("from_day"), max(col("day")).as("to_day"),
+        count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+      .select(col("user_id"), col("tier"),
+        fmtTsSec(col("from_day")).as("valid_from"),
+        fmtTsSec(col("to_day")).as("valid_to"),
+        col("n_days"), col("n_events"))
+      .orderBy("user_id", "valid_from")
+  }
 }

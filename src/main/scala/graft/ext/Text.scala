@@ -209,4 +209,79 @@ object Text {
       md5(scrubbed.cast("binary")).as("scrubbed_md5")
     ).orderBy("doc_id")
   }
+
+  /** Per-document bigram occurrences via the cheap int-sequence Generate
+    * (same shape as [[textNgramCounts]]: the generator child is an int
+    * sequence, so the explode cliff does not apply). Docs under 2 tokens
+    * drop. */
+  private def bigramsOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("t"), col("i") + 1),
+          element_at(col("t"), col("i") + 2)).as("bigram"))
+
+  /** Repetition-ratio quality signal (the Gopher-style "duplicate n-gram
+    * fraction" pretraining filter): per document, how much of the bigram
+    * mass is repeats (`dup_frac = 1 - distinct/total`) and how dominant
+    * the single most frequent bigram is (`top_share`). Two partial-agg
+    * hash shuffles — (doc_id, bigram) then doc_id — both map-side
+    * combined, so the wide fan-out never crosses the wire unaggregated;
+    * the ratios are single long/long double divisions (exactly rounded,
+    * hash-stable cross-engine). */
+  def textRepetitionRatio(documents: DataFrame): DataFrame =
+    bigramsOf(documents)
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_n"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_bigrams").cast("double")).as("dup_frac"),
+        (col("top_n").cast("double") /
+          col("n_bigrams").cast("double")).as("top_share"))
+      .orderBy("doc_id")
+
+  /** Distinct token trigrams per doc, from an already-filtered slice (so
+    * each corpus split is tokenized exactly once — no shared-frame double
+    * scan). */
+  private def distinctTrigrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 3)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("t"), col("i") + 1),
+          element_at(col("t"), col("i") + 2),
+          element_at(col("t"), col("i") + 3)).as("gram"))
+      .distinct()
+
+  /** Benchmark decontamination — the pretraining hygiene pass that flags
+    * training documents sharing any token trigram with a held-out
+    * benchmark set (here: `doc_id % 10 == 0` stands in for the benchmark
+    * split; in production it is a separate, much smaller table). The
+    * benchmark side collapses to a distinct-gram set and is BROADCAST —
+    * at 100 TB the train side streams through map-side, the only
+    * shuffles being the two distincts and the per-doc count. Clean docs
+    * survive with `n_shared = 0` via the left join back onto the train
+    * slice. */
+  def textDecontaminate(documents: DataFrame): DataFrame = {
+    val isBench = col("doc_id") % 10 === 0
+    val benchGrams = distinctTrigrams(documents.filter(isBench))
+      .select(col("gram")).distinct()
+    val hits = distinctTrigrams(documents.filter(!isBench))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+    documents.filter(!isBench).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("shared"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
 }

@@ -311,4 +311,24 @@ object Aggs {
       .withColumn("bucket_lo", col("bucket").cast("double") * width)
       .select(col("bucket"), col("bucket_lo"), col("n"), col("lo_seen"), col("hi_seen"))
       .orderBy("bucket")
+
+  /** A12 (r4): weighted average — revenue-per-unit style metric
+    * (sum(price·qty)/sum(qty) per return flag). The per-row product is
+    * one double multiply (identical in every engine); both sums
+    * accumulate in DECIMAL(28,6) so the aggregate is order-independent,
+    * and the final divide is a single correctly-rounded double op —
+    * exact cross-engine parity without constraining partitioning. One
+    * partial/final hash agg on a 3-value key. */
+  def aggWeightedAvg(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(28, 6)
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        sum((col("l_extendedprice") * col("l_quantity")).cast(dec)).cast(DoubleType)
+          .as("weighted_sum"),
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("total_qty"),
+        count(lit(1)).as("n_items"))
+      .withColumn("wavg_price", col("weighted_sum") / col("total_qty"))
+      .orderBy("l_returnflag")
+  }
 }

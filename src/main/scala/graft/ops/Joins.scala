@@ -204,4 +204,33 @@ object Joins {
       .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
+
+  /** J7 (r4): snapshot reconcile — the CDC-style diff of two per-key
+    * state snapshots (here: each node's activity before vs after a
+    * cutoff), classifying every key as added / removed / changed / same.
+    * This is the one FULL OUTER equi-join in the library: both snapshot
+    * aggregates map-side combine before their user_id shuffle, the join
+    * reuses that same key (no extra exchange under AQE), and the
+    * classification is a null-pattern CASE — no driver-side diffing, so
+    * a 100 TB snapshot pair reconciles as two aggs + one sort-merge
+    * join. */
+  def snapshotDiff(events: DataFrame): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    def snap(df: DataFrame, n: String, lastTs: String): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as(n), max(col("ts")).as(lastTs))
+    val before = snap(events.filter(col("ts") < cut), "n_before", "last_before")
+    val after  = snap(events.filter(col("ts") >= cut), "n_after", "last_after")
+    before.join(after, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        fmtTs(col("last_before")).as("last_before_s"),
+        fmtTs(col("last_after")).as("last_after_s"),
+        when(col("n_before").isNull, "added")
+          .when(col("n_after").isNull, "removed")
+          .when(col("n_before") === col("n_after"), "same")
+          .otherwise("changed").as("status"))
+      .orderBy("user_id")
+  }
 }

@@ -126,4 +126,20 @@ object Windows {
       .select(col("event_id"), col("event_type"), col("value"), col("quartile"))
       .orderBy("event_id")
   }
+
+  /** W6 (r4): relative standing — percent_rank and cume_dist of each
+    * reading within its event class. Over a TOTAL order (value,
+    * event_id) both are single int/int double divisions of rank counts
+    * — exactly rounded, so they hash-match cross-engine where a
+    * ties-allowed ordering would not. Shares one window shuffle on the
+    * class key (same spec for both functions ⇒ one Window node). */
+  def windowPercentRank(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_id"), col("event_type"), col("value"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("event_id")
+  }
 }

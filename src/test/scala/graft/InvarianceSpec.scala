@@ -106,4 +106,23 @@ class InvarianceSpec extends SparkSpec {
     val b = rows(Dedup.dedupClusters(docs.repartition(13)))
     assert(a == b)
   }
+
+  test("snapshot diff, SCD2 intervals and weighted avg are partitioning-independent") {
+    import graft.ext.Sessions
+    assert(rows(Joins.snapshotDiff(events.coalesce(1))) ==
+      rows(Joins.snapshotDiff(events.repartition(13))))
+    assert(rows(Sessions.scd2Intervals(events.coalesce(1))) ==
+      rows(Sessions.scd2Intervals(events.repartition(13))))
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    assert(rows(Aggs.aggWeightedAvg(li.coalesce(1))) ==
+      rows(Aggs.aggWeightedAvg(li.repartition(13))))
+  }
+
+  test("repetition ratio and decontamination are partitioning-independent") {
+    import graft.ext.{Text => T}
+    assert(rows(T.textRepetitionRatio(docs.coalesce(1))) ==
+      rows(T.textRepetitionRatio(docs.repartition(13))))
+    assert(rows(T.textDecontaminate(docs.coalesce(1))) ==
+      rows(T.textDecontaminate(docs.repartition(13))))
+  }
 }

@@ -155,4 +155,36 @@ class PlanSpec extends SparkSpec {
         s"$name grew an all-pairs join:\n$plan")
     }
   }
+
+  test("text_decontaminate broadcasts the benchmark gram set") {
+    val plan = executed(q("text_decontaminate"))
+    // the benchmark side is the small one by construction — the train
+    // corpus must stream through a broadcast probe, not shuffle on gram
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination grew an all-pairs join:\n$plan")
+  }
+
+  test("snapshot_diff reconciles via one full-outer equi-join, no all-pairs") {
+    val plan = executed(q("snapshot_diff"))
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"snapshot reconcile grew an all-pairs join:\n$plan")
+  }
+
+  test("window_percent_rank shares one window shuffle for both rank functions") {
+    val plan = executed(q("window_percent_rank"))
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"pct_rank and cume_dist share a spec — expected one class-key shuffle, got $hashEx:\n$plan")
+  }
+
+  test("text_repetition_ratio is two partial-agg shuffles, no joins") {
+    val plan = executed(q("text_repetition_ratio"))
+    assert(!plan.contains("Join"), s"repetition ratio must not self-join:\n$plan")
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2,
+      s"expected (doc,bigram) then doc shuffles, got $hashEx:\n$plan")
+  }
 }
