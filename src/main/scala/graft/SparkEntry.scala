@@ -92,6 +92,7 @@ object SparkEntry {
     "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
     "agg_mode_per_key"      -> ((s, d) => Aggs.aggModePerKey(events(s, d))),
     "agg_weighted_avg"      -> ((s, d) => Aggs.aggWeightedAvg(lineitem(s, d))),
+    "agg_count_min"         -> ((s, d) => Aggs.aggCountMin(events(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
@@ -142,6 +143,7 @@ object SparkEntry {
     "text_ngram_counts"     -> ((s, d) => ext.Text.textNgramCounts(documents(s, d))),
     "text_repetition_ratio" -> ((s, d) => ext.Text.textRepetitionRatio(documents(s, d))),
     "text_decontaminate"    -> ((s, d) => ext.Text.textDecontaminate(documents(s, d))),
+    "text_tfidf_topk"       -> ((s, d) => ext.Text.textTfidfTopk(documents(s, d))),
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
@@ -151,6 +153,7 @@ object SparkEntry {
     "events_funnel_stages"  -> ((s, d) => ext.Sessions.eventsFunnelStages(events(s, d))),
     "events_retention_cohort" -> ((s, d) => ext.Sessions.eventsRetentionCohort(events(s, d))),
     "scd2_intervals"        -> ((s, d) => ext.Sessions.scd2Intervals(events(s, d))),
+    "events_transition_matrix" -> ((s, d) => ext.Sessions.eventsTransitionMatrix(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
@@ -396,5 +399,11 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), bg AS (SELECT doc_id, t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)] AS bigram FROM (SELECT doc_id, t, unnest(range(len(t)-1)) AS i FROM toks WHERE len(t) >= 2)), c AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2) SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS top_n, 1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_frac, CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_share FROM c GROUP BY doc_id ORDER BY doc_id""",
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), g AS (SELECT DISTINCT doc_id, t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)] || ' ' || t[CAST(i+3 AS INT)] AS gram FROM (SELECT doc_id, t, unnest(range(len(t)-2)) AS i FROM toks WHERE len(t) >= 3)), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), h AS (SELECT doc_id, count(*) AS shared FROM g JOIN bench USING (gram) WHERE doc_id % 10 <> 0 GROUP BY doc_id) SELECT d.doc_id, CAST(coalesce(h.shared, 0) AS BIGINT) AS n_shared, CAST(CASE WHEN coalesce(h.shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM documents d LEFT JOIN h USING (doc_id) WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""",
+    "events_transition_matrix" ->
+      "WITH p AS (SELECT event_type AS cur_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), c AS (SELECT cur_type, next_type, count(*) AS n FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2) SELECT cur_type, next_type, n, CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur_type) AS DOUBLE) AS p_next FROM c ORDER BY cur_type, next_type",
+    "agg_count_min" ->
+      "WITH ex AS (SELECT event_type, unnest(range(4)) AS j FROM events), cms AS (SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 64 AS cell, count(*) AS n FROM ex GROUP BY 1, 2), keys AS (SELECT event_type, j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 64 AS cell FROM (SELECT DISTINCT event_type FROM events), range(4) r(j)), est AS (SELECT event_type, CAST(min(n) AS BIGINT) AS n_est FROM keys JOIN cms USING (j, cell) GROUP BY event_type) SELECT t.event_type, t.n_true, est.n_est FROM (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1) t JOIN est USING (event_type) ORDER BY event_type",
+    "text_tfidf_topk" ->
+      "WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY 1, 2), df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, CAST(tf.tf AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score FROM tf JOIN df USING (token) CROSS JOIN nd), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rn FROM s) SELECT doc_id, rn, token, tf, df, score FROM r WHERE rn <= 5 ORDER BY doc_id, rn",
   )
 }

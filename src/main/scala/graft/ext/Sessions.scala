@@ -114,4 +114,26 @@ object Sessions {
         col("n_days"), col("n_events"))
       .orderBy("user_id", "valid_from")
   }
+
+  /** First-order Markov transition matrix over each user's event stream:
+    * how often class A is followed by class B, and the conditional
+    * probability P(next = B | cur = A) — the behavioral model behind
+    * next-action prediction and bot detection. One lead() over the
+    * per-user total order (single user_id shuffle), then a tiny
+    * (cur, next) count agg; the row marginal rides a window over the
+    * already-aggregated 25-cell matrix, and p_next is one long/long
+    * double division (exactly rounded ⇒ hash-match). */
+  def eventsTransitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wCur = Window.partitionBy(col("cur_type"))
+    events
+      .select(col("user_id"), col("event_type").as("cur_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_next",
+        col("n").cast("double") / sum(col("n")).over(wCur).cast("double"))
+      .orderBy("cur_type", "next_type")
+  }
 }

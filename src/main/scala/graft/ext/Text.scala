@@ -269,6 +269,36 @@ object Text {
     * shuffles being the two distincts and the per-doc count. Clean docs
     * survive with `n_shared = 0` via the left join back onto the train
     * slice. */
+  /** TF-IDF keyword extraction: the top-k most characteristic terms per
+    * document, scored tf · (N/df). The idf factor is deliberately the
+    * LINEAR rarity ratio, not log(N/df): rankings are identical (x ↦
+    * log x is monotone) but N/df is one long/long double division —
+    * exactly rounded in every engine — where transcendental log is
+    * libm-dependent and would demote the query to rows-only. Shuffle
+    * shape: (doc, token) tf agg, token df agg (both map-side combined),
+    * an equi-join on token, and the top-k window on doc_id — every stage
+    * keyed, nothing all-pairs, df is corpus-bounded not doc-bounded. */
+  def textTfidfTopk(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
   def textDecontaminate(documents: DataFrame): DataFrame = {
     val isBench = col("doc_id") % 10 === 0
     val benchGrams = distinctTrigrams(documents.filter(isBench))

@@ -331,4 +331,36 @@ object Aggs {
       .withColumn("wavg_price", col("weighted_sum") / col("total_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** A15 (r4): portable count-min sketch — the bounded-memory frequency
+    * sketch (depth 4 × width 64) a streaming counter keeps when the key
+    * cardinality is unbounded. Row hashes are the same md5 family as
+    * [[aggDistinctKmv]] (seed-prefixed, 32-bit prefix, mod width), so
+    * every cell count is deterministic integer arithmetic and the whole
+    * sketch — AND the estimates read back from it — hash-matches the
+    * DuckDB oracle (the sketch-with-a-hard-oracle pattern a third time;
+    * HLL stays the one rows-only row). The map-side explode is a 4-int
+    * sequence; cells aggregate in ONE partial/final hash agg bounded at
+    * depth×width rows, and the per-class readback joins the 5-row key
+    * set to the 256-cell sketch. est ≥ true is the CMS guarantee,
+    * asserted in spec. */
+  def aggCountMin(events: DataFrame, depth: Int = 4, width: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Column
+    def cellOf(seed: Column, key: Column): Column =
+      conv(substring(md5(concat(seed.cast("string"), lit(":"), key)
+        .cast("binary")), 1, 8), 16, 10).cast("long") % width
+    val cms = events
+      .select(col("event_type"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .groupBy(col("j"), cellOf(col("j"), col("event_type")).as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val keys = events.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("event_type"), col("j"), cellOf(col("j"), col("event_type")).as("cell"))
+    val est = keys.join(cms, Seq("j", "cell"))
+      .groupBy(col("event_type")).agg(min(col("n")).as("n_est"))
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+      .join(est, "event_type")
+      .select(col("event_type"), col("n_true"), col("n_est"))
+      .orderBy("event_type")
+  }
 }

@@ -125,4 +125,14 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(T.textDecontaminate(docs.coalesce(1))) ==
       rows(T.textDecontaminate(docs.repartition(13))))
   }
+
+  test("transition matrix, count-min and tfidf are partitioning-independent") {
+    import graft.ext.{Sessions, Text => T}
+    assert(rows(Sessions.eventsTransitionMatrix(events.coalesce(1))) ==
+      rows(Sessions.eventsTransitionMatrix(events.repartition(13))))
+    assert(rows(Aggs.aggCountMin(events.coalesce(1))) ==
+      rows(Aggs.aggCountMin(events.repartition(13))))
+    assert(rows(T.textTfidfTopk(docs.coalesce(1))) ==
+      rows(T.textTfidfTopk(docs.repartition(13))))
+  }
 }

@@ -157,4 +157,32 @@ class OpsSpec extends SparkSpec {
     assert(out(0).getAs[String]("pacific_time") == "2024-01-01 02:00:00") // UTC-8
     assert(out(0).getAs[Double]("value_r") == 1.25)
   }
+
+  test("count-min estimates dominate true counts (CMS guarantee)") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = Aggs.aggCountMin(events).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (t, e) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_est"))
+      assert(e >= t, s"${r.getAs[String]("event_type")}: est $e < true $t")
+    }
+    // a narrow sketch must actually collide — the overestimate property
+    // is only exercised when cells are shared
+    val tight = Aggs.aggCountMin(events, depth = 2, width = 2).collect()
+    assert(tight.exists(r => r.getAs[Long]("n_est") > r.getAs[Long]("n_true")),
+      "width-2 sketch with 5 keys should overestimate somewhere")
+    assert(tight.forall(r => r.getAs[Long]("n_est") >= r.getAs[Long]("n_true")))
+  }
+
+  test("tfidf ranking is invariant to the linear-vs-log idf choice") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.ext.Text.textTfidfTopk(docs, k = 3).collect()
+    // rn is dense 1..k per doc and scores are non-increasing within a doc
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
 }
