@@ -94,6 +94,7 @@ object SparkEntry {
     "agg_weighted_avg"      -> ((s, d) => Aggs.aggWeightedAvg(lineitem(s, d))),
     "agg_count_min"         -> ((s, d) => Aggs.aggCountMin(events(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
+    "stat_regression_hourly"-> ((s, d) => Aggs.statRegressionHourly(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
     "agg_partial_final"     -> ((s, d) => Aggs.aggPartialFinal(events(s, d))),
@@ -403,6 +404,8 @@ object SparkEntry {
       "WITH p AS (SELECT event_type AS cur_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), c AS (SELECT cur_type, next_type, count(*) AS n FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2) SELECT cur_type, next_type, n, CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur_type) AS DOUBLE) AS p_next FROM c ORDER BY cur_type, next_type",
     "agg_count_min" ->
       "WITH ex AS (SELECT event_type, unnest(range(4)) AS j FROM events), cms AS (SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 64 AS cell, count(*) AS n FROM ex GROUP BY 1, 2), keys AS (SELECT event_type, j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 64 AS cell FROM (SELECT DISTINCT event_type FROM events), range(4) r(j)), est AS (SELECT event_type, CAST(min(n) AS BIGINT) AS n_est FROM keys JOIN cms USING (j, cell) GROUP BY event_type) SELECT t.event_type, t.n_true, est.n_est FROM (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1) t JOIN est USING (event_type) ORDER BY event_type",
+    "stat_regression_hourly" ->
+      "WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 - 473352 AS x, count(*) AS y FROM events GROUP BY 1, 2), s AS (SELECT event_type, count(*) AS n_hours, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, CAST(sum(CAST(x*y AS HUGEINT)) AS DOUBLE) AS sxy, CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS sxx FROM h GROUP BY 1) SELECT event_type, n_hours, (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) AS slope, (sy - (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) * sx) / n_hours AS intercept FROM s WHERE (n_hours * sxx - sx * sx) > 0 ORDER BY event_type",
     "text_tfidf_topk" ->
       "WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY 1, 2), df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, CAST(tf.tf AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score FROM tf JOIN df USING (token) CROSS JOIN nd), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rn FROM s) SELECT doc_id, rn, token, tf, df, score FROM r WHERE rn <= 5 ORDER BY doc_id, rn",
   )

@@ -332,6 +332,38 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** A16 (r4): per-class traffic trend line — least-squares slope and
+    * intercept of hourly event counts against the hour index (is this
+    * class's rate growing or decaying?). Same exactness recipe as
+    * [[statCorrHourlyCounts]]: integer power sums accumulate in
+    * DECIMAL(38,0) (order-independent), the closed-form solution is a
+    * fixed-order chain of correctly-rounded double ops, so the whole
+    * regression hash-matches cross-engine. The hour index is anchored at
+    * 2024-01-01 (x ∈ 0..744 for the fixture month) to keep the power
+    * sums small-integer exact; zero-variance classes are excluded
+    * identically on both sides. Two tiny hash aggs. */
+  def statRegressionHourly(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000 - 473352").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val sums = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+    val det = col("n_hours") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n_hours") * col("sxy") - col("sx") * col("sy")) / det
+    sums
+      .filter(det > 0)
+      .select(col("event_type"), col("n_hours"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n_hours")).as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** A15 (r4): portable count-min sketch — the bounded-memory frequency
     * sketch (depth 4 × width 64) a streaming counter keeps when the key
     * cardinality is unbounded. Row hashes are the same md5 family as

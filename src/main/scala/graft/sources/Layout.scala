@@ -29,4 +29,30 @@ object Layout {
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sortCol.nonEmpty) w.sortBy(sortCol) else w).saveAsTable(table)
   }
+
+  /** Small-file compaction — the maintenance pass every long-running
+    * ingest needs: streaming epochs leave one file per (epoch, partition)
+    * and a year of micro-batches turns a day's directory into thousands
+    * of KB-sized parquet files that throttle every scan on open/footer
+    * overhead. Rewrites the table with a REBALANCE repartition on the
+    * partition column: AQE both COALESCES undersized shuffle partitions
+    * and SPLITS skewed ones to the advisory size, so each `ds` directory
+    * lands as ~`advisoryBytes` files — few files for quiet days, several
+    * for hot days — with zero hand-tuned file counts. Writes to a new
+    * location (`dest`); swapping it in atomically is the same
+    * stage-then-swap story as [[Jdbc.writeEpoch]] — compacting in place
+    * over the directory being scanned is how tables get corrupted. */
+  def compactTimePartitioned(spark: SparkSession, src: String, dest: String,
+                             advisoryBytes: Long = 128L << 20): Unit = {
+    val prev = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryBytes.toString)
+    try
+      spark.read.parquet(src)
+        .hint("rebalance", col("ds"))
+        .write.mode("overwrite").partitionBy("ds").parquet(dest)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+      case None => spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
 }

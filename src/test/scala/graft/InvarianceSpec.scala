@@ -132,6 +132,8 @@ class InvarianceSpec extends SparkSpec {
       rows(Sessions.eventsTransitionMatrix(events.repartition(13))))
     assert(rows(Aggs.aggCountMin(events.coalesce(1))) ==
       rows(Aggs.aggCountMin(events.repartition(13))))
+    assert(rows(Aggs.statRegressionHourly(events.coalesce(1))) ==
+      rows(Aggs.statRegressionHourly(events.repartition(13))))
     assert(rows(T.textTfidfTopk(docs.coalesce(1))) ==
       rows(T.textTfidfTopk(docs.repartition(13))))
   }

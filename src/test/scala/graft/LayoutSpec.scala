@@ -35,4 +35,61 @@ class LayoutSpec extends SparkSpec {
     assert(!joinPlan.contains("Exchange hashpartitioning"),
       s"co-bucketed join should not shuffle:\n$joinPlan")
   }
+
+  test("compaction collapses micro-batch files and preserves every row") {
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(dir: String): Map[String, Int] =
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .map { case (ds, fs) => ds -> fs.length }
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // simulate a micro-batched ingest: 16 appends of tiny slices
+    (0 until 16).foreach { i =>
+      Layout.writeTimePartitioned(
+        events.filter(pmod(col("event_id"), lit(16)) === i), s"$dir/src", "ts")
+    }
+    val srcFiles = parquetFiles(s"$dir/src")
+    assert(srcFiles.values.max >= 16, s"expected micro-batch file litter: $srcFiles")
+    Layout.compactTimePartitioned(spark, s"$dir/src", s"$dir/dst")
+    val dstFiles = parquetFiles(s"$dir/dst")
+    // every day collapses to ~1 file at the (huge) default advisory size
+    assert(dstFiles.values.max <= 2, s"compaction left small files: $dstFiles")
+    // and the rewrite is lossless
+    val a = spark.read.parquet(s"$dir/src").drop("ds").orderBy("event_id").collect().toSeq
+    val b = spark.read.parquet(s"$dir/dst").drop("ds").orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("compaction splits an oversized partition at the advisory size") {
+    val dir = Files.createTempDirectory("graft_compact_split").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // micro-batched source: every day's rows spread over 8 files — AQE's
+    // rebalance skew-split divides at MAPPER boundaries, so a day can
+    // only split if its rows arrive from several map tasks
+    (0 until 8).foreach { i =>
+      Layout.writeTimePartitioned(
+        events.filter(pmod(col("event_id"), lit(8)) === i), s"$dir/src", "ts")
+    }
+    // fine-grained scan (one mapper per small file) + ~1 KB advisory
+    // target: each day is a few KB of shuffle bytes and must split
+    val prev = (spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 10).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try Layout.compactTimePartitioned(spark, s"$dir/src", s"$dir/dst",
+      advisoryBytes = 1L << 10)
+    finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev._1)
+      spark.conf.set("spark.sql.files.openCostInBytes", prev._2)
+    }
+    import scala.jdk.CollectionConverters._
+    val perDay = Files.walk(java.nio.file.Paths.get(s"$dir/dst")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent.getFileName.toString).map(_._2.length)
+    assert(perDay.exists(_ >= 2),
+      s"skew split should emit multiple files for a hot day: $perDay")
+    assert(spark.read.parquet(s"$dir/dst").count() == events.count())
+  }
 }
