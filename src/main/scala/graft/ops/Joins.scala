@@ -163,29 +163,33 @@ object Joins {
   /** J8 (r4): time-series gap filling with forward fill — the canonical
     * sparse-sensor op (the reference's nodes report irregularly;
     * graphdata.py plots them on a shared axis, which implicitly
-    * interpolates): materialize each node's full hourly spine
-    * (min..max hour), left-join the observed hourly averages, and carry
-    * the last observation forward across the gaps
-    * (`last(..., ignoreNulls)` over an unbounded-preceding frame).
-    * Per-node spine generation is a cheap sequence Generate off a tiny
-    * (user, min, max) aggregate; the fill window shares the join's
-    * (user) key, so the whole op is the hourly agg + one spine join +
-    * one ordered window — all on the same key. */
+    * interpolates). Join-free form: each observed hourly row generates
+    * itself PLUS the gap hours up to (but excluding) the node's next
+    * observation (`lead` + `explode(sequence)`), carrying its
+    * forward-filled value with it — so the spine materializes as a
+    * map-side Generate instead of a min/max aggregate + spine equi-join.
+    * One hourly hash agg + one (user) window = the whole op; at 100 TB
+    * the gap rows never participate in any shuffle, they are born
+    * downstream of the last exchange. `filled0` (last non-null over the
+    * observed rows) rather than the row's own avg keeps the semantics
+    * exact when an hourly group aggregates to NULL. */
   def tsFillGaps(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(davg(col("value")).as("avg_value"))
-    val spine = hourly.groupBy(col("user_id"))
-      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("user_id", "hour"), "left_outer")
-      .withColumn("filled_value", last(col("avg_value"), ignoreNulls = true).over(w))
-      .withColumn("is_gap", col("avg_value").isNull)
-      .select(col("user_id"), fmtTsSec(col("hour")).as("hour_s"),
-        col("avg_value"), col("filled_value"), col("is_gap"))
+    hourly
+      .withColumn("filled0", last(col("avg_value"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_hour", lead(col("hour"), 1).over(w))
+      .select(col("user_id"), col("hour"), col("avg_value"), col("filled0"),
+        explode(sequence(col("hour"),
+          coalesce(col("next_hour") - expr("interval 1 hour"), col("hour")),
+          expr("interval 1 hour"))).as("h"))
+      .select(col("user_id"), fmtTsSec(col("h")).as("hour_s"),
+        when(col("h") === col("hour"), col("avg_value")).as("avg_value"),
+        col("filled0").as("filled_value"),
+        when(col("h") === col("hour"), col("avg_value")).isNull.as("is_gap"))
       .orderBy("user_id", "hour_s")
   }
 
