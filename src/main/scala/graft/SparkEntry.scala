@@ -63,6 +63,7 @@ object SparkEntry {
     "join_timeseries_align" -> ((s, d) => Joins.joinTimeseriesAlign(events(s, d))),
     "join_timeseries_align_multi" -> ((s, d) => Joins.joinTimeseriesAlignMulti(events(s, d))),
     "join_asof_nearest"     -> ((s, d) => Joins.joinAsofNearest(events(s, d))),
+    "join_asof_tolerance"   -> ((s, d) => Joins.joinAsofTolerance(events(s, d))),
     "join_range_tier"       -> ((s, d) => Joins.joinRangeTier(events(s, d))),
     "join_interval_bucket"  -> ((s, d) => Joins.joinIntervalBucket(events(s, d))),
     "ts_fill_gaps"          -> ((s, d) => Joins.tsFillGaps(events(s, d))),
@@ -93,6 +94,7 @@ object SparkEntry {
     "agg_mode_per_key"      -> ((s, d) => Aggs.aggModePerKey(events(s, d))),
     "agg_weighted_avg"      -> ((s, d) => Aggs.aggWeightedAvg(lineitem(s, d))),
     "agg_count_min"         -> ((s, d) => Aggs.aggCountMin(events(s, d))),
+    "profile_columns"       -> ((s, d) => Aggs.profileColumns(events(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "stat_regression_hourly"-> ((s, d) => Aggs.statRegressionHourly(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
@@ -107,6 +109,7 @@ object SparkEntry {
     "window_topk_hourly"    -> ((s, d) => Windows.windowTopkHourly(events(s, d))),
     "window_zscore_hours"   -> ((s, d) => Windows.windowZscoreHours(events(s, d))),
     "window_percent_rank"   -> ((s, d) => Windows.windowPercentRank(events(s, d))),
+    "window_mad_hours"      -> ((s, d) => Windows.windowMadHours(events(s, d))),
     // §2.7 sort/limit/topk
     "sort_by_time"          -> ((s, d) => SetSort.sortByTime(events(s, d))),
     "limit_head"            -> ((s, d) => SetSort.limitHead(events(s, d))),
@@ -232,6 +235,10 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, ${Seq("click", "purchase", "view", "signup", "error").map(CDAVG).mkString(", ")}, count(*) AS n_events FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour_s""",
     "join_asof_nearest" ->
       s"""SELECT p.event_id, p.user_id, strftime(p.ts, $TS6) AS ts_s, c.value AS last_click_value, strftime(c.ts, $TS6) AS last_click_ts_s FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""",
+    // match-then-age-gate: the CASE nulls out stale matches AFTER the asof
+    // pick, it never falls back to an older click
+    "join_asof_tolerance" ->
+      s"""SELECT p.event_id, p.user_id, strftime(p.ts, $TS6) AS ts_s, CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000 THEN c.value END AS click_value, CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000 THEN epoch_us(p.ts) - epoch_us(c.ts) END AS click_age_us FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""",
     "join_semi_active_nodes" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "join_anti_unknown_nodes" ->
@@ -404,6 +411,10 @@ object SparkEntry {
       "WITH p AS (SELECT event_type AS cur_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), c AS (SELECT cur_type, next_type, count(*) AS n FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2) SELECT cur_type, next_type, n, CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur_type) AS DOUBLE) AS p_next FROM c ORDER BY cur_type, next_type",
     "agg_count_min" ->
       "WITH ex AS (SELECT event_type, unnest(range(4)) AS j FROM events), cms AS (SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 64 AS cell, count(*) AS n FROM ex GROUP BY 1, 2), keys AS (SELECT event_type, j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 64 AS cell FROM (SELECT DISTINCT event_type FROM events), range(4) r(j)), est AS (SELECT event_type, CAST(min(n) AS BIGINT) AS n_est FROM keys JOIN cms USING (j, cell) GROUP BY event_type) SELECT t.event_type, t.n_true, est.n_est FROM (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1) t JOIN est USING (event_type) ORDER BY event_type",
+    "profile_columns" ->
+      """WITH b AS (SELECT count(*) AS n_rows, count(event_id) AS nn_event_id, count(DISTINCT event_id) AS nd_event_id, count(ts) AS nn_ts, count(DISTINCT ts) AS nd_ts, count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id, count(event_type) AS nn_event_type, count(DISTINCT event_type) AS nd_event_type, count(value) AS nn_value, count(DISTINCT value) AS nd_value, count(props) AS nn_props, count(DISTINCT props) AS nd_props FROM events) SELECT col_name, n_rows, n_nonnull, n_rows - n_nonnull AS n_null, n_distinct FROM (SELECT 'event_id' AS col_name, n_rows, nn_event_id AS n_nonnull, nd_event_id AS n_distinct FROM b UNION ALL SELECT 'ts', n_rows, nn_ts, nd_ts FROM b UNION ALL SELECT 'user_id', n_rows, nn_user_id, nd_user_id FROM b UNION ALL SELECT 'event_type', n_rows, nn_event_type, nd_event_type FROM b UNION ALL SELECT 'value', n_rows, nn_value, nd_value FROM b UNION ALL SELECT 'props', n_rows, nn_props, nd_props FROM b) ORDER BY col_name""",
+    "window_mad_hours" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS nn FROM h), m AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT) THEN n END) AS med FROM r GROUP BY 1), d AS (SELECT h.event_type, h.hour, h.n, m.med, abs(h.n - m.med) AS dev FROM h JOIN m USING (event_type)), r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev, hour) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS nn FROM d), m2 AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT) THEN dev END) AS mad FROM r2 GROUP BY 1) SELECT d.event_type, strftime(d.hour, $TS0) AS hour_s, d.n, d.med, d.dev, m2.mad, d.dev > 3 * m2.mad AS is_anomaly FROM d JOIN m2 USING (event_type) ORDER BY event_type, hour_s""",
     "stat_regression_hourly" ->
       "WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 - 473352 AS x, count(*) AS y FROM events GROUP BY 1, 2), s AS (SELECT event_type, count(*) AS n_hours, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, CAST(sum(CAST(x*y AS HUGEINT)) AS DOUBLE) AS sxy, CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS sxx FROM h GROUP BY 1) SELECT event_type, n_hours, (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) AS slope, (sy - (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) * sx) / n_hours AS intercept FROM s WHERE (n_hours * sxx - sx * sx) > 0 ORDER BY event_type",
     "text_tfidf_topk" ->

@@ -395,4 +395,30 @@ object Aggs {
       .select(col("event_type"), col("n_true"), col("n_est"))
       .orderBy("event_type")
   }
+
+  /** A14 (r4): single-pass column profiling — row count, per-column
+    * non-null count, and EXACT per-column distinct count for every
+    * column of the table, the "what is in this dataset" first query of
+    * any ingest audit (the reference eyeballs this with ad-hoc SELECTs;
+    * AIRWISEv0.py:70-78 prints per-field presence). One aggregate over
+    * one scan: Spark plans the six distinct sets as a single Expand
+    * (row ×(sets+1)) feeding one partial/final hash agg — no per-column
+    * re-scans, which is what makes profiling affordable at 100 TB (the
+    * expand multiplies rows in the map stage only; each distinct-set
+    * lane partial-aggregates before the one shuffle). The 1-row result
+    * is unpivoted to per-column rows with `stack` — driver traffic is
+    * one row either way. */
+  def profileColumns(events: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val one = events.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    one.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"))
+      .orderBy("col_name")
+  }
 }

@@ -106,6 +106,39 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** J4d (r4): as-of join with a staleness tolerance — the enrichment
+    * variant every real feature pipeline wants: the most recent click
+    * before each purchase counts only if it is at most `tolUs` old,
+    * otherwise the purchase reports no (fresh) context rather than a
+    * context from hours ago. Same union + running-`last` linear form as
+    * [[joinAsofNearest]] (one window shuffle on the user key, no range
+    * join), with the tolerance applied as a null-out AFTER the as-of
+    * match — semantically "match then age-gate", which is what ASOF
+    * tolerance means (a stale match does NOT fall back to an older,
+    * even staler one). */
+  def joinAsofTolerance(events: DataFrame, tolUs: Long = 600000000L): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("click_value"), lit(0).as("side"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("click_value"), lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("age_us", unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+      .withColumn("fresh", col("age_us") <= tolUs)
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        when(col("fresh"), col("last_click_value")).as("click_value"),
+        when(col("fresh"), col("age_us")).as("click_age_us"))
+      .orderBy("event_id")
+  }
+
   /** Range join against a (tiny) tier table: classify each reading into
     * the [lo, hi) band it falls in — the sensor-threshold banding the
     * reference hardcodes as if/elif chains (AIRWISEv0.py:165-168 routing,

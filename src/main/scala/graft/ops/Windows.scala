@@ -142,4 +142,39 @@ object Windows {
         cume_dist().over(w).as("cume"))
       .orderBy("event_id")
   }
+
+  /** W7 (r4): robust hourly anomaly flags via median absolute deviation
+    * — the outlier detector that survives the outliers it is hunting
+    * (z-scores inflate their own σ; MAD does not), over the same hourly
+    * traffic counts as [[windowZscoreHours]]' mean/σ variant. Both
+    * medians are the discrete form (value AT row ceil(n/2) in a total
+    * order — see Aggs.discreteQuantiles) on INTEGER counts and integer
+    * absolute deviations, so every number is exact in both engines and
+    * the flag `dev > 3·mad` never sits on a rounding boundary.
+    * Scale shape: the raw scan collapses to ≤ types×hours rows in the
+    * first hash agg (persisted — everything downstream reuses it);
+    * the two median passes and broadcast join-backs run on that tiny
+    * frame, so 100 TB of events costs one aggregate + noise. */
+  def windowMadHours(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    def discreteMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(value), col("hour"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === ceil(col("nn") * 0.5), col(value))).as(out))
+    }
+    val med = discreteMedian(hourly, "n", "med")
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = discreteMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), fmtTsSec(col("hour")).as("hour_s"), col("n"),
+        col("med"), col("dev"), col("mad"),
+        (col("dev") > lit(3) * col("mad")).as("is_anomaly"))
+      .orderBy("event_type", "hour_s")
+  }
 }

@@ -137,4 +137,14 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(T.textTfidfTopk(docs.coalesce(1))) ==
       rows(T.textTfidfTopk(docs.repartition(13))))
   }
+
+  test("column profile, MAD anomalies and tolerant as-of are partitioning-independent") {
+    import graft.ops.Windows
+    assert(rows(Aggs.profileColumns(events.coalesce(1))) ==
+      rows(Aggs.profileColumns(events.repartition(13))))
+    assert(rows(Windows.windowMadHours(events.coalesce(1))) ==
+      rows(Windows.windowMadHours(events.repartition(13))))
+    assert(rows(Joins.joinAsofTolerance(events.coalesce(1))) ==
+      rows(Joins.joinAsofTolerance(events.repartition(13))))
+  }
 }

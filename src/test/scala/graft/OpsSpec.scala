@@ -174,6 +174,37 @@ class OpsSpec extends SparkSpec {
     assert(tight.forall(r => r.getAs[Long]("n_est") >= r.getAs[Long]("n_true")))
   }
 
+  test("tolerant as-of is the nearest as-of with stale matches nulled, never substituted") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val tol = 600000000L
+    val nearest = Joins.joinAsofNearest(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Double]("last_click_value")),
+          Option(r.getAs[String]("last_click_ts_s")), r.getAs[String]("ts_s"))).toMap
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def us(s: String) =
+      java.time.LocalDateTime.parse(s, fmt).toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli * 1000 + java.time.LocalDateTime.parse(s, fmt).getNano / 1000 % 1000
+    val tolRows = Joins.joinAsofTolerance(events, tol).collect()
+    assert(tolRows.nonEmpty)
+    var fresh = 0; var stale = 0
+    tolRows.foreach { r =>
+      val (nv, nts, pts) = nearest(r.getAs[Long]("event_id"))
+      val expectFresh = nts.exists(c => us(pts) - us(c) <= tol)
+      if (expectFresh) {
+        fresh += 1
+        assert(Option(r.getAs[java.lang.Double]("click_value")).map(_.doubleValue) ==
+          nv.map(_.doubleValue), s"fresh row must carry the nearest match: $r")
+      } else {
+        stale += 1
+        assert(r.isNullAt(r.fieldIndex("click_value")) &&
+          r.isNullAt(r.fieldIndex("click_age_us")),
+          s"stale/absent match must be null, not an older fallback: $r")
+      }
+    }
+    assert(fresh > 0 && stale > 0, s"fixture should exercise both sides ($fresh/$stale)")
+  }
+
   test("tfidf ranking is invariant to the linear-vs-log idf choice") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = graft.ext.Text.textTfidfTopk(docs, k = 3).collect()
