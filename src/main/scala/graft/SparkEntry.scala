@@ -95,6 +95,7 @@ object SparkEntry {
     "agg_weighted_avg"      -> ((s, d) => Aggs.aggWeightedAvg(lineitem(s, d))),
     "agg_count_min"         -> ((s, d) => Aggs.aggCountMin(events(s, d))),
     "profile_columns"       -> ((s, d) => Aggs.profileColumns(events(s, d))),
+    "stat_seasonality"      -> ((s, d) => Aggs.statSeasonality(events(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "stat_regression_hourly"-> ((s, d) => Aggs.statRegressionHourly(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
@@ -134,6 +135,8 @@ object SparkEntry {
     "sim_search_lsh_bucketed" -> ((s, d) => ext.Similarity.simSearchLshBucketed(embeddings(s, d))),
     "sim_search_lsh_multiprobe" -> ((s, d) => ext.Similarity.simSearchLshMultiprobe(embeddings(s, d))),
     "sim_search_ivf"        -> ((s, d) => ext.Similarity.simSearchIvf(embeddings(s, d))),
+    "sim_knn_join"          -> ((s, d) => ext.Similarity.simKnnJoin(embeddings(s, d))),
+    "agg_embedding_centroid"-> ((s, d) => ext.Similarity.aggEmbeddingCentroid(embeddings(s, d))),
     // §2.10 extensions: text analysis
     "text_tokenize_stats"   -> ((s, d) => ext.Text.textTokenizeStats(documents(s, d))),
     "text_filter_lang"      -> ((s, d) => ext.Text.textFilterLang(documents(s, d))),
@@ -357,6 +360,15 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents), dig AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(md5(tok), p + 1, 1)) - 1 AS d FROM toks CROSS JOIN range(16) r(p)), bitv AS (SELECT doc_id, p, b, SUM(CASE WHEN (d >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM dig CROSS JOIN range(4) r2(b) GROUP BY doc_id, p, b), sigd AS (SELECT doc_id, p, SUM(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END) AS sd FROM bitv GROUP BY doc_id, p), sig AS (SELECT d.doc_id, coalesce(s.sl, [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]) AS sl FROM documents d LEFT JOIN (SELECT doc_id, list(sd ORDER BY p) AS sl FROM sigd GROUP BY doc_id) s USING (doc_id)) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(list_sum(list_transform(range(1,17), i -> bit_count(xor(CAST(a.sl[i] AS BIGINT), CAST(b.sl[i] AS BIGINT))))) AS BIGINT) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE list_sum(list_transform(range(1,17), i -> bit_count(xor(CAST(a.sl[i] AS BIGINT), CAST(b.sl[i] AS BIGINT))))) <= 6 ORDER BY doc_a, doc_b""",
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT a.vec_id va, b.vec_id vb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) c FROM n a JOIN n b ON a.vec_id < b.vec_id) SELECT va AS vec_a, vb AS vec_b, c AS cosine FROM p WHERE c >= 0.35 ORDER BY vec_a, vec_b""",
+    // dot(a,b) and dot(b,a) are identical index-ordered folds, so the
+    // directed pair can be computed from either orientation
+    "sim_knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT a.vec_id src, b.vec_id dst, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) c FROM n a JOIN n b ON a.vec_id <> b.vec_id), r AS (SELECT src, dst, c, CAST(row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS BIGINT) AS rn FROM p) SELECT src AS vec_id, rn, dst AS neighbor_id, c AS cosine FROM r WHERE rn <= 5 ORDER BY vec_id, rn""",
+    // x*2^48 is an exact integer for float32 elements (|x| >= 2^-25), so the
+    // DECIMAL(38,0) sum never rounds — Spark's HALF_UP vs DuckDB's truncating
+    // double->decimal cast would diverge on a DECIMAL(38,12) spelling
+    "agg_embedding_centroid" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] v FROM embeddings), d AS (SELECT label, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT label, v, unnest(range(64)) AS i FROM e)) SELECT label, dim, CAST(SUM(CAST(x * 281474976710656.0 AS DECIMAL(38,0))) AS DOUBLE) / 281474976710656.0 / COUNT(*) AS centroid, COUNT(*) AS n FROM d GROUP BY label, dim ORDER BY label, dim""",
     "sim_search_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT q.vec_id query_id, c.vec_id vec_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) cosine FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 10), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "sim_search_lsh_bucketed" ->
@@ -413,6 +425,10 @@ object SparkEntry {
       "WITH ex AS (SELECT event_type, unnest(range(4)) AS j FROM events), cms AS (SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 64 AS cell, count(*) AS n FROM ex GROUP BY 1, 2), keys AS (SELECT event_type, j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 64 AS cell FROM (SELECT DISTINCT event_type FROM events), range(4) r(j)), est AS (SELECT event_type, CAST(min(n) AS BIGINT) AS n_est FROM keys JOIN cms USING (j, cell) GROUP BY event_type) SELECT t.event_type, t.n_true, est.n_est FROM (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1) t JOIN est USING (event_type) ORDER BY event_type",
     "profile_columns" ->
       """WITH b AS (SELECT count(*) AS n_rows, count(event_id) AS nn_event_id, count(DISTINCT event_id) AS nd_event_id, count(ts) AS nn_ts, count(DISTINCT ts) AS nd_ts, count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id, count(event_type) AS nn_event_type, count(DISTINCT event_type) AS nd_event_type, count(value) AS nn_value, count(DISTINCT value) AS nd_value, count(props) AS nn_props, count(DISTINCT props) AS nd_props FROM events) SELECT col_name, n_rows, n_nonnull, n_rows - n_nonnull AS n_null, n_distinct FROM (SELECT 'event_id' AS col_name, n_rows, nn_event_id AS n_nonnull, nd_event_id AS n_distinct FROM b UNION ALL SELECT 'ts', n_rows, nn_ts, nd_ts FROM b UNION ALL SELECT 'user_id', n_rows, nn_user_id, nd_user_id FROM b UNION ALL SELECT 'event_type', n_rows, nn_event_type, nd_event_type FROM b UNION ALL SELECT 'value', n_rows, nn_value, nd_value FROM b UNION ALL SELECT 'props', n_rows, nn_props, nd_props FROM b) ORDER BY col_name""",
+    // engine-neutral dow: (days-since-epoch + 4) mod 7, Sunday=0 — avoids
+    // Spark's Sunday=1 vs DuckDB's Sunday=0 convention mismatch
+    "stat_seasonality" ->
+      s"""SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, hour(ts) AS hod, count(*) AS n, $DAVG AS avg_value FROM events GROUP BY 1, 2, 3 ORDER BY event_type, dow, hod""",
     "window_mad_hours" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS nn FROM h), m AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT) THEN n END) AS med FROM r GROUP BY 1), d AS (SELECT h.event_type, h.hour, h.n, m.med, abs(h.n - m.med) AS dev FROM h JOIN m USING (event_type)), r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev, hour) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS nn FROM d), m2 AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT) THEN dev END) AS mad FROM r2 GROUP BY 1) SELECT d.event_type, strftime(d.hour, $TS0) AS hour_s, d.n, d.med, d.dev, m2.mad, d.dev > 3 * m2.mad AS is_anomaly FROM d JOIN m2 USING (event_type) ORDER BY event_type, hour_s""",
     "stat_regression_hourly" ->

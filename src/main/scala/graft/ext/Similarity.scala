@@ -244,4 +244,77 @@ object Similarity {
         greatest(col("ida"), col("idb")).as("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** k-NN JOIN — every vector's top-k cosine neighbors in one query, the
+    * workhorse behind semantic clustering / SemDeDup-style pruning (one
+    * query vector is [[simSearchCosineTopk]]; the JOIN form is what an
+    * embedding-curation pipeline actually runs). Reuses
+    * [[dedupEmbeddingCosine]]'s size-derived block-nested equi-join so
+    * per-task memory stays bounded at any corpus size; each unordered
+    * pair's dot product is computed ONCE and fanned out to both
+    * directions map-side (explode of a 2-struct array — no second pass
+    * over the join), then one per-source top-k window. Dot products are
+    * index-ordered folds, so dot(a,b) and the oracle's dot(b,a) are
+    * bit-identical and the whole k-NN graph hash-matches. Labeled-exact
+    * O(n²) path, same contract as dedupEmbeddingCosine; LSH buckets /
+    * IVF cells are the shipped sub-quadratic candidate generators. */
+  def simKnnJoin(embeddings: DataFrame, k: Int = 5,
+                 nBlocks: Int = 0, rowsPerBlock: Long = 65536): DataFrame = {
+    val spark = embeddings.sparkSession
+    val blocks = if (nBlocks > 0) nBlocks
+                 else blocksFor(embeddings.count(), rowsPerBlock)
+    val e = withNorm(embeddings).withColumn("blk", pmod(col("vec_id"), lit(blocks)))
+    val blockPairs = spark.range(blocks).select(col("id").as("bi"))
+      .crossJoin(spark.range(blocks).select(col("id").as("bj")))
+      .filter(col("bi") <= col("bj"))
+    val a = e.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("blka"))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("blkb"))
+    val pairs = a.join(broadcast(blockPairs), col("blka") === col("bi"))
+      .join(b, col("blkb") === col("bj") &&
+        (col("bi") =!= col("bj") || col("ida") < col("idb")))
+      .select(col("ida"), col("idb"),
+        (vector_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+    val directed = pairs
+      .select(explode(array(
+        struct(col("ida").as("vec_id"), col("idb").as("neighbor_id"), col("cosine")),
+        struct(col("idb").as("vec_id"), col("ida").as("neighbor_id"), col("cosine"))))
+        .as("e"))
+      .select(col("e.vec_id"), col("e.neighbor_id"), col("e.cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    directed.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy("vec_id", "rn")
+  }
+
+  /** Per-label embedding centroids — the class-prototype aggregate
+    * (labeled corpus → one mean vector per label; the building block of
+    * nearest-class-mean labeling and of drift monitoring between corpus
+    * snapshots). Shape is the IVF recipe without the iteration:
+    * posexplode to (label, dim, x), ONE partial/final hash agg, then
+    * labels×dims rows out — bounded by the label vocabulary, never by
+    * corpus size. Exactness: elements are float32, so x·2^48 is an EXACT
+    * integer for any |x| ≥ 2^-25 (exponent shift; the fixture's min
+    * magnitude is ~2^-20) — summed as DECIMAL(38,0) the aggregation has
+    * no rounding at all, unlike a DECIMAL(38,12) cast of the raw double
+    * where Spark rounds HALF_UP but DuckDB truncates (IVF survives that
+    * divergence because means only drive discrete cell assignment; here
+    * the mean IS the output). The final /2^48 is an exact exponent
+    * shift and /n the single correctly-rounded op, identical in both
+    * engines. */
+  def aggEmbeddingCentroid(embeddings: DataFrame): DataFrame = {
+    val scale = 281474976710656.0 // 2^48
+    embeddings
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum((col("x") * lit(scale)).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(scale) / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("centroid"), col("n"))
+      .orderBy("label", "dim")
+  }
 }

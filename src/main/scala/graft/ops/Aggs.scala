@@ -421,4 +421,21 @@ object Aggs {
         (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"))
       .orderBy("col_name")
   }
+
+  /** A18 (r4): seasonality profile — traffic count and decimal-exact mean
+    * value per (class, day-of-week, hour-of-day), the weekly-rhythm
+    * heatmap behind capacity planning and behind "is this hour's traffic
+    * odd FOR a Tuesday 3pm" baselines (the per-hour anomaly ops compare
+    * against a global center; this is the calendar-conditioned one).
+    * Day-of-week is computed as ((days-since-epoch + 4) mod 7, Sunday=0)
+    * from INTEGER division of epoch micros — engine-neutral arithmetic
+    * instead of each engine's dow() convention (Spark counts Sunday=1,
+    * DuckDB Sunday=0). One partial/final hash agg on a key bounded at
+    * classes × 168 cells. */
+  def statSeasonality(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        pmod(expr("unix_micros(ts) div 86400000000") + lit(4), lit(7)).as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .orderBy("event_type", "dow", "hod")
 }

@@ -138,6 +138,17 @@ class InvarianceSpec extends SparkSpec {
       rows(T.textTfidfTopk(docs.repartition(13))))
   }
 
+  test("knn join, embedding centroids and seasonality are partitioning-independent") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(Similarity.simKnnJoin(emb.coalesce(1))) ==
+      rows(Similarity.simKnnJoin(emb.repartition(13))))
+    assert(rows(Similarity.aggEmbeddingCentroid(emb.coalesce(1))) ==
+      rows(Similarity.aggEmbeddingCentroid(emb.repartition(13))))
+    assert(rows(Aggs.statSeasonality(events.coalesce(1))) ==
+      rows(Aggs.statSeasonality(events.repartition(13))))
+  }
+
   test("column profile, MAD anomalies and tolerant as-of are partitioning-independent") {
     import graft.ops.Windows
     assert(rows(Aggs.profileColumns(events.coalesce(1))) ==
