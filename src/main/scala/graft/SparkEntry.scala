@@ -136,6 +136,9 @@ object SparkEntry {
     "sim_search_lsh_multiprobe" -> ((s, d) => ext.Similarity.simSearchLshMultiprobe(embeddings(s, d))),
     "sim_search_ivf"        -> ((s, d) => ext.Similarity.simSearchIvf(embeddings(s, d))),
     "sim_knn_join"          -> ((s, d) => ext.Similarity.simKnnJoin(embeddings(s, d))),
+    "sim_knn_join_lsh"      -> ((s, d) => ext.Similarity.simKnnJoinLsh(embeddings(s, d))),
+    "dedup_semantic_clusters" -> ((s, d) => ext.Similarity.dedupSemanticClusters(embeddings(s, d))),
+    "corpus_mix_report"     -> ((s, d) => ext.CorpusPrep.corpusMixReport(documents(s, d))),
     "agg_embedding_centroid"-> ((s, d) => ext.Similarity.aggEmbeddingCentroid(embeddings(s, d))),
     // §2.10 extensions: text analysis
     "text_tokenize_stats"   -> ((s, d) => ext.Text.textTokenizeStats(documents(s, d))),
@@ -364,6 +367,12 @@ object SparkEntry {
     // directed pair can be computed from either orientation
     "sim_knn_join" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT a.vec_id src, b.vec_id dst, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) c FROM n a JOIN n b ON a.vec_id <> b.vec_id), r AS (SELECT src, dst, c, CAST(row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS BIGINT) AS rn FROM p) SELECT src AS vec_id, rn, dst AS neighbor_id, c AS cosine FROM r WHERE rn <= 5 ORDER BY vec_id, rn""",
+    "sim_knn_join_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END || CASE WHEN v[5] > 0 THEN '1' ELSE '0' END || CASE WHEN v[6] > 0 THEN '1' ELSE '0' END) bucket FROM e), p AS (SELECT a.vec_id src, b.vec_id dst, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) c FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), r AS (SELECT src, dst, c, CAST(row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS BIGINT) AS rn FROM p) SELECT src AS vec_id, rn, dst AS neighbor_id, c AS cosine FROM r WHERE rn <= 5 ORDER BY vec_id, rn""",
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e0), p AS (SELECT a.vec_id va, b.vec_id vb FROM n a JOIN n b ON a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35), edges AS (SELECT va AS src, vb AS dst FROM p UNION ALL SELECT vb, va FROM p), nodes AS (SELECT DISTINCT src AS id FROM edges), reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""",
+    "corpus_mix_report" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS n_chars, sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY 1, 2) SELECT lang, source, n_docs, n_chars, n_tokens, CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS doc_share, CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share FROM c ORDER BY lang, source""",
     // x*2^48 is an exact integer for float32 elements (|x| >= 2^-25), so the
     // DECIMAL(38,0) sum never rounds — Spark's HALF_UP vs DuckDB's truncating
     // double->decimal cast would diverge on a DECIMAL(38,12) spelling

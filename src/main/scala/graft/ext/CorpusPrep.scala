@@ -86,4 +86,27 @@ object CorpusPrep {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("bin")
   }
+
+  /** Corpus mixture report — the "data card" every released training set
+    * ships: per (lang, source) document count, char and whitespace-token
+    * totals, and each cell's share of the corpus. One partial/final hash
+    * agg over one scan (token counts are map-side expressions); the
+    * shares ride a window over the already-aggregated langs×sources
+    * frame, so the only single-partition step touches a vocabulary-
+    * bounded handful of rows. Shares are long/long double divisions —
+    * exactly rounded, hash-match. */
+  def corpusMixReport(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = documents
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+          .as("n_tokens"))
+    val all = Window.partitionBy()
+    cells
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        (col("n_docs").cast("double") / sum(col("n_docs")).over(all)).as("doc_share"),
+        (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)).as("token_share"))
+      .orderBy("lang", "source")
+  }
 }

@@ -253,7 +253,10 @@ object Similarity {
     * per-task memory stays bounded at any corpus size; each unordered
     * pair's dot product is computed ONCE and fanned out to both
     * directions map-side (explode of a 2-struct array — no second pass
-    * over the join), then one per-source top-k window. Dot products are
+    * over the join), then the bounded [[graft.functions.TopKBy]]
+    * aggregate ranks per source (map-side partials cap the shuffle at k
+    * rows per task — the candidate set never crosses the wire, which a
+    * rank window cannot avoid). Dot products are
     * index-ordered folds, so dot(a,b) and the oracle's dot(b,a) are
     * bit-identical and the whole k-NN graph hash-matches. Labeled-exact
     * O(n²) path, same contract as dedupEmbeddingCosine; LSH buckets /
@@ -282,12 +285,57 @@ object Similarity {
         struct(col("idb").as("vec_id"), col("ida").as("neighbor_id"), col("cosine"))))
         .as("e"))
       .select(col("e.vec_id"), col("e.neighbor_id"), col("e.cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    directed.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("vec_id"), col("rn"), col("neighbor_id"), col("cosine"))
+    topKPerKey(directed, k)
+  }
+
+  /** Shared bounded top-k ranking: [[graft.functions.TopKBy]] instead of
+    * a rank window, so map-side partials cap the shuffle at k entries per
+    * (key, task) — the candidate set itself never crosses the wire. The
+    * sorted struct array unpacks to (rn, neighbor_id, cosine) rows with
+    * one posexplode. */
+  private def topKPerKey(directed: DataFrame, k: Int): DataFrame =
+    directed
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKBy.top_k_by(col("cosine"), col("neighbor_id"), k).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
       .orderBy("vec_id", "rn")
+
+  /** [[simKnnJoin]] at 100 TB: the same top-k-per-vector join with
+    * candidates restricted to each vector's sign bucket — the LSH
+    * equi-join replaces the block-nested all-pairs, so work drops from
+    * n² to Σ(bucket size²) and the join shuffles on a key instead of
+    * broadcasting block pairs. `bits` trades recall for bucket size and
+    * should grow with the corpus (2^bits buckets bound the join's
+    * parallelism AND the per-bucket quadratic term); multiprobe (see
+    * [[simSearchLshMultiprobe]]) recovers boundary neighbors at
+    * (bits+1)× probe cost. Deterministic end to end — full oracle. */
+  def simKnnJoinLsh(embeddings: DataFrame, k: Int = 5, bits: Int = 6): DataFrame = {
+    val e = withNorm(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+    val b = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"), col("bucket"))
+    val pairs = e.join(b, Seq("bucket")).filter(col("vec_id") =!= col("nid"))
+      .withColumn("cosine", vector_dot(col("v"), col("nv")) / (col("nrm") * col("nn")))
+    topKPerKey(pairs.select(col("vec_id"), col("nid").as("neighbor_id"), col("cosine")), k)
+  }
+
+  /** SemDeDup-style semantic clustering: connected components over the
+    * exact cosine near-dup graph at `threshold` — groups of vectors
+    * that are all transitively semantically close, the keep-one-per-
+    * cluster primitive for embedding-level corpus pruning. Pair
+    * generation is [[dedupEmbeddingCosine]] (bounded block equi-join);
+    * clustering is the shared path-halving min-label fixpoint
+    * (`Dedup.ccComponents` — O(log chain depth) rounds, 1-row driver
+    * traffic per round). The pair frame is persisted because every
+    * fixpoint round re-reads it. */
+  def dedupSemanticClusters(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val pairs = dedupEmbeddingCosine(embeddings, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .persist()
+    Dedup.ccComponents(pairs)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .orderBy("vec_id")
   }
 
   /** Per-label embedding centroids — the class-prototype aggregate

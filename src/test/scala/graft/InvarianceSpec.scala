@@ -138,6 +138,17 @@ class InvarianceSpec extends SparkSpec {
       rows(T.textTfidfTopk(docs.repartition(13))))
   }
 
+  test("lsh knn join, semantic clusters and mix report are partitioning-independent") {
+    import graft.ext.{CorpusPrep, Similarity}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(Similarity.simKnnJoinLsh(emb.coalesce(1))) ==
+      rows(Similarity.simKnnJoinLsh(emb.repartition(13))))
+    assert(rows(Similarity.dedupSemanticClusters(emb.coalesce(1))) ==
+      rows(Similarity.dedupSemanticClusters(emb.repartition(13))))
+    assert(rows(CorpusPrep.corpusMixReport(docs.coalesce(1))) ==
+      rows(CorpusPrep.corpusMixReport(docs.repartition(13))))
+  }
+
   test("knn join, embedding centroids and seasonality are partitioning-independent") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
