@@ -97,6 +97,8 @@ object SparkEntry {
     "profile_columns"       -> ((s, d) => Aggs.profileColumns(events(s, d))),
     "stat_seasonality"      -> ((s, d) => Aggs.statSeasonality(events(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
+    "stat_autocorr_lag"     -> ((s, d) => Aggs.statAutocorrLag(events(s, d))),
+    "window_cusum"          -> ((s, d) => Windows.windowCusum(events(s, d))),
     "stat_regression_hourly"-> ((s, d) => Aggs.statRegressionHourly(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
@@ -440,6 +442,13 @@ object SparkEntry {
       s"""SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, hour(ts) AS hod, count(*) AS n, $DAVG AS avg_value FROM events GROUP BY 1, 2, 3 ORDER BY event_type, dow, hod""",
     "window_mad_hours" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS nn FROM h), m AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT) THEN n END) AS med FROM r GROUP BY 1), d AS (SELECT h.event_type, h.hour, h.n, m.med, abs(h.n - m.med) AS dev FROM h JOIN m USING (event_type)), r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev, hour) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS nn FROM d), m2 AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT) THEN dev END) AS mad FROM r2 GROUP BY 1) SELECT d.event_type, strftime(d.hour, $TS0) AS hour_s, d.n, d.med, d.dev, m2.mad, d.dev > 3 * m2.mad AS is_anomaly FROM d JOIN m2 USING (event_type) ORDER BY event_type, hour_s""",
+    "stat_autocorr_lag" ->
+      "WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hu, count(*) AS n FROM events GROUP BY 1, 2), p AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y FROM h a CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(24 AS BIGINT))) l(lag) JOIN h b ON b.event_type = a.event_type AND b.hu = a.hu + l.lag * 3600000000), s AS (SELECT event_type, lag, count(*) AS n_pairs, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, CAST(sum(CAST(x*y AS HUGEINT)) AS DOUBLE) AS sxy, CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS sxx, CAST(sum(CAST(y*y AS HUGEINT)) AS DOUBLE) AS syy FROM p GROUP BY 1, 2) SELECT event_type, lag, n_pairs, (n_pairs * sxy - sx * sy) / (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy)) AS autocorr FROM s WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0 ORDER BY event_type, lag",
+    // running sum stays on INTEGER counts (exact under any window-eval
+    // order); the mean enters once per row via S_t - t*mean, a fixed
+    // 3-op double chain both engines round identically
+    "window_cusum" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), w AS (SELECT event_type, hour, n, sum(n) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t, CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS t_idx, CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS mean_n FROM h) SELECT event_type, strftime(hour, $TS0) AS hour_s, n, CAST(s_t AS DOUBLE) - CAST(t_idx AS DOUBLE) * mean_n AS cusum FROM w ORDER BY event_type, hour_s""",
     "stat_regression_hourly" ->
       "WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 - 473352 AS x, count(*) AS y FROM events GROUP BY 1, 2), s AS (SELECT event_type, count(*) AS n_hours, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, CAST(sum(CAST(x*y AS HUGEINT)) AS DOUBLE) AS sxy, CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS sxx FROM h GROUP BY 1) SELECT event_type, n_hours, (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) AS slope, (sy - (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) * sx) / n_hours AS intercept FROM s WHERE (n_hours * sxx - sx * sx) > 0 ORDER BY event_type",
     "text_tfidf_topk" ->

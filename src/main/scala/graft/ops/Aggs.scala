@@ -280,6 +280,47 @@ object Aggs {
           sqrt(col("n_hours") * col("syy") - col("sy") * col("sy")))).as("corr_xy"))
   }
 
+  /** A19 (r4): autocorrelation of hourly traffic at lags 1 h and 24 h —
+    * the statistic that says whether a series has short-term momentum
+    * and/or a daily cycle (the quantitative form of what
+    * [[statSeasonality]] renders as a profile). Pairs (t, t+lag) come
+    * from a self-equi-join of the tiny hourly frame on the SHIFTED hour
+    * key (exact epoch arithmetic, so only true lag-distant hours pair —
+    * gaps in the series drop out instead of silently pairing
+    * non-adjacent rows as a LAG window would). Pearson r per (class,
+    * lag) from exact integer power sums + the fixed-order double chain
+    * of [[statCorrHourlyCounts]]; zero-variance groups are excluded by
+    * the same predicate in both engines. */
+  def statAutocorrLag(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hu"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = hourly
+      .select(col("event_type"), col("hu"), col("n"),
+        explode(array(lit(1L), lit(24L))).as("lag"))
+      .withColumn("hu2", col("hu") + col("lag") * lit(3600000000L))
+    val right = hourly.select(col("event_type"), col("hu").as("hu2"), col("n").as("y"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = lagged.join(right, Seq("event_type", "hu2"))
+    val sums = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("n").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("n") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("n") * col("n")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+    sums
+      .filter(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n_pairs") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_pairs") * col("syy") - col("sy") * col("sy")))).as("autocorr"))
+      .orderBy("event_type", "lag")
+  }
+
   /** Mode per key — each node's most frequent event class (the dominant-
     * traffic-type view of A3), deterministic ties by lexicographic type.
     * Two-stage: (user, type) counts (partial-aggregated) then a top-1

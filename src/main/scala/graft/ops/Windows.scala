@@ -155,6 +155,36 @@ object Windows {
     * first hash agg (persisted — everything downstream reuses it);
     * the two median passes and broadcast join-backs run on that tiny
     * frame, so 100 TB of events costs one aggregate + noise. */
+  /** W10 (r4): CUSUM drift detection over hourly traffic — the classic
+    * change-point statistic (a sustained level shift accumulates where
+    * per-hour z/MAD flags only spikes): cusum_t = Σ_{i≤t}(n_i − mean).
+    * Exactness: a running DOUBLE sum would be engine-fragile (Spark
+    * accumulates frames sequentially, DuckDB may evaluate windowed sums
+    * as a segment tree — different addition orders, different rounding),
+    * so the running sum stays on INTEGER counts (exact under any
+    * evaluation order) and the mean enters once per row through the
+    * algebraic identity Σ(n_i − mean) = S_t − t·mean — a fixed 3-op
+    * double chain (divide, multiply, subtract), correctly rounded
+    * identically in both engines. One hash agg + one window, both on the
+    * class key. */
+  def windowCusum(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wRun = wAll.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("s_t", sum(col("n")).over(wRun))
+      .withColumn("t_idx", row_number().over(wAll.orderBy(col("hour"))).cast("long"))
+      .withColumn("mean_n",
+        sum(col("n")).over(wAll).cast("double") / count(lit(1)).over(wAll).cast("double"))
+      .select(col("event_type"), fmtTsSec(col("hour")).as("hour_s"), col("n"),
+        (col("s_t").cast("double") - col("t_idx").cast("double") * col("mean_n"))
+          .as("cusum"))
+      .orderBy("event_type", "hour_s")
+  }
+
   def windowMadHours(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))

@@ -169,4 +169,12 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(Joins.joinAsofTolerance(events.coalesce(1))) ==
       rows(Joins.joinAsofTolerance(events.repartition(13))))
   }
+
+  test("autocorrelation and CUSUM are partitioning-independent") {
+    import graft.ops.Windows
+    assert(rows(Aggs.statAutocorrLag(events.coalesce(1))) ==
+      rows(Aggs.statAutocorrLag(events.repartition(13))))
+    assert(rows(Windows.windowCusum(events.coalesce(1))) ==
+      rows(Windows.windowCusum(events.repartition(13))))
+  }
 }
