@@ -99,6 +99,10 @@ object SparkEntry {
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "stat_autocorr_lag"     -> ((s, d) => Aggs.statAutocorrLag(events(s, d))),
     "window_cusum"          -> ((s, d) => Windows.windowCusum(events(s, d))),
+    "agg_time_weighted_avg" -> ((s, d) => Aggs.aggTimeWeightedAvg(events(s, d))),
+    "profile_key_skew"      -> ((s, d) => Aggs.profileKeySkew(events(s, d))),
+    "window_minmax_scale"   -> ((s, d) => Windows.windowMinmaxScale(events(s, d))),
+    "clean_winsorize"       -> ((s, d) => batch.Clean.cleanWinsorize(events(s, d))),
     "stat_regression_hourly"-> ((s, d) => Aggs.statRegressionHourly(events(s, d))),
     "agg_time_bucket"       -> ((s, d) => Aggs.aggTimeBucket(events(s, d))),
     "agg_rollup_node_day"   -> ((s, d) => Aggs.aggRollupNodeDay(events(s, d))),
@@ -449,6 +453,14 @@ object SparkEntry {
     // 3-op double chain both engines round identically
     "window_cusum" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), w AS (SELECT event_type, hour, n, sum(n) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t, CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS t_idx, CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS mean_n FROM h) SELECT event_type, strftime(hour, $TS0) AS hour_s, n, CAST(s_t AS DOUBLE) - CAST(t_idx AS DOUBLE) * mean_n AS cusum FROM w ORDER BY event_type, hour_s""",
+    "agg_time_weighted_avg" ->
+      "WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS tu, lag(value) OVER w AS pv, lag(epoch_us(ts)) OVER w AS ptu FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, count(*) AS n_segments, CAST(sum(CAST(floor((value + pv) / 2.0 * (CAST(tu - ptu AS DOUBLE) / 1000000.0) * 1048576.0) AS BIGINT)) AS DOUBLE) AS area_q, max(tu) - min(ptu) AS span_us FROM o WHERE ptu IS NOT NULL GROUP BY 1) SELECT user_id, n_segments, (area_q / 1048576.0) / (CAST(span_us AS DOUBLE) / 1000000.0) AS twa FROM s WHERE span_us > 0 ORDER BY user_id",
+    "profile_key_skew" ->
+      "WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS rn, CAST(count(*) OVER () AS BIGINT) AS nk FROM c), s AS (SELECT max(nk) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt, max(CASE WHEN rn = CAST(ceil(nk * 0.5) AS BIGINT) THEN cnt END) AS med_cnt, CAST(sum(CASE WHEN rn > nk - 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10_rows FROM r) SELECT n_keys, n_rows, max_cnt, med_cnt, CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_cnt, CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share FROM s",
+    "window_minmax_scale" ->
+      "WITH w AS (SELECT event_id, event_type, value, min(value) OVER (PARTITION BY event_type) AS mn, max(value) OVER (PARTITION BY event_type) AS mx FROM events) SELECT event_id, event_type, value, CASE WHEN mx > mn THEN (value - mn) / (mx - mn) ELSE 0.5 END AS scaled FROM w ORDER BY event_id",
+    "clean_winsorize" ->
+      "WITH r AS (SELECT event_type, value, event_id, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), b AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(n * 0.01) AS BIGINT) THEN value END) AS lo_v, max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS hi_v FROM r GROUP BY 1) SELECT e.event_id, e.event_type, e.value, least(greatest(e.value, b.lo_v), b.hi_v) AS value_w FROM events e JOIN b USING (event_type) ORDER BY event_id",
     "stat_regression_hourly" ->
       "WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 - 473352 AS x, count(*) AS y FROM events GROUP BY 1, 2), s AS (SELECT event_type, count(*) AS n_hours, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, CAST(sum(CAST(x*y AS HUGEINT)) AS DOUBLE) AS sxy, CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS sxx FROM h GROUP BY 1) SELECT event_type, n_hours, (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) AS slope, (sy - (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) * sx) / n_hours AS intercept FROM s WHERE (n_hours * sxx - sx * sx) > 0 ORDER BY event_type",
     "text_tfidf_topk" ->

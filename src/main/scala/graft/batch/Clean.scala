@@ -72,4 +72,29 @@ object Clean {
         round(col("value"), 3).as("value_r"))
       .orderBy("event_id")                                            // O1 (total)
   }
+
+  /** r4: winsorization — clip each reading to its class's discrete
+    * [p01, p99] band, the standard outlier treatment before averaging
+    * sensor data (a stuck sensor's 10⁶ spike otherwise owns the mean;
+    * dropping rows (P6) loses the observation, clipping keeps it at the
+    * boundary). The percentile bounds use the same discrete value-at-
+    * ceil(q·n) definition as `agg_quantiles` (no interpolation), and the
+    * clip is `least/greatest` — pure SELECTIONS of existing doubles, zero
+    * arithmetic, so the output hash-matches trivially. Plan: one window +
+    * one hash agg compute the tiny per-class bounds; the clip itself is a
+    * broadcast join back onto the facts (the big side never shuffles). */
+  def cleanWinsorize(events: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val counted = events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = counted.groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ceil(col("n") * lo), col("value"))).as("lo_v"),
+        max(when(col("rn") === ceil(col("n") * hi), col("value"))).as("hi_v"))
+    events.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo_v")), col("hi_v")).as("value_w"))
+      .orderBy("event_id")
+  }
 }

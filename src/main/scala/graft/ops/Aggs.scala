@@ -321,6 +321,78 @@ object Aggs {
       .orderBy("event_type", "lag")
   }
 
+  /** A20 (r4): trapezoidal time-weighted average per node — THE canonical
+    * air-quality statistic for irregularly sampled sensors (a plain mean
+    * over-weights chatty periods; regulatory PM/temperature averages are
+    * time-weighted; the reference renders raw per-node series,
+    * graphdata.py:98-112, and leaves averaging to the eye). Per segment
+    * between consecutive readings: area = (v + prev_v)/2 · Δt; TWA =
+    * Σ area / total span. Exactness: Δt is exact integer micros, the
+    * per-row (add, halve, multiply) chain is fixed-order correctly-
+    * rounded, the area sum goes through the exact-decimal [[graft.Det]]
+    * path (order-independent), and the final two divides are one fixed
+    * chain — hash-match on any partitioning. Plan: one window + one hash
+    * agg, both on the node key. */
+  def aggTimeWeightedAvg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val o = events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("ptu", lag(col("tu"), 1).over(w))
+    // Δt converts to SECONDS per row (one correctly-rounded divide), then
+    // each trapezoid is quantized BINARY fixed-point: trap·2^20 is an
+    // exact exponent shift (no rounding) and floor is deterministic, so
+    // the area sum is exact integer arithmetic in both engines. A decimal
+    // cast instead rounds at a POWER-OF-TEN grid whose halfway points
+    // doubles do hit (observed: 1 row per ~3000 lands exactly on .5e-6,
+    // where Spark HALF_UP and DuckDB disagree).
+    o.filter(col("ptu").isNotNull)
+      .withColumn("trap",
+        (col("value") + col("pv")) / lit(2.0) *
+          ((col("tu") - col("ptu")).cast("double") / lit(1000000.0)))
+      .withColumn("trap_q", floor(col("trap") * lit(1048576.0)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("trap_q")).as("area_q"),
+        (max(col("tu")) - min(col("ptu"))).as("span_us"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_segments"),
+        ((col("area_q").cast("double") / lit(1048576.0)) /
+          (col("span_us").cast("double") / lit(1000000.0))).as("twa"))
+      .orderBy("user_id")
+  }
+
+  /** A21 (r4): key-skew profile — the distribution diagnostics that decide
+    * the 100 TB physical plan (salt or not, how many shuffle partitions,
+    * whether AQE skew-join will fire): per-key counts reduced to key
+    * cardinality, max/median key size, and the share of rows held by the
+    * 10 hottest keys. Everything is integer until the two final divides
+    * (avg rows/key, top-10 share), so the whole profile hash-matches.
+    * Plan: one (key) hash agg, then windows + the final fold over the
+    * |keys|-sized count frame — fine while |keys| ≪ rows (here 150); for
+    * a billion-key corpus the median would move to the banded two-phase
+    * form ([[aggQuantilesBanded]] over counts). */
+  def profileKeySkew(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt"), col("user_id"))).cast("long"))
+      .withColumn("nk", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("long"))
+    ranked.agg(
+      max(col("nk")).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      max(when(col("rn") === ceil(col("nk") * 0.5), col("cnt"))).as("med_cnt"),
+      sum(when(col("rn") > col("nk") - 10, col("cnt")).otherwise(0L)).as("top10_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("med_cnt"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double")).as("avg_cnt"),
+        (col("top10_rows").cast("double") / col("n_rows").cast("double")).as("top10_share"))
+  }
+
   /** Mode per key — each node's most frequent event class (the dominant-
     * traffic-type view of A3), deterministic ties by lexicographic type.
     * Two-stage: (user, type) counts (partial-aggregated) then a top-1

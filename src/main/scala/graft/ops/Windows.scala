@@ -185,6 +185,27 @@ object Windows {
       .orderBy("event_type", "hour_s")
   }
 
+  /** W11 (r4): per-class min-max feature scaling — the normalization step
+    * a feature-prep pipeline runs before training ((x−min)/(max−min) per
+    * event class). min/max are SELECTIONS, not sums — exact under any
+    * partitioning/merge order — and the per-row (subtract, subtract,
+    * divide) chain is fixed-order correctly-rounded, so every scaled
+    * value hash-matches. Both extrema share one unordered window spec ⇒
+    * ONE Window node on the class key (plan-gated); degenerate classes
+    * (max = min) pin to 0.5 identically in both engines instead of
+    * dividing by zero. */
+  def windowMinmaxScale(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    events
+      .withColumn("mn", min(col("value")).over(w))
+      .withColumn("mx", max(col("value")).over(w))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("mx") > col("mn"),
+          (col("value") - col("mn")) / (col("mx") - col("mn")))
+          .otherwise(lit(0.5)).as("scaled"))
+      .orderBy("event_id")
+  }
+
   def windowMadHours(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))

@@ -177,4 +177,19 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(Windows.windowCusum(events.coalesce(1))) ==
       rows(Windows.windowCusum(events.repartition(13))))
   }
+
+  test("time-weighted avg and key-skew profile are partitioning-independent") {
+    assert(rows(Aggs.aggTimeWeightedAvg(events.coalesce(1))) ==
+      rows(Aggs.aggTimeWeightedAvg(events.repartition(13))))
+    assert(rows(Aggs.profileKeySkew(events.coalesce(1))) ==
+      rows(Aggs.profileKeySkew(events.repartition(13))))
+  }
+
+  test("min-max scaling and winsorization are partitioning-independent") {
+    import graft.ops.Windows
+    assert(rows(Windows.windowMinmaxScale(events.coalesce(1))) ==
+      rows(Windows.windowMinmaxScale(events.repartition(13))))
+    assert(rows(graft.batch.Clean.cleanWinsorize(events.coalesce(1))) ==
+      rows(graft.batch.Clean.cleanWinsorize(events.repartition(13))))
+  }
 }

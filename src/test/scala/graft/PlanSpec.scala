@@ -187,4 +187,21 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 2,
       s"expected (doc,bigram) then doc shuffles, got $hashEx:\n$plan")
   }
+
+  test("window_minmax_scale computes both extrema in one Window node") {
+    val plan = executed(q("window_minmax_scale"))
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows == 1,
+      s"min and max share one unordered spec — expected 1 Window node, got $windows:\n$plan")
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected only the class-key window shuffle, got $hashEx:\n$plan")
+  }
+
+  test("clean_winsorize clips via a broadcast of the tiny per-class bounds") {
+    val plan = executed(q("clean_winsorize"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounds join-back must broadcast (fact side stays unshuffled):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"winsorize must not shuffle the fact table for the bounds join:\n$plan")
+  }
 }
