@@ -146,6 +146,9 @@ object SparkEntry {
     "dedup_semantic_clusters" -> ((s, d) => ext.Similarity.dedupSemanticClusters(embeddings(s, d))),
     "corpus_mix_report"     -> ((s, d) => ext.CorpusPrep.corpusMixReport(documents(s, d))),
     "agg_embedding_centroid"-> ((s, d) => ext.Similarity.aggEmbeddingCentroid(embeddings(s, d))),
+    "emb_centroid_drift"    -> ((s, d) => ext.Similarity.embCentroidDrift(embeddings(s, d))),
+    "join_fuzzy_blocked"    -> ((s, d) => Joins.joinFuzzyBlocked(part(s, d))),
+    "corpus_shuffle_order"  -> ((s, d) => ext.Sampling.corpusShuffleOrder(documents(s, d))),
     // §2.10 extensions: text analysis
     "text_tokenize_stats"   -> ((s, d) => ext.Text.textTokenizeStats(documents(s, d))),
     "text_filter_lang"      -> ((s, d) => ext.Text.textFilterLang(documents(s, d))),
@@ -384,6 +387,12 @@ object SparkEntry {
     // double->decimal cast would diverge on a DECIMAL(38,12) spelling
     "agg_embedding_centroid" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] v FROM embeddings), d AS (SELECT label, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT label, v, unnest(range(64)) AS i FROM e)) SELECT label, dim, CAST(SUM(CAST(x * 281474976710656.0 AS DECIMAL(38,0))) AS DOUBLE) / 281474976710656.0 / COUNT(*) AS centroid, COUNT(*) AS n FROM d GROUP BY label, dim ORDER BY label, dim""",
+    "emb_centroid_drift" ->
+      """WITH d AS (SELECT label, vec_id % 2 AS par, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT label, vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), c AS (SELECT label, par, dim, CAST(SUM(CAST(x * 281474976710656.0 AS DECIMAL(38,0))) AS DOUBLE) / 281474976710656.0 / COUNT(*) AS centroid FROM d GROUP BY 1, 2, 3) SELECT a.label, count(*) AS n_dims, max(abs(b.centroid - a.centroid)) AS max_abs_drift FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim AND a.par = 0 AND b.par = 1 GROUP BY 1 ORDER BY a.label""",
+    "join_fuzzy_blocked" ->
+      """WITH n AS (SELECT p_name, count(*) AS n_rows, split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1) SELECT a.p_name AS name_a, b.p_name AS name_b, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist, a.n_rows AS n_a, b.n_rows AS n_b FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY name_a, name_b""",
+    "corpus_shuffle_order" ->
+      """WITH h AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hkey FROM documents), s AS (SELECT doc_id, hkey, CAST(hkey % 8 AS BIGINT) AS shard FROM h) SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS BIGINT) AS pos FROM s ORDER BY shard, pos""",
     "sim_search_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e), p AS (SELECT q.vec_id query_id, c.vec_id vec_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) cosine FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 10), r AS (SELECT query_id, vec_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rn FROM p) SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "sim_search_lsh_bucketed" ->

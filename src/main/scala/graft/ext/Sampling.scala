@@ -57,6 +57,28 @@ object Sampling {
       .orderBy("doc_id", "copy_id")
   }
 
+  /** r4: deterministic corpus shuffle + shard assignment — the "global
+    * random order" a training run consumes, without RNG state: sort key =
+    * md5-u64 of the content id (same portable hash family as
+    * [[sampleHashSplit]]), so the order is reproducible across runs,
+    * engines and partitionings. Scale design: there is NO global
+    * row_number (a single total-order window serializes at 100 TB) —
+    * shard assignment is map-side (hash mod nShards) and positions are
+    * per-shard windows, which parallelize across shards; the training
+    * loader reads (shard, pos) order, the standard sharded-shuffle
+    * contract. */
+  def corpusShuffleOrder(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val u64 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16), 16, 10)
+      .cast("decimal(38,0)")
+    val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    documents
+      .select(col("doc_id"), u64.as("hkey"))
+      .withColumn("shard", (col("hkey") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** Stratified quota sample: at most k docs per group (lang), lowest
     * doc_id first — deterministic per-stratum downsampling (class
     * balancing). One shuffle on the group key. */

@@ -353,7 +353,10 @@ object Similarity {
     * the mean IS the output). The final /2^48 is an exact exponent
     * shift and /n the single correctly-rounded op, identical in both
     * engines. */
-  def aggEmbeddingCentroid(embeddings: DataFrame): DataFrame = {
+  def aggEmbeddingCentroid(embeddings: DataFrame): DataFrame =
+    centroidCore(embeddings).orderBy("label", "dim")
+
+  private def centroidCore(embeddings: DataFrame): DataFrame = {
     val scale = 281474976710656.0 // 2^48
     embeddings
       .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
@@ -363,6 +366,28 @@ object Similarity {
           .cast("double") / lit(scale) / count(lit(1))).as("centroid"),
         count(lit(1)).as("n"))
       .select(col("label"), col("dim").cast("long").as("dim"), col("centroid"), col("n"))
-      .orderBy("label", "dim")
+  }
+
+  /** r4: cross-snapshot embedding drift — per-label Chebyshev distance
+    * (max per-dimension shift) between the class centroids of an
+    * existing corpus snapshot and a new batch (vec_id parity splits the
+    * fixture, same convention as `dedup_incremental`) — the monitoring
+    * query that says whether a crawl refresh moved a class's semantic
+    * center. Exactness: centroids come from the exact-integer
+    * [[aggEmbeddingCentroid]] sums, each per-dimension delta is ONE
+    * correctly-rounded subtract, and the per-label reduce is max(abs(·))
+    * — a SELECTION, never a sum of already-rounded doubles (a summed L2
+    * would round engine-dependently; Chebyshev stays bit-exact). Plan:
+    * two bounded centroid aggs (labels × dims rows) + one tiny join. */
+  def embCentroidDrift(embeddings: DataFrame): DataFrame = {
+    val store = centroidCore(embeddings.filter(col("vec_id") % 2 === 0))
+    val fresh = centroidCore(embeddings.filter(col("vec_id") % 2 === 1))
+    store.select(col("label"), col("dim"), col("centroid").as("c_store"))
+      .join(fresh.select(col("label"), col("dim"), col("centroid").as("c_new")),
+        Seq("label", "dim"))
+      .withColumn("delta", abs(col("c_new") - col("c_store")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"), max(col("delta")).as("max_abs_drift"))
+      .orderBy("label")
   }
 }

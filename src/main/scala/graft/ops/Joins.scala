@@ -251,6 +251,30 @@ object Joins {
     * classification is a null-pattern CASE — no driver-side diffing, so
     * a 100 TB snapshot pair reconciles as two aggs + one sort-merge
     * join. */
+  /** J7 (r4): blocked fuzzy join — record linkage over a dirty string key
+    * (the reference keys nodes by free-text `longname`,
+    * AIRWISEv0.py:248-251; renames/typos fragment per-name groupings).
+    * Scale-true shape: similarity runs on the DISTINCT-name VOCABULARY
+    * (the first hash agg collapses the facts; name vocabularies are
+    * orders of magnitude smaller than fact tables), blocked on the first
+    * token so each block compares vocab²/blocks candidates, never
+    * all-pairs — the standard blocking+verify linkage plan. The verify
+    * predicate is `levenshtein` — pure integer arithmetic, identical in
+    * both engines, so every matched pair hash-matches. Per-name row
+    * counts ride along from the same agg (no second scan). */
+  def joinFuzzyBlocked(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val names = part.groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = names.select(col("p_name").as("name_a"), col("n_rows").as("n_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("n_rows").as("n_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
   def snapshotDiff(events: DataFrame): DataFrame = {
     val cut = lit("2024-01-16 00:00:00").cast("timestamp")
     def snap(df: DataFrame, n: String, lastTs: String): DataFrame =

@@ -185,6 +185,17 @@ class InvarianceSpec extends SparkSpec {
       rows(Aggs.profileKeySkew(events.repartition(13))))
   }
 
+  test("fuzzy blocked join, shuffle order and centroid drift are partitioning-independent") {
+    val part = Tables.part(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(Joins.joinFuzzyBlocked(part.coalesce(1))) ==
+      rows(Joins.joinFuzzyBlocked(part.repartition(13))))
+    assert(rows(Sampling.corpusShuffleOrder(docs.coalesce(1))) ==
+      rows(Sampling.corpusShuffleOrder(docs.repartition(13))))
+    assert(rows(graft.ext.Similarity.embCentroidDrift(emb.coalesce(1))) ==
+      rows(graft.ext.Similarity.embCentroidDrift(emb.repartition(13))))
+  }
+
   test("min-max scaling and winsorization are partitioning-independent") {
     import graft.ops.Windows
     assert(rows(Windows.windowMinmaxScale(events.coalesce(1))) ==
