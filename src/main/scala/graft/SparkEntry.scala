@@ -76,6 +76,8 @@ object SparkEntry {
     "join_semi_active_nodes"  -> ((s, d) => Joins.joinSemiActiveNodes(customer(s, d), orders(s, d))),
     "join_anti_unknown_nodes" -> ((s, d) => Joins.joinAntiUnknownNodes(customer(s, d), orders(s, d))),
     "snapshot_diff"         -> ((s, d) => Joins.snapshotDiff(events(s, d))),
+    "join_bloom_prefilter"  -> ((s, d) => Joins.joinBloomPrefilter(orders(s, d), customer(s, d))),
+    "layout_zorder_skipping"-> ((s, d) => sources.Layout.zorderSkipping(events(s, d))),
     // §2.5 aggregations
     "agg_last_seen_per_node"-> ((s, d) => Aggs.aggLastSeenPerNode(events(s, d))),
     "agg_metrics_summary"   -> ((s, d) => Aggs.aggMetricsSummary(events(s, d))),
@@ -147,6 +149,7 @@ object SparkEntry {
     "corpus_mix_report"     -> ((s, d) => ext.CorpusPrep.corpusMixReport(documents(s, d))),
     "agg_embedding_centroid"-> ((s, d) => ext.Similarity.aggEmbeddingCentroid(embeddings(s, d))),
     "emb_centroid_drift"    -> ((s, d) => ext.Similarity.embCentroidDrift(embeddings(s, d))),
+    "emb_quantize_int8"     -> ((s, d) => ext.Similarity.embQuantizeInt8(embeddings(s, d))),
     "join_fuzzy_blocked"    -> ((s, d) => Joins.joinFuzzyBlocked(part(s, d))),
     "corpus_shuffle_order"  -> ((s, d) => ext.Sampling.corpusShuffleOrder(documents(s, d))),
     // §2.10 extensions: text analysis
@@ -391,6 +394,11 @@ object SparkEntry {
       """WITH d AS (SELECT label, vec_id % 2 AS par, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT label, vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), c AS (SELECT label, par, dim, CAST(SUM(CAST(x * 281474976710656.0 AS DECIMAL(38,0))) AS DOUBLE) / 281474976710656.0 / COUNT(*) AS centroid FROM d GROUP BY 1, 2, 3) SELECT a.label, count(*) AS n_dims, max(abs(b.centroid - a.centroid)) AS max_abs_drift FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim AND a.par = 0 AND b.par = 1 GROUP BY 1 ORDER BY a.label""",
     "join_fuzzy_blocked" ->
       """WITH n AS (SELECT p_name, count(*) AS n_rows, split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1) SELECT a.p_name AS name_a, b.p_name AS name_b, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist, a.n_rows AS n_a, b.n_rows AS n_b FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY name_a, name_b""",
+    // scale=max(|x|)/127 (selection + one divide), q=floor(x/scale+0.5)
+    // clamped — every step a single correctly-rounded IEEE op; err_l1 sums
+    // in DECIMAL(28,6) (Det.dsum)
+    "emb_quantize_int8" ->
+      """WITH d AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM d GROUP BY 1), q AS (SELECT d.vec_id, m.scale, CASE WHEN m.scale = 0 THEN 0 ELSE least(greatest(CAST(floor(x / m.scale + 0.5) AS BIGINT), -127), 127) END AS q, x FROM d JOIN m USING (vec_id)) SELECT vec_id, max(scale) AS scale, min(q) AS q_min, max(q) AS q_max, CAST(sum(q * q) AS BIGINT) AS q_norm2, CAST(SUM(CAST(abs(q * scale - x) AS DECIMAL(28,6))) AS DOUBLE) AS err_l1 FROM q GROUP BY vec_id ORDER BY vec_id""",
     "corpus_shuffle_order" ->
       """WITH h AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hkey FROM documents), s AS (SELECT doc_id, hkey, CAST(hkey % 8 AS BIGINT) AS shard FROM h) SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS BIGINT) AS pos FROM s ORDER BY shard, pos""",
     "sim_search_cosine_topk" ->
@@ -433,6 +441,12 @@ object SparkEntry {
       s"""SELECT event_id, strftime(timezone('America/Los_Angeles', timezone('UTC', TRY_CAST(strftime(ts, $TS6) AS TIMESTAMP))), $TS0) AS pacific_time, round(TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE), 3) AS value_r FROM events WHERE event_type IN ('click', 'view') AND TRY_CAST(strftime(ts, $TS6) AS TIMESTAMP) IS NOT NULL ORDER BY event_id""",
     "snapshot_diff" ->
       s"""WITH a AS (SELECT user_id, count(*) AS n_before, max(ts) AS last_before FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1), b AS (SELECT user_id, count(*) AS n_after, max(ts) AS last_after FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1) SELECT coalesce(a.user_id, b.user_id) AS user_id, coalesce(a.n_before, 0) AS n_before, coalesce(b.n_after, 0) AS n_after, strftime(a.last_before, $TS6) AS last_before_s, strftime(b.last_after, $TS6) AS last_after_s, CASE WHEN a.user_id IS NULL THEN 'added' WHEN b.user_id IS NULL THEN 'removed' WHEN a.n_before = b.n_after THEN 'same' ELSE 'changed' END AS status FROM a FULL JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
+    // bloom prefilter is exact (no false negatives + exact post-join), so
+    // the oracle is the PLAIN join — the filter must be invisible in results
+    "join_bloom_prefilter" ->
+      "SELECT o.o_orderkey, o.o_custkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING' ORDER BY o.o_orderkey",
+    "layout_zorder_skipping" ->
+      """WITH raw AS (SELECT event_id, user_id, ts, epoch_us(ts) // 3600000000 AS hu FROM events), bounds AS (SELECT min(user_id) AS u_lo, max(user_id) AS u_hi, min(hu) AS h_lo, max(hu) AS h_hi FROM raw), base AS (SELECT event_id, user_id, ts, ((user_id - u_lo) * 256) // (u_hi - u_lo + 1) AS xa, ((hu - h_lo) * 256) // (h_hi - h_lo + 1) AS xb FROM raw CROSS JOIN bounds), s1 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS a1, (xb | (xb << 8)) & 16711935 AS b1 FROM base), s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1), s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3, (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2), s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3), zz AS (SELECT event_id, user_id, ts, a4 | (b4 << 1) AS z FROM s4), tb AS (SELECT user_id, (row_number() OVER (ORDER BY ts, event_id) - 1) // 512 AS blk FROM zz), zb AS (SELECT user_id, (row_number() OVER (ORDER BY z, event_id) - 1) // 512 AS blk FROM zz), tstat AS (SELECT blk, min(user_id) AS u_min, max(user_id) AS u_max, count(*) AS n FROM tb GROUP BY 1), zstat AS (SELECT blk, min(user_id) AS u_min, max(user_id) AS u_max, count(*) AS n FROM zb GROUP BY 1) SELECT 'time_sorted' AS layout, count(*) AS n_blocks, CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_hit, CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN n ELSE 0 END) AS BIGINT) AS rows_hit FROM tstat UNION ALL SELECT 'z_sorted', count(*), CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN 1 ELSE 0 END) AS BIGINT), CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN n ELSE 0 END) AS BIGINT) FROM zstat ORDER BY layout""",
     "agg_weighted_avg" ->
       "SELECT l_returnflag, CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS weighted_sum, CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty, count(*) AS n_items, CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "window_percent_rank" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Det._
@@ -273,6 +273,74 @@ object Joins {
       .filter(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
       .orderBy("name_a", "name_b")
+  }
+
+  /** J9 (r4): bloom-prefiltered shuffle join — the runtime-filter pattern
+    * for a dimension too big to BROADCAST whose key fingerprint is still
+    * tiny: build a k-hash bloom over the dim's join keys (m=2^16 bits =
+    * 8 KB regardless of dim width), ship it as a plan literal, and drop
+    * non-matching fact rows MAP-SIDE before the join's shuffle. Bloom
+    * filters have no false negatives, so the exact equi-join that follows
+    * returns exactly the unfiltered join's rows; false positives only
+    * cost shuffle bytes (≈(nk/m)^k ⇒ ≪1% here). At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling the
+    * ~match fraction of it. Spark's own runtime bloom filter
+    * (spark.sql.optimizer.runtime.bloomFilter.*) only arms past 10 MB
+    * creation-side thresholds and is AQE-heuristic; this is the explicit
+    * always-on form with a PORTABLE hash family (4×16-bit md5 slices —
+    * the same deterministic family as the MinHash/KMV sketches).
+    * Driver traffic: the ≤ m/64 = 1024-row word table (8 KB, bounded by
+    * construction — the same boundedness class as IVF's centroid
+    * collect). The dim side is intentionally NOT hint-broadcast: the
+    * operator models the dim-too-big-to-broadcast regime; AQE may still
+    * pick broadcast at fixture scale, which changes nothing about the
+    * map-side prefilter. */
+  /** Build a portable bloom membership predicate from the distinct values
+    * of `keys(keyCol)`: k md5-slice hash positions per key OR'd into an
+    * mBits bitmap, returned as a `Column => Column` check that evaluates
+    * entirely map-side (the bitmap ships in the plan as an 8 KB array
+    * literal). No false negatives ever; false-positive rate ≈ (nk/m)^k.
+    * Driver traffic: the ≤ mBits/64-row word table (bounded by
+    * construction — the same boundedness class as IVF's centroid
+    * collect). */
+  def bloomPredicate(keys: DataFrame, keyCol: String,
+                     mBits: Int = 1 << 16, kHashes: Int = 4): Column => Column = {
+    require(Integer.bitCount(mBits) == 1 && mBits <= (1 << 16),
+      "mBits must be a power of two ≤ 2^16 (each hash reads one 4-hex-char slice)")
+    // hash family: k independent 16-bit slices of md5(key), masked to mBits
+    def positions(key: Column): Seq[Column] =
+      (0 until kHashes).map { i =>
+        conv(substring(md5(key.cast("string")), i * 4 + 1, 4), 16, 10)
+          .cast("long").bitwiseAND(lit((mBits - 1).toLong))
+      }
+    val setBit = call_function("shiftleft", lit(1L),
+      col("pos").bitwiseAND(lit(63L)).cast("int"))
+    val words = keys
+      .select(explode(array(positions(col(keyCol)): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("w"), setBit.as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect() // bounded: ≤ mBits/64 rows (1024 longs = 8 KB)
+    val lut = Array.fill(mBits / 64)(0L)
+    words.foreach(r => lut(r.getInt(0)) = r.getLong(1))
+    val lutCol = lit(lut)
+    key => positions(key).map { p =>
+      val word = element_at(lutCol, shiftright(p, 6).cast("int") + lit(1))
+      val mask = call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(63L)).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  def joinBloomPrefilter(orders: DataFrame, customer: DataFrame,
+                         mBits: Int = 1 << 16, kHashes: Int = 4): DataFrame = {
+    val dim = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val mightContain = bloomPredicate(dim, "c_custkey", mBits, kHashes)
+    orders
+      .filter(mightContain(col("o_custkey")))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      .orderBy("o_orderkey")
   }
 
   def snapshotDiff(events: DataFrame): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Storage layout for the append-only fact tables (SURVEY.md §1.1): the
@@ -42,6 +43,70 @@ object Layout {
     * location (`dest`); swapping it in atomically is the same
     * stage-then-swap story as [[Jdbc.writeEpoch]] — compacting in place
     * over the directory being scanned is how tables get corrupted. */
+  /** Insert one zero bit between each of the 16 low bits of `x` — the
+    * standard mask-and-shift spread (pure integer ops, identical in any
+    * engine; Spark codegens the whole chain into one expression). */
+  private def spread16(x: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(x.bitwiseAND(lit(0xFFFFL))) { case (acc, (s, mask)) =>
+        shiftleft(acc, s).bitwiseOR(acc).bitwiseAND(lit(mask))
+      }
+
+  /** r4: Z-order layout + the data-skipping evidence for it. At 100 TB
+    * the multi-dimensional clustering of the WRITE is what decides
+    * whether a point/range predicate reads 0.1% or 100% of the files:
+    * min/max footer stats prune a file only if the sort key correlates
+    * with the predicate column. A time-sorted layout interleaves every
+    * node into every file (node predicates prune nothing); a Z-order
+    * curve over (node, hour) bounds BOTH dimensions per file. Each
+    * dimension is first min-max-normalized to the same 8-bit budget —
+    * the step every production z-order does (rank or range
+    * normalization): interleaving RAW values lets whichever dimension
+    * has more varying bits own all the high z bits, and the curve
+    * degenerates to a single-column sort. Bounds come from a 1-row agg
+    * broadcast back over the input (two cheap scans, no shuffle of the
+    * fact side); bucket = (x−lo)·256 div (hi−lo+1) is pure integer
+    * arithmetic. The query then simulates both layouts by slicing each
+    * total order into `blockRows`-row "files" and reports the per-layout
+    * min/max-pruning outcome for a point predicate `user_id =
+    * probeUser` — n_blocks, blocks a min/max index cannot skip, and the
+    * rows inside them. The two global row_numbers are the
+    * determinism-first stand-in for the writer's range sort (the
+    * production path is a range-partitioned write of the same key,
+    * [[compactTimePartitioned]]-style); everything downstream is
+    * integer-exact. */
+  def zorderSkipping(events: DataFrame, blockRows: Int = 512,
+                     probeUser: Long = 42L): DataFrame = {
+    val raw = events.select(col("event_id"), col("user_id"), col("ts"),
+      expr("unix_micros(ts) div 3600000000").as("hu"))
+    val bounds = raw.agg(
+      min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+      min(col("hu")).as("h_lo"), max(col("hu")).as("h_hi"))
+    def bucket(x: String, lo: String, hi: String): Column =
+      expr(s"(($x - $lo) * 256) div ($hi - $lo + 1)")
+    val base = raw.crossJoin(broadcast(bounds))
+      .withColumn("ub", bucket("user_id", "u_lo", "u_hi"))
+      .withColumn("hb", bucket("hu", "h_lo", "h_hi"))
+      .withColumn("z",
+        spread16(col("ub")).bitwiseOR(shiftleft(spread16(col("hb")), 1)))
+    def layoutStats(name: String, order: Seq[Column]): DataFrame =
+      base
+        .withColumn("rk", row_number().over(Window.orderBy(order: _*)))
+        .withColumn("blk", expr(s"(rk - 1) div $blockRows"))
+        .groupBy(col("blk"))
+        .agg(min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+          count(lit(1)).as("n"))
+        .withColumn("hit", col("u_min") <= probeUser && col("u_max") >= probeUser)
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("blocks_hit"),
+          sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_hit"))
+        .select(lit(name).as("layout"), col("n_blocks"), col("blocks_hit"),
+          col("rows_hit"))
+    layoutStats("time_sorted", Seq(col("ts"), col("event_id")))
+      .unionByName(layoutStats("z_sorted", Seq(col("z"), col("event_id"))))
+      .orderBy("layout")
+  }
+
   def compactTimePartitioned(spark: SparkSession, src: String, dest: String,
                              advisoryBytes: Long = 128L << 20): Unit = {
     val prev = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")

@@ -204,4 +204,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"winsorize must not shuffle the fact table for the bounds join:\n$plan")
   }
+
+  test("join_bloom_prefilter checks the bitmap in a map-side Filter below the join") {
+    val plan = executed(q("join_bloom_prefilter"))
+    // the 8 KB word table rides as an array literal probed with element_at;
+    // it must sit in a Filter on the fact scan, not above the join
+    val filterIdx = plan.indexOf("element_at")
+    val joinIdx = plan.indexOf("Join")
+    assert(filterIdx >= 0, s"bloom bitmap check missing from plan:\n$plan")
+    assert(joinIdx >= 0 && joinIdx < filterIdx,
+      s"bloom filter must evaluate below (after, in plan print order) the join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"bloom join went all-pairs:\n$plan")
+  }
+
+  test("emb_quantize_int8 shares one vec_id shuffle between window and final agg") {
+    val plan = executed(q("emb_quantize_int8"))
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"window max and groupBy share the vec_id partitioning — expected 1, got $hashEx:\n$plan")
+  }
+
+  test("layout_zorder_skipping broadcasts only the 1-row bounds agg") {
+    val plan = executed(q("layout_zorder_skipping"))
+    // one bounds crossJoin per union branch (each layout re-derives base)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj == 2,
+      s"expected the 1-row bounds broadcast crossJoin in each branch, got $nlj:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"bounds join went cartesian:\n$plan")
+  }
 }
