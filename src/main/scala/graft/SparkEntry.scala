@@ -166,6 +166,7 @@ object SparkEntry {
     "text_repetition_ratio" -> ((s, d) => ext.Text.textRepetitionRatio(documents(s, d))),
     "text_decontaminate"    -> ((s, d) => ext.Text.textDecontaminate(documents(s, d))),
     "text_tfidf_topk"       -> ((s, d) => ext.Text.textTfidfTopk(documents(s, d))),
+    "text_passage_dedup"    -> ((s, d) => ext.Text.textPassageDedup(documents(s, d))),
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
@@ -185,6 +186,7 @@ object SparkEntry {
     // composite flagship of the LLM-pipeline family (r2)
     "corpus_prep_pipeline"  -> ((s, d) => ext.CorpusPrep.corpusPrepPipeline(documents(s, d))),
     "corpus_pack_sequences" -> ((s, d) => ext.CorpusPrep.corpusPackSequences(documents(s, d))),
+    "corpus_budget_select"  -> ((s, d) => ext.CorpusPrep.corpusBudgetSelect(documents(s, d))),
   )
 
   // DuckDB spellings of the Det helpers (see Det.scala):
@@ -488,5 +490,12 @@ object SparkEntry {
       "WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 - 473352 AS x, count(*) AS y FROM events GROUP BY 1, 2), s AS (SELECT event_type, count(*) AS n_hours, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, CAST(sum(CAST(x*y AS HUGEINT)) AS DOUBLE) AS sxy, CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS sxx FROM h GROUP BY 1) SELECT event_type, n_hours, (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) AS slope, (sy - (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx) * sx) / n_hours AS intercept FROM s WHERE (n_hours * sxx - sx * sx) > 0 ORDER BY event_type",
     "text_tfidf_topk" ->
       "WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY 1, 2), df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, CAST(tf.tf AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score FROM tf JOIN df USING (token) CROSS JOIN nd), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rn FROM s) SELECT doc_id, rn, token, tf, df, score FROM r WHERE rn <= 5 ORDER BY doc_id, rn",
+    // non-overlapping 8-token passages; nd counts DISTINCT docs so
+    // within-doc repeats never mark a passage duplicated
+    "text_passage_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), seg AS (SELECT doc_id, md5(list_aggregate(ts[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], 'string_agg', ' ')) AS p FROM (SELECT doc_id, ts, unnest(range(CAST(floor(len(ts)/8) AS BIGINT))) AS i FROM toks WHERE len(ts) >= 8)), c AS (SELECT p, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1) SELECT s.doc_id, count(*) AS n_passages, CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio FROM seg s JOIN c USING (p) GROUP BY 1 ORDER BY 1""",
+    // same quality spelling as sample_upweight / text_quality_score
+    "corpus_budget_select" ->
+      """WITH s AS (SELECT doc_id, (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(n_chars, 1))) AS quality, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT doc_id, quality, n_tokens, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM s) SELECT rank, doc_id, quality, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 20000 ORDER BY rank""",
   )
 }

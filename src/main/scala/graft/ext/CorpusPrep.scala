@@ -109,4 +109,33 @@ object CorpusPrep {
         (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)).as("token_share"))
       .orderBy("lang", "source")
   }
+
+  /** r4: token-budget selection — "give me the best `budget` tokens of
+    * this corpus": rank every doc by the shared quality heuristic
+    * ([[graft.ext.Text.qualityScore]], ties by doc_id so the cut is
+    * total-ordered), take docs while the running token total stays
+    * within budget. This is the greedy knapsack every
+    * quality-filtered-subset release runs (quality-ranked C4/FineWeb
+    * cuts). The running sum is a cumulative window over the quality
+    * order; at 100 TB that global order is served by a range exchange
+    * on (quality, doc_id) — same shape as any total sort — and the
+    * prefix sums happen within range partitions (Spark's window over a
+    * range-sorted frame), not on one node. Rows out: only the selected
+    * docs, with their rank and the running total the cut was decided
+    * on. */
+  def corpusBudgetSelect(documents: DataFrame, budget: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents
+      .select(col("doc_id"),
+        Text.qualityScore.as("quality"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val order = Window.orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("rank"), col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("rank")
+  }
 }

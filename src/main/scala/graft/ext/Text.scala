@@ -314,4 +314,35 @@ object Text {
           .as("contaminated"))
       .orderBy("doc_id")
   }
+
+  /** r4: duplicated-passage detection — the passage-level cousin of
+    * document dedup (the RefinedWeb/CCNet pass that strips boilerplate a
+    * crawl repeats across pages even when no two DOCUMENTS are
+    * near-dups). Segments each doc into NON-overlapping `w`-token
+    * passages (complete windows only), inverted-indexes the passage
+    * md5, and reports per doc how much of it is passage-exact content
+    * shared with at least one OTHER doc (within-doc repeats are
+    * [[textRepetitionRatio]]'s job — distinct-doc counting excludes
+    * them here). Plan: Generate fan-out map-side, one shuffle on the
+    * passage hash, one back on doc_id — the corpus-scope analogue of
+    * repetition_ratio's two-shuffle shape; no join wider than the
+    * passage postings and nothing all-pairs, so it carries to 100 TB
+    * exactly like the MinHash band join does. */
+  def textPassageDedup(documents: DataFrame, w: Int = 8): DataFrame = {
+    val seg = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), (floor(size(col("t")) / w) - 1).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("t"), col("i") * w + 1, lit(w)), " ").cast("binary")).as("p"))
+    val shared = seg.groupBy(col("p"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    seg.join(shared, Seq("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_passages"))
+      .orderBy("doc_id")
+  }
 }

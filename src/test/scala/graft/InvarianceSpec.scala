@@ -203,4 +203,16 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(graft.batch.Clean.cleanWinsorize(events.coalesce(1))) ==
       rows(graft.batch.Clean.cleanWinsorize(events.repartition(13))))
   }
+
+  test("r4 scale-layout family is partitioning-independent") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(graft.sources.Layout.zorderSkipping(events.coalesce(1), probeUser = 7L)) ==
+      rows(graft.sources.Layout.zorderSkipping(events.repartition(13), probeUser = 7L)))
+    assert(rows(graft.ext.Similarity.embQuantizeInt8(emb.coalesce(1))) ==
+      rows(graft.ext.Similarity.embQuantizeInt8(emb.repartition(13))))
+    assert(rows(Text.textPassageDedup(docs.coalesce(1))) ==
+      rows(Text.textPassageDedup(docs.repartition(13))))
+    assert(rows(CorpusPrep.corpusBudgetSelect(docs.coalesce(1))) ==
+      rows(CorpusPrep.corpusBudgetSelect(docs.repartition(13))))
+  }
 }
