@@ -77,6 +77,8 @@ object SparkEntry {
     "join_anti_unknown_nodes" -> ((s, d) => Joins.joinAntiUnknownNodes(customer(s, d), orders(s, d))),
     "snapshot_diff"         -> ((s, d) => Joins.snapshotDiff(events(s, d))),
     "join_bloom_prefilter"  -> ((s, d) => Joins.joinBloomPrefilter(orders(s, d), customer(s, d))),
+    "join_star_rollup"      -> ((s, d) =>
+      Joins.joinStarRollup(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
     "layout_zorder_skipping"-> ((s, d) => sources.Layout.zorderSkipping(events(s, d))),
     // §2.5 aggregations
     "agg_last_seen_per_node"-> ((s, d) => Aggs.aggLastSeenPerNode(events(s, d))),
@@ -98,6 +100,7 @@ object SparkEntry {
     "agg_count_min"         -> ((s, d) => Aggs.aggCountMin(events(s, d))),
     "profile_columns"       -> ((s, d) => Aggs.profileColumns(events(s, d))),
     "stat_seasonality"      -> ((s, d) => Aggs.statSeasonality(events(s, d))),
+    "stat_seasonal_residual"-> ((s, d) => Aggs.statSeasonalResidual(events(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "stat_autocorr_lag"     -> ((s, d) => Aggs.statAutocorrLag(events(s, d))),
     "window_cusum"          -> ((s, d) => Windows.windowCusum(events(s, d))),
@@ -150,6 +153,7 @@ object SparkEntry {
     "agg_embedding_centroid"-> ((s, d) => ext.Similarity.aggEmbeddingCentroid(embeddings(s, d))),
     "emb_centroid_drift"    -> ((s, d) => ext.Similarity.embCentroidDrift(embeddings(s, d))),
     "emb_quantize_int8"     -> ((s, d) => ext.Similarity.embQuantizeInt8(embeddings(s, d))),
+    "emb_pq_codes"          -> ((s, d) => ext.Similarity.embPqCodes(embeddings(s, d))),
     "join_fuzzy_blocked"    -> ((s, d) => Joins.joinFuzzyBlocked(part(s, d))),
     "corpus_shuffle_order"  -> ((s, d) => ext.Sampling.corpusShuffleOrder(documents(s, d))),
     // §2.10 extensions: text analysis
@@ -447,6 +451,10 @@ object SparkEntry {
     // the oracle is the PLAIN join — the filter must be invisible in results
     "join_bloom_prefilter" ->
       "SELECT o.o_orderkey, o.o_custkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING' ORDER BY o.o_orderkey",
+    "join_star_rollup" ->
+      "SELECT r.r_name, n.n_name, count(*) AS n_orders, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1, 2 ORDER BY r_name, n_name",
+    "stat_seasonal_residual" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1, 2), c AS (SELECT event_type, hr, n, (epoch_us(hr) // 86400000000 + 4) % 7 AS dow, hour(hr) AS hod FROM h), b AS (SELECT event_type, dow, hod, CAST(sum(n) AS DOUBLE) / count(*) AS baseline_n FROM c GROUP BY 1, 2, 3) SELECT c.event_type, strftime(c.hr, $TS0) AS hour_s, c.n, b.baseline_n, CAST(c.n AS DOUBLE) - b.baseline_n AS residual FROM c JOIN b USING (event_type, dow, hod) ORDER BY event_type, hour_s""",
     "layout_zorder_skipping" ->
       """WITH raw AS (SELECT event_id, user_id, ts, epoch_us(ts) // 3600000000 AS hu FROM events), bounds AS (SELECT min(user_id) AS u_lo, max(user_id) AS u_hi, min(hu) AS h_lo, max(hu) AS h_hi FROM raw), base AS (SELECT event_id, user_id, ts, ((user_id - u_lo) * 256) // (u_hi - u_lo + 1) AS xa, ((hu - h_lo) * 256) // (h_hi - h_lo + 1) AS xb FROM raw CROSS JOIN bounds), s1 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS a1, (xb | (xb << 8)) & 16711935 AS b1 FROM base), s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1), s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3, (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2), s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3), zz AS (SELECT event_id, user_id, ts, a4 | (b4 << 1) AS z FROM s4), tb AS (SELECT user_id, (row_number() OVER (ORDER BY ts, event_id) - 1) // 512 AS blk FROM zz), zb AS (SELECT user_id, (row_number() OVER (ORDER BY z, event_id) - 1) // 512 AS blk FROM zz), tstat AS (SELECT blk, min(user_id) AS u_min, max(user_id) AS u_max, count(*) AS n FROM tb GROUP BY 1), zstat AS (SELECT blk, min(user_id) AS u_min, max(user_id) AS u_max, count(*) AS n FROM zb GROUP BY 1) SELECT 'time_sorted' AS layout, count(*) AS n_blocks, CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_hit, CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN n ELSE 0 END) AS BIGINT) AS rows_hit FROM tstat UNION ALL SELECT 'z_sorted', count(*), CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN 1 ELSE 0 END) AS BIGINT), CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN n ELSE 0 END) AS BIGINT) FROM zstat ORDER BY layout""",
     "agg_weighted_avg" ->
@@ -494,6 +502,10 @@ object SparkEntry {
     // within-doc repeats never mark a passage duplicated
     "text_passage_dedup" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), seg AS (SELECT doc_id, md5(list_aggregate(ts[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], 'string_agg', ' ')) AS p FROM (SELECT doc_id, ts, unnest(range(CAST(floor(len(ts)/8) AS BIGINT))) AS i FROM toks WHERE len(ts) >= 8)), c AS (SELECT p, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1) SELECT s.doc_id, count(*) AS n_passages, CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio FROM seg s JOIN c USING (p) GROUP BY 1 ORDER BY 1""",
+    // PQ over the int8 codes: distances are pure integer arithmetic, so
+    // the learned-codebook argmin can never flip on a float ulp
+    "emb_pq_codes" ->
+      """WITH d AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM d GROUP BY 1), q AS (SELECT d.vec_id, d.dim, CASE WHEN m.scale = 0 THEN 0 ELSE least(greatest(CAST(floor(x / m.scale + 0.5) AS BIGINT), -127), 127) END AS q FROM d JOIN m USING (vec_id)), pr AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS k, q FROM q), cb AS (SELECT vec_id AS cid, sub, k, q AS qc FROM pr WHERE vec_id < 16), dist AS (SELECT pr.vec_id, pr.sub, cb.cid, CAST(sum((pr.q - cb.qc) * (pr.q - cb.qc)) AS BIGINT) AS dist2 FROM pr JOIN cb ON pr.sub = cb.sub AND pr.k = cb.k GROUP BY 1, 2, 3), best AS (SELECT vec_id, sub, cid, dist2, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn FROM dist) SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code, dist2 FROM best WHERE rn = 1 ORDER BY vec_id, sub""",
     // same quality spelling as sample_upweight / text_quality_score
     "corpus_budget_select" ->
       """WITH s AS (SELECT doc_id, (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(n_chars, 1))) AS quality, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT doc_id, quality, n_tokens, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM s) SELECT rank, doc_id, quality, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 20000 ORDER BY rank""",

@@ -404,7 +404,11 @@ object Similarity {
     * max and the final group share the hash partitioning, and each
     * vector's 64 dims sit in one partition by construction (no skew: all
     * groups are exactly dim-sized). */
-  def embQuantizeInt8(embeddings: DataFrame): DataFrame = {
+  /** Per-dimension int8 codes: (vec_id, dim, x, scale, q) — the shared
+    * quantization core of [[embQuantizeInt8]] and [[embPqCodes]]. One
+    * vec_id window shuffle; every op a single correctly-rounded IEEE
+    * step (see [[embQuantizeInt8]]). */
+  private def quantizedDims(embeddings: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
     embeddings
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
@@ -413,6 +417,10 @@ object Similarity {
         when(col("scale") === 0.0, lit(0L)).otherwise(
           least(greatest(floor(col("x") / col("scale") + lit(0.5)), lit(-127.0)), lit(127.0))
             .cast("long")))
+  }
+
+  def embQuantizeInt8(embeddings: DataFrame): DataFrame = {
+    quantizedDims(embeddings)
       .groupBy(col("vec_id"))
       .agg(
         max(col("scale")).as("scale"), // constant within the vector
@@ -421,5 +429,37 @@ object Similarity {
         sum(col("q") * col("q")).as("q_norm2"),
         graft.Det.dsum(abs(col("q") * col("scale") - col("x"))).as("err_l1"))
       .orderBy("vec_id")
+  }
+
+  /** r4: product-quantization code assignment — THE standard 100 TB ANN
+    * compression (each 64-dim vector becomes `nSub` 4-bit codes +
+    * asymmetric-distance lookups against sub-codebooks instead of full
+    * dot products). Runs over the int8-quantized dims
+    * ([[quantizedDims]]) so every distance is pure INTEGER arithmetic —
+    * argmin can never flip on a float ulp, which is what lets a learned
+    * codebook assignment hash-match across engines at all. Codebook:
+    * the first `nCents` vectors' sub-vectors (the same first-N seeding
+    * as [[simSearchIvf]]; Lloyd refinement composes exactly as there —
+    * per-(sub, code, dim) exact means — and is deliberately left out to
+    * keep the assignment a one-join plan). Plan: dim fan-out map-side,
+    * one broadcast join against the nCents·dim-row codebook, two hash
+    * aggs keyed by vec_id — candidate work is rows × nCents, never
+    * all-pairs, and the codebook broadcast is bounded by construction. */
+  def embPqCodes(embeddings: DataFrame, nSub: Int = 8, nCents: Int = 16): DataFrame = {
+    val q = quantizedDims(embeddings)
+      .select(col("vec_id"), expr(s"dim div ${64 / nSub}").as("sub"),
+        expr(s"dim % ${64 / nSub}").as("k"), col("q"))
+    val codebook = q.filter(col("vec_id") < nCents)
+      .select(col("vec_id").as("cid"), col("sub"), col("k"), col("q").as("qc"))
+    val dist = q.join(broadcast(codebook), Seq("sub", "k"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum((col("q") - col("qc")) * (col("q") - col("qc"))).as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub")).orderBy(col("dist2"), col("cid"))
+    dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("cid").as("code"), col("dist2"))
+      .orderBy("vec_id", "sub")
   }
 }

@@ -551,4 +551,31 @@ object Aggs {
         hour(col("ts")).cast("long").as("hod"))
       .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
       .orderBy("event_type", "dow", "hod")
+
+  /** r4: calendar-adjusted traffic residuals — the anomaly signal AFTER
+    * the weekly rhythm is removed (a Monday-9am spike is normal FOR
+    * Monday 9am; `window_zscore_hours` flags it anyway because its
+    * baseline ignores the calendar). Baseline = mean hourly count per
+    * (class, day-of-week, hour-of-day) cell — [[statSeasonality]]'s
+    * grid, same engine-neutral epoch-day dow arithmetic — and each
+    * hour's residual is its count minus its cell's mean. Exactness:
+    * counts are integers, the baseline is one exact-long-sum / count
+    * divide, the residual one subtract — a two-op double chain. Plan:
+    * the raw scan collapses to ≤ classes×hours rows in the first hash
+    * agg; the baseline (≤ classes×168 rows) broadcasts back, so nothing
+    * re-shuffles the hourly frame. */
+  def statSeasonalResidual(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(expr("unix_micros(hr) div 86400000000") + lit(4), lit(7)))
+      .withColumn("hod", hour(col("hr")).cast("long"))
+    val baseline = hourly.groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg((sum(col("n")) * lit(1.0) / count(lit(1))).as("baseline_n"))
+    hourly.join(broadcast(baseline), Seq("event_type", "dow", "hod"))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"), col("n"),
+        col("baseline_n"),
+        (col("n").cast("double") - col("baseline_n")).as("residual"))
+      .orderBy("event_type", "hour_s")
+  }
 }

@@ -343,6 +343,27 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** J11 (r4): star-schema rollup — the multi-hop dimensional query every
+    * warehouse runs (fact → customer → nation → region revenue rollup;
+    * the reference's node→longname enrichment, AIRWISEv0.py:41-49, is
+    * the 1-hop special case). All three dimension hops are hint-kept
+    * broadcasts (each genuinely bounded: dims grow with entities, not
+    * events), so the fact side streams through three map-side hash joins
+    * unshuffled and first shuffles at the final (region, nation)
+    * rollup — one exchange total at any fact-table size. */
+  def joinStarRollup(orders: DataFrame, customer: DataFrame,
+                     nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("r_name", "n_name")
+
   def snapshotDiff(events: DataFrame): DataFrame = {
     val cut = lit("2024-01-16 00:00:00").cast("timestamp")
     def snap(df: DataFrame, n: String, lastTs: String): DataFrame =

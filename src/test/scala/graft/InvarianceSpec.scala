@@ -215,4 +215,12 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(CorpusPrep.corpusBudgetSelect(docs.coalesce(1))) ==
       rows(CorpusPrep.corpusBudgetSelect(docs.repartition(13))))
   }
+
+  test("PQ codes and seasonal residuals are partitioning-independent") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(graft.ext.Similarity.embPqCodes(emb.coalesce(1))) ==
+      rows(graft.ext.Similarity.embPqCodes(emb.repartition(13))))
+    assert(rows(Aggs.statSeasonalResidual(events.coalesce(1))) ==
+      rows(Aggs.statSeasonalResidual(events.repartition(13))))
+  }
 }

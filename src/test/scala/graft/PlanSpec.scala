@@ -224,6 +224,32 @@ class PlanSpec extends SparkSpec {
       s"window max and groupBy share the vec_id partitioning — expected 1, got $hashEx:\n$plan")
   }
 
+  test("join_star_rollup streams the fact side through three broadcast hops") {
+    val plan = executed(q("join_star_rollup"))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj == 3, s"expected customer/nation/region broadcast hops, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact side must not shuffle before the rollup:\n$plan")
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected only the rollup agg shuffle, got $hashEx:\n$plan")
+  }
+
+  test("stat_seasonal_residual broadcasts the calendar baseline back") {
+    val plan = executed(q("stat_seasonal_residual"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤classes×168-row baseline must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the hourly frame must not re-shuffle for the baseline join:\n$plan")
+  }
+
+  test("emb_pq_codes broadcasts the codebook, never all-pairs") {
+    val plan = executed(q("emb_pq_codes"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the nCents·dim codebook must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"PQ assignment went all-pairs:\n$plan")
+  }
+
   test("layout_zorder_skipping broadcasts only the 1-row bounds agg") {
     val plan = executed(q("layout_zorder_skipping"))
     // one bounds crossJoin per union branch (each layout re-derives base)
