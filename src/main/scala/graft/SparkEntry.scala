@@ -154,6 +154,7 @@ object SparkEntry {
     "emb_centroid_drift"    -> ((s, d) => ext.Similarity.embCentroidDrift(embeddings(s, d))),
     "emb_quantize_int8"     -> ((s, d) => ext.Similarity.embQuantizeInt8(embeddings(s, d))),
     "emb_pq_codes"          -> ((s, d) => ext.Similarity.embPqCodes(embeddings(s, d))),
+    "sim_search_pq_adc"     -> ((s, d) => ext.Similarity.simSearchPqAdc(embeddings(s, d))),
     "join_fuzzy_blocked"    -> ((s, d) => Joins.joinFuzzyBlocked(part(s, d))),
     "corpus_shuffle_order"  -> ((s, d) => ext.Sampling.corpusShuffleOrder(documents(s, d))),
     // §2.10 extensions: text analysis
@@ -181,6 +182,7 @@ object SparkEntry {
     "events_retention_cohort" -> ((s, d) => ext.Sessions.eventsRetentionCohort(events(s, d))),
     "scd2_intervals"        -> ((s, d) => ext.Sessions.scd2Intervals(events(s, d))),
     "events_transition_matrix" -> ((s, d) => ext.Sessions.eventsTransitionMatrix(events(s, d))),
+    "events_path_topk"      -> ((s, d) => ext.Sessions.eventsPathTopk(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
@@ -506,6 +508,12 @@ object SparkEntry {
     // the learned-codebook argmin can never flip on a float ulp
     "emb_pq_codes" ->
       """WITH d AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM d GROUP BY 1), q AS (SELECT d.vec_id, d.dim, CASE WHEN m.scale = 0 THEN 0 ELSE least(greatest(CAST(floor(x / m.scale + 0.5) AS BIGINT), -127), 127) END AS q FROM d JOIN m USING (vec_id)), pr AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS k, q FROM q), cb AS (SELECT vec_id AS cid, sub, k, q AS qc FROM pr WHERE vec_id < 16), dist AS (SELECT pr.vec_id, pr.sub, cb.cid, CAST(sum((pr.q - cb.qc) * (pr.q - cb.qc)) AS BIGINT) AS dist2 FROM pr JOIN cb ON pr.sub = cb.sub AND pr.k = cb.k GROUP BY 1, 2, 3), best AS (SELECT vec_id, sub, cid, dist2, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn FROM dist) SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code, dist2 FROM best WHERE rn = 1 ORDER BY vec_id, sub""",
+    // ADC reuses the PQ distance CTE: `dist` serves both the code
+    // assignment (argmin) and the query distance tables — as in Scala
+    "sim_search_pq_adc" ->
+      """WITH d AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM d GROUP BY 1), q AS (SELECT d.vec_id, d.dim, CASE WHEN m.scale = 0 THEN 0 ELSE least(greatest(CAST(floor(x / m.scale + 0.5) AS BIGINT), -127), 127) END AS q FROM d JOIN m USING (vec_id)), pr AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS k, q FROM q), cb AS (SELECT vec_id AS cid, sub, k, q AS qc FROM pr WHERE vec_id < 16), dist AS (SELECT pr.vec_id, pr.sub, cb.cid, CAST(sum((pr.q - cb.qc) * (pr.q - cb.qc)) AS BIGINT) AS dist2 FROM pr JOIN cb ON pr.sub = cb.sub AND pr.k = cb.k GROUP BY 1, 2, 3), best AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn FROM dist), codes AS (SELECT vec_id, sub, cid AS code FROM best WHERE rn = 1), dt AS (SELECT vec_id AS query_id, sub, cid, dist2 FROM dist WHERE vec_id < 10), scored AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.dist2) AS BIGINT) AS adc_dist2 FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.cid WHERE c.vec_id <> dt.query_id GROUP BY 1, 2), r AS (SELECT query_id, vec_id, adc_dist2, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS BIGINT) AS rn FROM scored) SELECT query_id, rn, vec_id, adc_dist2 FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
+    "events_path_topk" ->
+      """WITH p AS (SELECT event_type AS t0, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2 FROM events), c AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n FROM p WHERE t2 IS NOT NULL GROUP BY 1), r AS (SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rn FROM c) SELECT rn, path, n FROM r WHERE rn <= 10 ORDER BY rn""",
     // same quality spelling as sample_upweight / text_quality_score
     "corpus_budget_select" ->
       """WITH s AS (SELECT doc_id, (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(n_chars, 1))) AS quality, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT doc_id, quality, n_tokens, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM s) SELECT rank, doc_id, quality, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 20000 ORDER BY rank""",

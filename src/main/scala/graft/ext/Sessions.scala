@@ -136,4 +136,30 @@ object Sessions {
         col("n").cast("double") / sum(col("n")).over(wCur).cast("double"))
       .orderBy("cur_type", "next_type")
   }
+
+  /** r4: top-k behavior paths — the most common 3-step event sequences
+    * across users (sequential pattern mining's bread-and-butter query;
+    * [[eventsTransitionMatrix]] is its order-1 marginal, this is the
+    * order-3 view that distinguishes view→click→purchase from
+    * view→click→error). Per-user lead(1)/lead(2) over ONE window spec
+    * (one user-key shuffle, one Window node), path counts in one hash
+    * agg, then the global top-k via the standard count-ordered window
+    * (ties by path string so the cut is total-ordered). At 100 TB the
+    * path-count agg output is bounded by |types|³, so the rank window's
+    * single partition holds ≤ 125 rows regardless of input size. */
+  def eventsPathTopk(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("event_type").as("t0"),
+        lead(col("event_type"), 1).over(w).as("t1"),
+        lead(col("event_type"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val rank = Window.orderBy(col("n").desc, col("path"))
+    counts.withColumn("rn", row_number().over(rank).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("rn"), col("path"), col("n"))
+      .orderBy("rn")
+  }
 }

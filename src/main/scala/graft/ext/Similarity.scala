@@ -445,21 +445,69 @@ object Similarity {
     * one broadcast join against the nCents·dim-row codebook, two hash
     * aggs keyed by vec_id — candidate work is rows × nCents, never
     * all-pairs, and the codebook broadcast is bounded by construction. */
-  def embPqCodes(embeddings: DataFrame, nSub: Int = 8, nCents: Int = 16): DataFrame = {
+  /** Sub-vector int8 dims `(vec_id, sub, k, q)` and the first-`nCents`
+    * seeded codebook `(cid, sub, k, qc)` — shared by [[embPqCodes]] and
+    * [[simSearchPqAdc]]. */
+  private def pqParts(embeddings: DataFrame, nSub: Int,
+                      nCents: Int): (DataFrame, DataFrame) = {
     val q = quantizedDims(embeddings)
       .select(col("vec_id"), expr(s"dim div ${64 / nSub}").as("sub"),
         expr(s"dim % ${64 / nSub}").as("k"), col("q"))
     val codebook = q.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("cid"), col("sub"), col("k"), col("q").as("qc"))
-    val dist = q.join(broadcast(codebook), Seq("sub", "k"))
+    (q, codebook)
+  }
+
+  /** Integer L2² per (vec, sub, centroid) — rows × nCents candidates,
+    * exact argmin material for both the assignment and the ADC tables. */
+  private def pqDistances(q: DataFrame, codebook: DataFrame): DataFrame =
+    q.join(broadcast(codebook), Seq("sub", "k"))
       .groupBy(col("vec_id"), col("sub"), col("cid"))
       .agg(sum((col("q") - col("qc")) * (col("q") - col("qc"))).as("dist2"))
+
+  def embPqCodes(embeddings: DataFrame, nSub: Int = 8, nCents: Int = 16): DataFrame = {
+    val (q, codebook) = pqParts(embeddings, nSub, nCents)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("sub")).orderBy(col("dist2"), col("cid"))
-    dist.withColumn("rn", row_number().over(w))
+    pqDistances(q, codebook).withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
         col("cid").as("code"), col("dist2"))
       .orderBy("vec_id", "sub")
+  }
+
+  /** r4: asymmetric-distance (ADC) top-k search over the PQ codes — the
+    * query side of the [[embPqCodes]] compression: each query
+    * precomputes its nSub×nCents integer distance table once, and every
+    * corpus vector is then scored with nSub table lookups + adds
+    * instead of a 64-dim float dot — the lookup-table trick that makes
+    * billion-vector scans affordable. The scored distance is
+    * Σ_sub dt[query, sub, code(target, sub)] — all INTEGER, so ranking
+    * (ties by vec_id) hash-matches exactly. Plan: the code table
+    * (n×nSub rows) equi-joins the BROADCAST distance tables on
+    * (sub, code) — per-query work linear in corpus size (that is ADC's
+    * contract; the sub-linear escape is IVF cells in front, exactly as
+    * [[simSearchIvf]] composes), shuffle keyed by (query, target) for
+    * the sum, then the usual top-k window. */
+  def simSearchPqAdc(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                     nSub: Int = 8, nCents: Int = 16): DataFrame = {
+    val (q, codebook) = pqParts(embeddings, nSub, nCents)
+    val codes = embPqCodes(embeddings, nSub, nCents)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val dt = pqDistances(q.filter(col("vec_id") < nQueries), codebook)
+      .select(col("vec_id").as("query_id"), col("sub").cast("long").as("sub"),
+        col("cid"), col("dist2").as("dt2"))
+    val scored = codes
+      .join(broadcast(dt),
+        codes("sub") === dt("sub") && codes("code") === dt("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt2")).as("adc_dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_dist2"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("adc_dist2"))
+      .orderBy("query_id", "rn")
   }
 }

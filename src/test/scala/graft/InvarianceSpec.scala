@@ -223,4 +223,15 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(Aggs.statSeasonalResidual(events.coalesce(1))) ==
       rows(Aggs.statSeasonalResidual(events.repartition(13))))
   }
+
+  test("KMV sketch estimate is partitioning-independent (mergeability in action)") {
+    // the k-min-values partials merge across partitions; any split must
+    // yield the same k smallest hashes, hence the same estimate
+    assert(rows(Aggs.aggDistinctKmv(events.coalesce(1))) ==
+      rows(Aggs.aggDistinctKmv(events.repartition(13))))
+    assert(rows(graft.ext.Similarity.simSearchPqAdc(
+        Tables.embeddings(spark, "/root/testdata/sf0.001").coalesce(1))) ==
+      rows(graft.ext.Similarity.simSearchPqAdc(
+        Tables.embeddings(spark, "/root/testdata/sf0.001").repartition(13))))
+  }
 }

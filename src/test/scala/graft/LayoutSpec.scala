@@ -21,6 +21,30 @@ class LayoutSpec extends SparkSpec {
     assert(oneDay.count() == expected && expected > 0)
   }
 
+  test("joining on the partition key injects a dynamic partition pruning filter") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Layout.writeTimePartitioned(events, s"$dir/events", "ts")
+    val back = Layout.readTimePartitioned(spark, s"$dir/events")
+    // a filtered dim joined on ds: Spark must prune fact partitions at
+    // RUNTIME from the dim's surviving keys (static pruning can't see
+    // them). The dim must be a real source with a surviving Filter — a
+    // local Seq constant-folds into a LocalTableScan and DPP's
+    // selective-predicate heuristic never fires.
+    Seq("2024-01-05", "2024-01-06", "2024-01-07").toDF("ds_wanted")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+      .filter(col("ds_wanted") =!= "2024-01-07")
+    val joined = back.join(dim, col("ds") === col("ds_wanted"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in the scan:\n$plan")
+    val expected = events.filter(
+      date_format(col("ts"), "yyyy-MM-dd").isin("2024-01-05", "2024-01-06")).count()
+    assert(joined.count() == expected && expected > 0)
+  }
+
   test("co-bucketed self-join on the bucket key plans without a shuffle") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     Layout.writeBucketed(events.select(col("event_id"), col("user_id"), col("value")),

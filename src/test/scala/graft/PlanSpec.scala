@@ -250,6 +250,22 @@ class PlanSpec extends SparkSpec {
       s"PQ assignment went all-pairs:\n$plan")
   }
 
+  test("sim_search_pq_adc scores via the broadcast distance tables, never all-pairs") {
+    val plan = executed(q("sim_search_pq_adc"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the nQueries×nSub×nCents distance tables must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC scoring went all-pairs:\n$plan")
+  }
+
+  test("events_path_topk: one user window + one path agg, rank on the bounded |types|^3 frame") {
+    val plan = executed(q("events_path_topk"))
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2,
+      s"expected the user-window and path-agg shuffles only, got $hashEx:\n$plan")
+    assert(!plan.contains("Join"), s"path mining must not self-join:\n$plan")
+  }
+
   test("layout_zorder_skipping broadcasts only the 1-row bounds agg") {
     val plan = executed(q("layout_zorder_skipping"))
     // one bounds crossJoin per union branch (each layout re-derives base)
