@@ -101,6 +101,9 @@ object SparkEntry {
     "profile_columns"       -> ((s, d) => Aggs.profileColumns(events(s, d))),
     "stat_seasonality"      -> ((s, d) => Aggs.statSeasonality(events(s, d))),
     "stat_seasonal_residual"-> ((s, d) => Aggs.statSeasonalResidual(events(s, d))),
+    "stat_ewma_hourly"      -> ((s, d) => Aggs.statEwmaHourly(events(s, d))),
+    "agg_ohlc_hourly"       -> ((s, d) => Aggs.aggOhlcHourly(events(s, d))),
+    "agg_simpson_diversity" -> ((s, d) => Aggs.aggSimpsonDiversity(events(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "stat_autocorr_lag"     -> ((s, d) => Aggs.statAutocorrLag(events(s, d))),
     "window_cusum"          -> ((s, d) => Windows.windowCusum(events(s, d))),
@@ -135,6 +138,7 @@ object SparkEntry {
     // §2.10 extensions: dedup
     "dedup_exact"           -> ((s, d) => ext.Dedup.dedupExact(documents(s, d))),
     "dedup_ngram_jaccard"   -> ((s, d) => ext.Dedup.dedupNgramJaccard(documents(s, d))),
+    "dedup_containment"     -> ((s, d) => ext.Dedup.dedupContainment(documents(s, d))),
     "dedup_near_minhash"    -> ((s, d) => ext.Dedup.dedupNearMinhash(documents(s, d))),
     "dedup_simhash"         -> ((s, d) => ext.Dedup.dedupSimhash(documents(s, d))),
     "dedup_embedding_cosine"-> ((s, d) => ext.Similarity.dedupEmbeddingCosine(embeddings(s, d))),
@@ -373,6 +377,9 @@ object SparkEntry {
       "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, md5(text) AS text_md5 FROM documents GROUP BY md5(text) ORDER BY keep_doc_id",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2) SELECT da AS doc_a, db AS doc_b, CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS jaccard FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3 ORDER BY doc_a, doc_b""",
+    // asymmetric containment c/min(na,nb) over the same candidate core
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2) SELECT da AS doc_a, db AS doc_b, CAST(sa.n AS INT) AS na, CAST(sb.n AS INT) AS nb, cnt AS c, CAST(cnt AS DOUBLE) / least(sa.n, sb.n) AS containment FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.8 ORDER BY doc_a, doc_b""",
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2), pairs AS (SELECT da, db FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3), edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM edges), reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_near_minhash" ->
@@ -457,6 +464,14 @@ object SparkEntry {
       "SELECT r.r_name, n.n_name, count(*) AS n_orders, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1, 2 ORDER BY r_name, n_name",
     "stat_seasonal_residual" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1, 2), c AS (SELECT event_type, hr, n, (epoch_us(hr) // 86400000000 + 4) % 7 AS dow, hour(hr) AS hod FROM h), b AS (SELECT event_type, dow, hod, CAST(sum(n) AS DOUBLE) / count(*) AS baseline_n FROM c GROUP BY 1, 2, 3) SELECT c.event_type, strftime(c.hr, $TS0) AS hour_s, c.n, b.baseline_n, CAST(c.n AS DOUBLE) - b.baseline_n AS residual FROM c JOIN b USING (event_type, dow, hod) ORDER BY event_type, hour_s""",
+    // e_t = (x_t + e_{t-1})/2: one add + one exact exponent shift per
+    // step, folded in the same hour order by both engines
+    "stat_ewma_hourly" ->
+      "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1, 2), s AS (SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY hr) AS xs FROM h GROUP BY 1) SELECT event_type, CAST(len(xs) AS BIGINT) AS n_hours, list_reduce(xs, (acc, x) -> (x + acc) / 2.0) AS ewma FROM s ORDER BY event_type",
+    "agg_ohlc_hourly" ->
+      s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id, value, row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn, count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt FROM events) SELECT event_type, strftime(hr, $TS0) AS hour_s, max(CASE WHEN rn = 1 THEN value END) AS open, max(value) AS high, min(value) AS low, max(CASE WHEN rn = cnt THEN value END) AS close, count(*) AS n FROM b GROUP BY 1, 2 ORDER BY event_type, hour_s""",
+    "agg_simpson_diversity" ->
+      "WITH u AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2) SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_users, CAST(sum(n * n) AS BIGINT) AS sum_sq, 1.0 - CAST(sum(n * n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS simpson_diversity FROM u GROUP BY 1 ORDER BY event_type",
     "layout_zorder_skipping" ->
       """WITH raw AS (SELECT event_id, user_id, ts, epoch_us(ts) // 3600000000 AS hu FROM events), bounds AS (SELECT min(user_id) AS u_lo, max(user_id) AS u_hi, min(hu) AS h_lo, max(hu) AS h_hi FROM raw), base AS (SELECT event_id, user_id, ts, ((user_id - u_lo) * 256) // (u_hi - u_lo + 1) AS xa, ((hu - h_lo) * 256) // (h_hi - h_lo + 1) AS xb FROM raw CROSS JOIN bounds), s1 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS a1, (xb | (xb << 8)) & 16711935 AS b1 FROM base), s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1), s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3, (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2), s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3), zz AS (SELECT event_id, user_id, ts, a4 | (b4 << 1) AS z FROM s4), tb AS (SELECT user_id, (row_number() OVER (ORDER BY ts, event_id) - 1) // 512 AS blk FROM zz), zb AS (SELECT user_id, (row_number() OVER (ORDER BY z, event_id) - 1) // 512 AS blk FROM zz), tstat AS (SELECT blk, min(user_id) AS u_min, max(user_id) AS u_max, count(*) AS n FROM tb GROUP BY 1), zstat AS (SELECT blk, min(user_id) AS u_min, max(user_id) AS u_max, count(*) AS n FROM zb GROUP BY 1) SELECT 'time_sorted' AS layout, count(*) AS n_blocks, CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_hit, CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN n ELSE 0 END) AS BIGINT) AS rows_hit FROM tstat UNION ALL SELECT 'z_sorted', count(*), CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN 1 ELSE 0 END) AS BIGINT), CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN n ELSE 0 END) AS BIGINT) FROM zstat ORDER BY layout""",
     "agg_weighted_avg" ->

@@ -552,6 +552,77 @@ object Aggs {
       .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
       .orderBy("event_type", "dow", "hod")
 
+  /** r4: exponentially-weighted moving average of hourly traffic with
+    * α = 1/2 — the smoothing every live dashboard runs, made BIT-EXACT
+    * cross-engine by the halving trick: e_t = (x_t + e_{t−1})/2 is one
+    * IEEE add then an EXACT exponent shift per step, so the only
+    * rounding is the adds, and both engines fold the same
+    * hour-ordered sequence left-to-right (Spark `aggregate` HOF over a
+    * sort_array'd series, DuckDB `list_reduce` over `list(... ORDER
+    * BY)` — same associativity). An order-SENSITIVE statistic can only
+    * be deterministic by fixing the order; the per-class collect_list
+    * is bounded by the hour count (≤ 8.8k/year), not by event volume —
+    * the raw scan collapses in the hourly hash agg first. */
+  def statEwmaHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("series"))
+      .select(col("event_type"), size(col("series")).cast("long").as("n_hours"),
+        expr("""aggregate(
+                  slice(transform(series, s -> cast(s.n as double)), 2, size(series) - 1),
+                  cast(element_at(series, 1).n as double),
+                  (acc, x) -> (x + acc) / 2.0d)""").as("ewma"))
+      .orderBy("event_type")
+
+  /** r4: OHLC bars — the canonical time-series downsample (open / high /
+    * low / close / volume per class-hour; the reference plots raw series
+    * and leaves the eye to do this, graphdata.py:98-112). Open and close
+    * are SELECTIONS at the (ts, event_id)-total-ordered endpoints —
+    * row_number over one ordered window spec, plus the unordered
+    * per-cell count from the same partitioning — so one exchange total;
+    * high/low/volume ride the final hash agg. All selections, zero
+    * arithmetic ⇒ trivially hash-match. */
+  def aggOhlcHourly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("event_type"), col("hr"))
+    val w = part.orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r4: Simpson concentration/diversity of per-class traffic across
+    * nodes — 1 − Σn_u²/N², the log-free diversity index (Shannon entropy
+    * needs `ln`, whose libm implementations differ in the last ulp
+    * across engines; Simpson is integer sums + three correctly-rounded
+    * double ops, so it hash-matches). The operational question it
+    * answers is [[profileKeySkew]]'s "is one node dominating this
+    * class?" as a single bounded [0,1) number. One (class, node) hash
+    * agg collapses the scan; the index computes on ≤ classes rows. */
+  def aggSimpsonDiversity(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_users"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("event_type"), col("n_events"), col("n_users"), col("sum_sq"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_events").cast("double") * col("n_events").cast("double")))
+          .as("simpson_diversity"))
+      .orderBy("event_type")
+
   /** r4: calendar-adjusted traffic residuals — the anomaly signal AFTER
     * the weekly rhythm is removed (a Monday-9am spike is normal FOR
     * Monday 9am; `window_zscore_hours` flags it anyway because its

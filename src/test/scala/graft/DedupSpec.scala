@@ -58,6 +58,20 @@ class DedupSpec extends SparkSpec {
     assert(true)
   }
 
+  test("containment flags a short doc quoted inside a long one that jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val long = short + " " + (1 to 40).map(i => s"filler$i word$i extra$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, "unrelated content entirely different"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.dedupContainment(df, threshold = 0.8).collect()
+    assert(cont.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L),
+      s"short-in-long inclusion must surface: ${cont.mkString(",")}")
+    // the same pair stays BELOW a 0.3 jaccard — the dilution containment fixes
+    val jac = Dedup.dedupNgramJaccard(df, threshold = 0.3).collect()
+    assert(!jac.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L),
+      s"jaccard should dilute the pair: ${jac.mkString(",")}")
+  }
+
   test("clusters merge transitively: a~b, b~c below-threshold a~c join anyway") {
     // 30 distinct tokens; three docs sliding by 5: (1,2) and (2,3) share
     // 13/23 trigrams (jaccard .565), (1,3) only 8/28 (.286 < .3) — yet all

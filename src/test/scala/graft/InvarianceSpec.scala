@@ -224,6 +224,17 @@ class InvarianceSpec extends SparkSpec {
       rows(Aggs.statSeasonalResidual(events.repartition(13))))
   }
 
+  test("containment, ewma, ohlc, simpson are partitioning-independent") {
+    assert(rows(Dedup.dedupContainment(docs.coalesce(1))) ==
+      rows(Dedup.dedupContainment(docs.repartition(13))))
+    assert(rows(Aggs.statEwmaHourly(events.coalesce(1))) ==
+      rows(Aggs.statEwmaHourly(events.repartition(13))))
+    assert(rows(Aggs.aggOhlcHourly(events.coalesce(1))) ==
+      rows(Aggs.aggOhlcHourly(events.repartition(13))))
+    assert(rows(Aggs.aggSimpsonDiversity(events.coalesce(1))) ==
+      rows(Aggs.aggSimpsonDiversity(events.repartition(13))))
+  }
+
   test("KMV sketch estimate is partitioning-independent (mergeability in action)") {
     // the k-min-values partials merge across partitions; any split must
     // yield the same k smallest hashes, hence the same estimate

@@ -39,7 +39,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup candidate joins are equi-joins, never all-pairs") {
-    for (name <- Seq("dedup_ngram_jaccard", "dedup_near_minhash", "dedup_simhash")) {
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_near_minhash", "dedup_simhash",
+                     "dedup_containment")) {
       val plan = executed(q(name))
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$name grew an all-pairs join:\n$plan")
