@@ -104,6 +104,8 @@ object SparkEntry {
     "stat_ewma_hourly"      -> ((s, d) => Aggs.statEwmaHourly(events(s, d))),
     "agg_ohlc_hourly"       -> ((s, d) => Aggs.aggOhlcHourly(events(s, d))),
     "agg_simpson_diversity" -> ((s, d) => Aggs.aggSimpsonDiversity(events(s, d))),
+    "agg_bitmap_distinct"   -> ((s, d) => Aggs.aggBitmapDistinct(events(s, d))),
+    "stat_rolling_corr"     -> ((s, d) => Aggs.statRollingCorr(events(s, d))),
     "stat_corr_hourly"      -> ((s, d) => Aggs.statCorrHourlyCounts(events(s, d))),
     "stat_autocorr_lag"     -> ((s, d) => Aggs.statAutocorrLag(events(s, d))),
     "window_cusum"          -> ((s, d) => Windows.windowCusum(events(s, d))),
@@ -187,6 +189,7 @@ object SparkEntry {
     "scd2_intervals"        -> ((s, d) => ext.Sessions.scd2Intervals(events(s, d))),
     "events_transition_matrix" -> ((s, d) => ext.Sessions.eventsTransitionMatrix(events(s, d))),
     "events_path_topk"      -> ((s, d) => ext.Sessions.eventsPathTopk(events(s, d))),
+    "events_session_stats"  -> ((s, d) => ext.Sessions.eventsSessionStats(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
@@ -472,6 +475,10 @@ object SparkEntry {
       s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id, value, row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn, count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt FROM events) SELECT event_type, strftime(hr, $TS0) AS hour_s, max(CASE WHEN rn = 1 THEN value END) AS open, max(value) AS high, min(value) AS low, max(CASE WHEN rn = cnt THEN value END) AS close, count(*) AS n FROM b GROUP BY 1, 2 ORDER BY event_type, hour_s""",
     "agg_simpson_diversity" ->
       "WITH u AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2) SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_users, CAST(sum(n * n) AS BIGINT) AS sum_sq, 1.0 - CAST(sum(n * n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS simpson_diversity FROM u GROUP BY 1 ORDER BY event_type",
+    "agg_bitmap_distinct" ->
+      "WITH b AS (SELECT event_type, user_id // 32 AS w, bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word FROM events GROUP BY 1, 2) SELECT event_type, CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct_users, count(*) AS n_words FROM b GROUP BY 1 ORDER BY event_type",
+    "stat_rolling_corr" ->
+      "WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hu, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1), r AS (SELECT hu, x, y, CAST(count(*) OVER fr AS BIGINT) AS n_hours, CAST(count(*) OVER fr AS DOUBLE) AS n, CAST(sum(x) OVER fr AS DOUBLE) AS sx, CAST(sum(y) OVER fr AS DOUBLE) AS sy, CAST(sum(x*y) OVER fr AS DOUBLE) AS sxy, CAST(sum(x*x) OVER fr AS DOUBLE) AS sxx, CAST(sum(y*y) OVER fr AS DOUBLE) AS syy FROM h WINDOW fr AS (ORDER BY hu RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)) SELECT hu, n_hours, x, y, CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS rolling_r FROM r ORDER BY hu",
     "layout_zorder_skipping" ->
       """WITH raw AS (SELECT event_id, user_id, ts, epoch_us(ts) // 3600000000 AS hu FROM events), bounds AS (SELECT min(user_id) AS u_lo, max(user_id) AS u_hi, min(hu) AS h_lo, max(hu) AS h_hi FROM raw), base AS (SELECT event_id, user_id, ts, ((user_id - u_lo) * 256) // (u_hi - u_lo + 1) AS xa, ((hu - h_lo) * 256) // (h_hi - h_lo + 1) AS xb FROM raw CROSS JOIN bounds), s1 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS a1, (xb | (xb << 8)) & 16711935 AS b1 FROM base), s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1), s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3, (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2), s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3), zz AS (SELECT event_id, user_id, ts, a4 | (b4 << 1) AS z FROM s4), tb AS (SELECT user_id, (row_number() OVER (ORDER BY ts, event_id) - 1) // 512 AS blk FROM zz), zb AS (SELECT user_id, (row_number() OVER (ORDER BY z, event_id) - 1) // 512 AS blk FROM zz), tstat AS (SELECT blk, min(user_id) AS u_min, max(user_id) AS u_max, count(*) AS n FROM tb GROUP BY 1), zstat AS (SELECT blk, min(user_id) AS u_min, max(user_id) AS u_max, count(*) AS n FROM zb GROUP BY 1) SELECT 'time_sorted' AS layout, count(*) AS n_blocks, CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_hit, CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN n ELSE 0 END) AS BIGINT) AS rows_hit FROM tstat UNION ALL SELECT 'z_sorted', count(*), CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN 1 ELSE 0 END) AS BIGINT), CAST(sum(CASE WHEN u_min <= 42 AND u_max >= 42 THEN n ELSE 0 END) AS BIGINT) FROM zstat ORDER BY layout""",
     "agg_weighted_avg" ->
@@ -529,6 +536,8 @@ object SparkEntry {
       """WITH d AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM d GROUP BY 1), q AS (SELECT d.vec_id, d.dim, CASE WHEN m.scale = 0 THEN 0 ELSE least(greatest(CAST(floor(x / m.scale + 0.5) AS BIGINT), -127), 127) END AS q FROM d JOIN m USING (vec_id)), pr AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS k, q FROM q), cb AS (SELECT vec_id AS cid, sub, k, q AS qc FROM pr WHERE vec_id < 16), dist AS (SELECT pr.vec_id, pr.sub, cb.cid, CAST(sum((pr.q - cb.qc) * (pr.q - cb.qc)) AS BIGINT) AS dist2 FROM pr JOIN cb ON pr.sub = cb.sub AND pr.k = cb.k GROUP BY 1, 2, 3), best AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn FROM dist), codes AS (SELECT vec_id, sub, cid AS code FROM best WHERE rn = 1), dt AS (SELECT vec_id AS query_id, sub, cid, dist2 FROM dist WHERE vec_id < 10), scored AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.dist2) AS BIGINT) AS adc_dist2 FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.cid WHERE c.vec_id <> dt.query_id GROUP BY 1, 2), r AS (SELECT query_id, vec_id, adc_dist2, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS BIGINT) AS rn FROM scored) SELECT query_id, rn, vec_id, adc_dist2 FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "events_path_topk" ->
       """WITH p AS (SELECT event_type AS t0, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2 FROM events), c AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n FROM p WHERE t2 IS NOT NULL GROUP BY 1), r AS (SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rn FROM c) SELECT rn, path, n FROM r WHERE rn <= 10 ORDER BY rn""",
+    "events_session_stats" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT *, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_type, value, e_us, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s) SELECT user_id, session_num, (max(e_us) - min(e_us)) // 1000000 AS duration_s, count(*) AS n_events, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases, CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS converted, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
     // same quality spelling as sample_upweight / text_quality_score
     "corpus_budget_select" ->
       """WITH s AS (SELECT doc_id, (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(n_chars, 1))) AS quality, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT doc_id, quality, n_tokens, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM s) SELECT rank, doc_id, quality, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 20000 ORDER BY rank""",

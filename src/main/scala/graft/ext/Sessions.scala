@@ -137,6 +137,39 @@ object Sessions {
       .orderBy("cur_type", "next_type")
   }
 
+  /** r4: session-level conversion rollup — the funnel-adjacent view every
+    * product dashboard derives from [[eventsSessionize]]'s episodes:
+    * duration, event count, purchase count, conversion flag, and the
+    * decimal-exact value total per session. Same single user-window
+    * sessionization (one shuffle; the rollup agg reuses the (user,
+    * session) grouping downstream of it); duration is integer micros
+    * div 1e6 — every output column either integer, selection, or
+    * Det.dsum. */
+  def eventsSessionStats(events: DataFrame, gapMinutes: Int = 360): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withColumn("e_us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag(col("e_us"), 1).over(w).isNull ||
+          col("e_us") - lag(col("e_us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_num",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(
+        max(col("e_us")).as("max_us"), min(col("e_us")).as("min_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        graft.Det.dsum(col("value")).as("total_value"))
+      // `div`, not `/`: double division + truncation can disagree with
+      // floor division when the rounded quotient crosses an integer
+      .withColumn("duration_s", expr("(max_us - min_us) div 1000000"))
+      .withColumn("converted", (col("n_purchases") > 0).cast("long"))
+      .select(col("user_id"), col("session_num"), col("duration_s"),
+        col("n_events"), col("n_purchases"), col("converted"), col("total_value"))
+      .orderBy("user_id", "session_num")
+  }
+
   /** r4: top-k behavior paths — the most common 3-step event sequences
     * across users (sequential pattern mining's bread-and-butter query;
     * [[eventsTransitionMatrix]] is its order-1 marginal, this is the

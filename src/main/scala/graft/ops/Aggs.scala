@@ -603,6 +603,65 @@ object Aggs {
       .orderBy("event_type", "hour_s")
   }
 
+  /** r4: exact distinct counting over a BOUNDED id domain via bitmap
+    * words — the ClickHouse/Druid roaring-bitmap trick: each (class,
+    * word) cell bit_or's up to 64 presence bits, so distinct-count state
+    * is ≤ domain/64 longs per class (FLAT in row count — merge is an
+    * associative OR, no hash-set growth or resize on a 100 TB scan the
+    * way exact hash-distinct suffers), then one bit_count sum. Exact,
+    * mergeable, integer ⇒ hash-match; the complement of the KMV/HLL
+    * sketches for the dense-bounded-id regime (node ids here; doc/user
+    * dictionary ids in a training pipeline). */
+  def aggBitmapDistinct(events: DataFrame): DataFrame =
+    events
+      // 32-bit words: the max shift is 31, which neither engine's
+      // checked left-shift can overflow (DuckDB rejects 1::BIGINT << 63)
+      .select(col("event_type"),
+        shiftright(col("user_id"), 5).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          col("user_id").bitwiseAND(lit(31L)).cast("int")).as("bit"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(bit)").as("word"))
+      .groupBy(col("event_type"))
+      .agg(sum(bit_count(col("word")).cast("long")).as("n_distinct_users"),
+        count(lit(1)).as("n_words"))
+      .orderBy("event_type")
+
+  /** r4: rolling trailing-24h correlation between click and purchase
+    * hourly counts — [[statCorrHourlyCounts]] as a continuously-updated
+    * series (regime shifts show as the rolling r drifting, invisible in
+    * the single whole-range number). Power sums accumulate INTEGER
+    * counts over a RANGE frame on the epoch-hour index (gap hours
+    * simply widen the range — no fake zero rows), so every Σ is exact
+    * under any evaluation order; r is the same fixed chain of
+    * correctly-rounded ops (incl. IEEE-exact sqrt) as the global form,
+    * null where either variance vanishes (identical CASE both
+    * engines). One hash agg collapses the scan; the window runs on the
+    * ≤ hours-count frame. */
+  def statRollingCorr(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val fr = Window.orderBy(col("hu")).rangeBetween(-(windowHours - 1).toLong, 0L)
+    val (n, sx, sy, sxy, sxx, syy) = (count(lit(1)).over(fr).cast("double"),
+      sum(col("x")).over(fr).cast("double"), sum(col("y")).over(fr).cast("double"),
+      sum(col("x") * col("y")).over(fr).cast("double"),
+      sum(col("x") * col("x")).over(fr).cast("double"),
+      sum(col("y") * col("y")).over(fr).cast("double"))
+    hourly
+      .withColumn("n_hours", count(lit(1)).over(fr))
+      .withColumn("vx", n * sxx - sx * sx)
+      .withColumn("vy", n * syy - sy * sy)
+      .withColumn("rolling_r",
+        when(col("vx") > 0.0 && col("vy") > 0.0,
+          (n * sxy - sx * sy) / (sqrt(col("vx")) * sqrt(col("vy")))))
+      .select(col("hu"), col("n_hours"), col("x"), col("y"), col("rolling_r"))
+      .orderBy("hu")
+  }
+
   /** r4: Simpson concentration/diversity of per-class traffic across
     * nodes — 1 − Σn_u²/N², the log-free diversity index (Shannon entropy
     * needs `ln`, whose libm implementations differ in the last ulp

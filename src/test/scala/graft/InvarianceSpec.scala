@@ -235,6 +235,15 @@ class InvarianceSpec extends SparkSpec {
       rows(Aggs.aggSimpsonDiversity(events.repartition(13))))
   }
 
+  test("bitmap distinct, rolling corr, session stats are partitioning-independent") {
+    assert(rows(Aggs.aggBitmapDistinct(events.coalesce(1))) ==
+      rows(Aggs.aggBitmapDistinct(events.repartition(13))))
+    assert(rows(Aggs.statRollingCorr(events.coalesce(1))) ==
+      rows(Aggs.statRollingCorr(events.repartition(13))))
+    assert(rows(graft.ext.Sessions.eventsSessionStats(events.coalesce(1))) ==
+      rows(graft.ext.Sessions.eventsSessionStats(events.repartition(13))))
+  }
+
   test("KMV sketch estimate is partitioning-independent (mergeability in action)") {
     // the k-min-values partials merge across partitions; any split must
     // yield the same k smallest hashes, hence the same estimate
