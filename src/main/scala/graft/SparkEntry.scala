@@ -111,6 +111,8 @@ object SparkEntry {
     "window_cusum"          -> ((s, d) => Windows.windowCusum(events(s, d))),
     "agg_time_weighted_avg" -> ((s, d) => Aggs.aggTimeWeightedAvg(events(s, d))),
     "profile_key_skew"      -> ((s, d) => Aggs.profileKeySkew(events(s, d))),
+    "profile_join_cardinality" -> ((s, d) => Aggs.profileJoinCardinality(orders(s, d), customer(s, d))),
+    "profile_expectations"  -> ((s, d) => Aggs.profileExpectations(events(s, d))),
     "window_minmax_scale"   -> ((s, d) => Windows.windowMinmaxScale(events(s, d))),
     "clean_winsorize"       -> ((s, d) => batch.Clean.cleanWinsorize(events(s, d))),
     "stat_regression_hourly"-> ((s, d) => Aggs.statRegressionHourly(events(s, d))),
@@ -475,6 +477,10 @@ object SparkEntry {
       s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id, value, row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn, count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt FROM events) SELECT event_type, strftime(hr, $TS0) AS hour_s, max(CASE WHEN rn = 1 THEN value END) AS open, max(value) AS high, min(value) AS low, max(CASE WHEN rn = cnt THEN value END) AS close, count(*) AS n FROM b GROUP BY 1, 2 ORDER BY event_type, hour_s""",
     "agg_simpson_diversity" ->
       "WITH u AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2) SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_users, CAST(sum(n * n) AS BIGINT) AS sum_sq, 1.0 - CAST(sum(n * n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS simpson_diversity FROM u GROUP BY 1 ORDER BY event_type",
+    "profile_join_cardinality" ->
+      "WITH a AS (SELECT o_custkey AS key, count(*) AS na FROM orders GROUP BY 1), b AS (SELECT c_custkey AS key, count(*) AS nb FROM customer GROUP BY 1) SELECT count(*) AS n_matching_keys, CAST(sum(na * nb) AS BIGINT) AS join_rows, CAST(max(na * nb) AS BIGINT) AS max_key_rows FROM a JOIN b USING (key)",
+    "profile_expectations" ->
+      """WITH s AS (SELECT CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_id_null, count(*) - count(DISTINCT event_id) AS v_id_dup, CAST(sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01 00:00:00' OR ts >= TIMESTAMP '2025-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_range, CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS v_type_domain, CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_user_null, CAST(sum(CASE WHEN value IS NULL OR value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_value_neg FROM events), r AS (SELECT 'event_id_not_null' AS rule, v_id_null AS n_violations FROM s UNION ALL SELECT 'event_id_unique', v_id_dup FROM s UNION ALL SELECT 'ts_in_2024', v_ts_range FROM s UNION ALL SELECT 'event_type_in_domain', v_type_domain FROM s UNION ALL SELECT 'user_id_not_null', v_user_null FROM s UNION ALL SELECT 'value_non_negative', v_value_neg FROM s) SELECT rule, n_violations, CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM r ORDER BY rule""",
     "agg_bitmap_distinct" ->
       "WITH b AS (SELECT event_type, user_id // 32 AS w, bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word FROM events GROUP BY 1, 2) SELECT event_type, CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct_users, count(*) AS n_words FROM b GROUP BY 1 ORDER BY event_type",
     "stat_rolling_corr" ->

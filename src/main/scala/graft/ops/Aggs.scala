@@ -603,6 +603,57 @@ object Aggs {
       .orderBy("event_type", "hour_s")
   }
 
+  /** r4: join-cardinality pre-flight — the answer to "how big is this
+    * join?" BEFORE committing a 100 TB shuffle: per-key counts on both
+    * sides (map-side partials collapse each scan to its key
+    * cardinality), equi-joined on the key, Σ na·nb = the exact join
+    * output size, max(na·nb) = the hottest key's contribution (the
+    * number that decides whether [[graft.ops.Skew]]'s salting is
+    * needed — this is [[profileKeySkew]]'s join sibling). All integer
+    * ⇒ hash-match. */
+  def profileJoinCardinality(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val a = orders.groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("na"))
+    val b = customer.groupBy(col("c_custkey").as("key")).agg(count(lit(1)).as("nb"))
+    a.join(b, Seq("key"))
+      .agg(count(lit(1)).as("n_matching_keys"),
+        sum(col("na") * col("nb")).as("join_rows"),
+        max(col("na") * col("nb")).as("max_key_rows"))
+  }
+
+  /** r4: data-quality expectations — the deequ-style constraint suite a
+    * pipeline gates ingest on (the reference trusts every packet and
+    * discovers breakage in the graphs; a 100 TB pipeline wants the
+    * violation counts BEFORE the data lands): null checks, key
+    * uniqueness, timestamp range, categorical domain, value sign — ONE
+    * aggregate pass over one scan (the distinct count folds into the
+    * same Expand as [[profileColumns]]), unpivoted to a per-rule
+    * verdict table. */
+  def profileExpectations(events: DataFrame): DataFrame =
+    events
+      .agg(
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("v_id_dup"),
+        sum(when(col("ts").isNull ||
+          col("ts") < lit("2024-01-01 00:00:00").cast("timestamp") ||
+          col("ts") >= lit("2025-01-01 00:00:00").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_ts_range"),
+        sum(when(col("event_type").isNull ||
+          !col("event_type").isin("click", "view", "purchase", "signup", "error"), 1L)
+          .otherwise(0L)).as("v_type_domain"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_user_null"),
+        sum(when(col("value").isNull || col("value") < 0.0, 1L).otherwise(0L))
+          .as("v_value_neg"))
+      .select(expr(
+        """stack(6,
+             'event_id_not_null',    v_id_null,
+             'event_id_unique',      v_id_dup,
+             'ts_in_2024',           v_ts_range,
+             'event_type_in_domain', v_type_domain,
+             'user_id_not_null',     v_user_null,
+             'value_non_negative',   v_value_neg) as (rule, n_violations)"""))
+      .withColumn("passed", (col("n_violations") === 0L).cast("long"))
+      .orderBy("rule")
+
   /** r4: exact distinct counting over a BOUNDED id domain via bitmap
     * words — the ClickHouse/Druid roaring-bitmap trick: each (class,
     * word) cell bit_or's up to 64 presence bits, so distinct-count state

@@ -235,6 +235,15 @@ class InvarianceSpec extends SparkSpec {
       rows(Aggs.aggSimpsonDiversity(events.repartition(13))))
   }
 
+  test("join cardinality and expectations profiles are partitioning-independent") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    assert(rows(Aggs.profileJoinCardinality(orders.coalesce(1), cust.coalesce(1))) ==
+      rows(Aggs.profileJoinCardinality(orders.repartition(13), cust.repartition(7))))
+    assert(rows(Aggs.profileExpectations(events.coalesce(1))) ==
+      rows(Aggs.profileExpectations(events.repartition(13))))
+  }
+
   test("bitmap distinct, rolling corr, session stats are partitioning-independent") {
     assert(rows(Aggs.aggBitmapDistinct(events.coalesce(1))) ==
       rows(Aggs.aggBitmapDistinct(events.repartition(13))))
