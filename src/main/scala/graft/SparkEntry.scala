@@ -202,6 +202,7 @@ object SparkEntry {
     "corpus_prep_pipeline"  -> ((s, d) => ext.CorpusPrep.corpusPrepPipeline(documents(s, d))),
     "corpus_pack_sequences" -> ((s, d) => ext.CorpusPrep.corpusPackSequences(documents(s, d))),
     "corpus_budget_select"  -> ((s, d) => ext.CorpusPrep.corpusBudgetSelect(documents(s, d))),
+    "corpus_refresh_pipeline" -> ((s, d) => ext.CorpusPrep.corpusRefreshPipeline(documents(s, d))),
   )
 
   // DuckDB spellings of the Det helpers (see Det.scala):
@@ -544,6 +545,10 @@ object SparkEntry {
       """WITH p AS (SELECT event_type AS t0, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2 FROM events), c AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n FROM p WHERE t2 IS NOT NULL GROUP BY 1), r AS (SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rn FROM c) SELECT rn, path, n FROM r WHERE rn <= 10 ORDER BY rn""",
     "events_session_stats" ->
       """WITH g AS (SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT *, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_type, value, e_us, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s) SELECT user_id, session_num, (max(e_us) - min(e_us)) // 1000000 AS duration_s, count(*) AS n_events, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases, CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS converted, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    // store = even doc_ids (dedup_incremental's convention); quality
+    // spelling shared with text_quality_score
+    "corpus_refresh_pipeline" ->
+      """WITH store AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0 GROUP BY 1), fresh AS (SELECT doc_id, text, n_chars, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1), j AS (SELECT f.doc_id, f.text, f.n_chars, CASE WHEN s.fp IS NOT NULL THEN 1 END AS in_store, row_number() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn FROM fresh f LEFT JOIN store s ON f.fp = s.fp), sc AS (SELECT doc_id, in_store, rn, (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(n_chars, 1))) AS quality, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM j) SELECT doc_id, quality, n_tokens, CASE WHEN in_store IS NOT NULL THEN 'dup_store' WHEN rn > 1 THEN 'dup_batch' WHEN quality < 1.5 THEN 'low_quality' ELSE 'selected' END AS status FROM sc ORDER BY doc_id""",
     // same quality spelling as sample_upweight / text_quality_score
     "corpus_budget_select" ->
       """WITH s AS (SELECT doc_id, (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(n_chars, 1))) AS quality, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT doc_id, quality, n_tokens, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM s) SELECT rank, doc_id, quality, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 20000 ORDER BY rank""",

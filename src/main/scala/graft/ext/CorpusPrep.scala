@@ -110,6 +110,42 @@ object CorpusPrep {
       .orderBy("lang", "source")
   }
 
+  /** r4: crawl-refresh composite — what a RECURRING ingest actually runs
+    * over each new batch, end-to-end: exact dedup against the existing
+    * corpus's fingerprint store ([[graft.ext.Dedup.dedupIncremental]]'s
+    * convention: doc_id parity splits the fixture into store/fresh),
+    * within-batch exact dedup (min-doc_id canonical), then the shared
+    * quality gate — every fresh doc emerging with its DISPOSITION
+    * (dup_store / dup_batch / low_quality / selected), because a
+    * production refresh must account for what it dropped, not just
+    * return survivors. Plan: one md5 map-side pass per side, one
+    * fp equi-join (no broadcast hint — the store fingerprint set grows
+    * with the corpus, AQE decides, same call as join_latest_dim), one
+    * fp window for the batch canonical; quality is map-side
+    * expressions. Nothing all-pairs, nothing collected. */
+  def corpusRefreshPipeline(documents: DataFrame, minQuality: Double = 1.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val storeFp = documents.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+      .withColumn("in_store", lit(1L))
+    val fresh = documents.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        md5(col("text").cast("binary")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    fresh
+      .join(storeFp, Seq("fp"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("quality", Text.qualityScore)
+      .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("status",
+        when(col("in_store").isNotNull, "dup_store")
+          .when(col("rn") > 1, "dup_batch")
+          .when(col("quality") < minQuality, "low_quality")
+          .otherwise("selected"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("status"))
+      .orderBy("doc_id")
+  }
+
   /** r4: token-budget selection — "give me the best `budget` tokens of
     * this corpus": rank every doc by the shared quality heuristic
     * ([[graft.ext.Text.qualityScore]], ties by doc_id so the cut is

@@ -49,6 +49,24 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(zRows < tRows)
   }
 
+  test("refresh pipeline assigns all four dispositions on planted duplicates") {
+    import spark.implicits._
+    val good = ("alpha the beta of gamma and delta in epsilon to zeta " +
+      "eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau")
+    val df = Seq(
+      (0L, good + " store copy", 120L),   // store side (even)
+      (1L, good + " store copy", 120L),   // fresh, exact match in store
+      (3L, good + " batch twin", 118L),   // fresh, first of a batch pair
+      (5L, good + " batch twin", 118L),   // fresh, second → dup_batch
+      (7L, "1111 2222 3333", 14L),        // fresh, digit-heavy → low_quality
+      (9L, good, 108L)                    // fresh, clean → selected
+    ).toDF("doc_id", "text", "n_chars")
+    val out = ext.CorpusPrep.corpusRefreshPipeline(df)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "dup_store", 3L -> "selected", 5L -> "dup_batch",
+      7L -> "low_quality", 9L -> "selected"), out.toString)
+  }
+
   test("emb_quantize_int8: q in ±127, err_l1 within the dim·scale/2 rounding bound") {
     val rows = ext.Similarity.embQuantizeInt8(Tables.embeddings(spark, sf)).collect()
     assert(rows.nonEmpty)
