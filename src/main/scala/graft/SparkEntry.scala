@@ -192,6 +192,7 @@ object SparkEntry {
     "events_transition_matrix" -> ((s, d) => ext.Sessions.eventsTransitionMatrix(events(s, d))),
     "events_path_topk"      -> ((s, d) => ext.Sessions.eventsPathTopk(events(s, d))),
     "events_session_stats"  -> ((s, d) => ext.Sessions.eventsSessionStats(events(s, d))),
+    "graph_pagerank_types"  -> ((s, d) => ext.Sessions.graphPagerankTypes(events(s, d))),
     "multimodal_extract_meta" -> ((s, d) => ext.Multimodal.multimodalExtractMeta(documents(s, d))),
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
@@ -543,6 +544,10 @@ object SparkEntry {
       """WITH d AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM d GROUP BY 1), q AS (SELECT d.vec_id, d.dim, CASE WHEN m.scale = 0 THEN 0 ELSE least(greatest(CAST(floor(x / m.scale + 0.5) AS BIGINT), -127), 127) END AS q FROM d JOIN m USING (vec_id)), pr AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS k, q FROM q), cb AS (SELECT vec_id AS cid, sub, k, q AS qc FROM pr WHERE vec_id < 16), dist AS (SELECT pr.vec_id, pr.sub, cb.cid, CAST(sum((pr.q - cb.qc) * (pr.q - cb.qc)) AS BIGINT) AS dist2 FROM pr JOIN cb ON pr.sub = cb.sub AND pr.k = cb.k GROUP BY 1, 2, 3), best AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn FROM dist), codes AS (SELECT vec_id, sub, cid AS code FROM best WHERE rn = 1), dt AS (SELECT vec_id AS query_id, sub, cid, dist2 FROM dist WHERE vec_id < 10), scored AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.dist2) AS BIGINT) AS adc_dist2 FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.cid WHERE c.vec_id <> dt.query_id GROUP BY 1, 2), r AS (SELECT query_id, vec_id, adc_dist2, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS BIGINT) AS rn FROM scored) SELECT query_id, rn, vec_id, adc_dist2 FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "events_path_topk" ->
       """WITH p AS (SELECT event_type AS t0, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2 FROM events), c AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n FROM p WHERE t2 IS NOT NULL GROUP BY 1), r AS (SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rn FROM c) SELECT rn, path, n FROM r WHERE rn <= 10 ORDER BY rn""",
+    // fixed-point integer PageRank, 3 unrolled iterations — integer sums
+    // are exact under any order, so an ITERATIVE algorithm hash-matches
+    "graph_pagerank_types" ->
+      """WITH e AS (SELECT event_type AS src, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), ed AS (SELECT src, dst, count(*) AS n FROM e WHERE dst IS NOT NULL GROUP BY 1, 2), deg AS (SELECT src, CAST(sum(n) AS BIGINT) AS deg FROM ed GROUP BY 1), nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION SELECT dst FROM ed)), nn AS (SELECT count(*) AS n FROM nodes), p0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS p FROM nodes), c1 AS (SELECT ed.dst AS node, sum((p0.p * ed.n) // deg.deg) AS inflow FROM ed JOIN p0 ON ed.src = p0.node JOIN deg ON ed.src = deg.src GROUP BY 1), p1 AS (SELECT nodes.node, (15 * (1000000000000 // (SELECT n FROM nn)) // 100) + (coalesce(c1.inflow, 0) * 85) // 100 AS p FROM nodes LEFT JOIN c1 USING (node)), c2 AS (SELECT ed.dst AS node, sum((p1.p * ed.n) // deg.deg) AS inflow FROM ed JOIN p1 ON ed.src = p1.node JOIN deg ON ed.src = deg.src GROUP BY 1), p2 AS (SELECT nodes.node, (15 * (1000000000000 // (SELECT n FROM nn)) // 100) + (coalesce(c2.inflow, 0) * 85) // 100 AS p FROM nodes LEFT JOIN c2 USING (node)), c3 AS (SELECT ed.dst AS node, sum((p2.p * ed.n) // deg.deg) AS inflow FROM ed JOIN p2 ON ed.src = p2.node JOIN deg ON ed.src = deg.src GROUP BY 1), p3 AS (SELECT nodes.node, (15 * (1000000000000 // (SELECT n FROM nn)) // 100) + (coalesce(c3.inflow, 0) * 85) // 100 AS p FROM nodes LEFT JOIN c3 USING (node)) SELECT node, CAST(p AS BIGINT) AS rank_pico, CAST(p AS DOUBLE) / 1e12 AS rank FROM p3 ORDER BY rank_pico DESC, node""",
     "events_session_stats" ->
       """WITH g AS (SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT *, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_type, value, e_us, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s) SELECT user_id, session_num, (max(e_us) - min(e_us)) // 1000000 AS duration_s, count(*) AS n_events, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases, CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS converted, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
     // store = even doc_ids (dedup_incremental's convention); quality

@@ -251,6 +251,8 @@ class InvarianceSpec extends SparkSpec {
       rows(Aggs.statRollingCorr(events.repartition(13))))
     assert(rows(graft.ext.Sessions.eventsSessionStats(events.coalesce(1))) ==
       rows(graft.ext.Sessions.eventsSessionStats(events.repartition(13))))
+    assert(rows(graft.ext.Sessions.graphPagerankTypes(events.coalesce(1))) ==
+      rows(graft.ext.Sessions.graphPagerankTypes(events.repartition(13))))
   }
 
   test("KMV sketch estimate is partitioning-independent (mergeability in action)") {

@@ -45,6 +45,21 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() == expected && expected > 0)
   }
 
+  test("ORC round-trip is value-exact and pushes filters into the ORC scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    events.write.orc(s"$dir/events")
+    val back = spark.read.orc(s"$dir/events")
+    assert(back.orderBy("event_id").collect().toSeq ==
+      events.orderBy("event_id").collect().toSeq,
+      "ORC round-trip must be value-exact")
+    val filtered = back.filter(col("event_type") === "purchase")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"predicate must reach the ORC scan:\n$plan")
+  }
+
   test("co-bucketed self-join on the bucket key plans without a shuffle") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     Layout.writeBucketed(events.select(col("event_id"), col("user_id"), col("value")),

@@ -49,6 +49,16 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(zRows < tRows)
   }
 
+  test("bitmap distinct equals the exact per-class distinct count") {
+    val events = Tables.events(spark, sf)
+    val bitmap = ops.Aggs.aggBitmapDistinct(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bitmap == exact, s"bitmap=$bitmap exact=$exact")
+  }
+
   test("refresh pipeline assigns all four dispositions on planted duplicates") {
     import spark.implicits._
     val good = ("alpha the beta of gamma and delta in epsilon to zeta " +
