@@ -87,6 +87,7 @@ object SparkEntry {
     "agg_distinct_nodes"    -> ((s, d) => Aggs.aggDistinctNodes(events(s, d))),
     "agg_distinct_approx"   -> ((s, d) => Aggs.aggDistinctNodesApprox(events(s, d))),
     "agg_distinct_kmv"      -> ((s, d) => Aggs.aggDistinctKmv(events(s, d))),
+    "agg_distinct_hll_portable" -> ((s, d) => Aggs.aggDistinctHllPortable(events(s, d))),
     "agg_salted_skew"       -> ((s, d) =>
       ops.Skew.saltedGroupSum(events(s, d), "event_type", "value").orderBy("event_type")),
     "agg_quantiles"         -> ((s, d) => Aggs.aggQuantiles(events(s, d))),
@@ -479,6 +480,10 @@ object SparkEntry {
       s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id, value, row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn, count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt FROM events) SELECT event_type, strftime(hr, $TS0) AS hour_s, max(CASE WHEN rn = 1 THEN value END) AS open, max(value) AS high, min(value) AS low, max(CASE WHEN rn = cnt THEN value END) AS close, count(*) AS n FROM b GROUP BY 1, 2 ORDER BY event_type, hour_s""",
     "agg_simpson_diversity" ->
       "WITH u AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2) SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_users, CAST(sum(n * n) AS BIGINT) AS sum_sq, 1.0 - CAST(sum(n * n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS simpson_diversity FROM u GROUP BY 1 ORDER BY event_type",
+    // portable HLL: registers from md5 slices, harmonic denominator kept
+    // exact as DECIMAL integer powers of two — the sketch hash-matches
+    "agg_distinct_hll_portable" ->
+      "WITH r AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT AS b, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14))::UBIGINT AS v FROM events), regs AS (SELECT b, max(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END) AS m FROM r GROUP BY 1), s AS (SELECT count(*) AS hit, sum(CAST(1::UBIGINT << (57 - m) AS DECIMAL(38,0))) AS t_hit FROM regs) SELECT 256::BIGINT AS m_buckets, CAST(256 - hit AS BIGINT) AS v_zero, CAST(hit AS BIGINT) AS n_buckets_hit, (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 144115188075855872.0 / (CAST(t_hit AS DOUBLE) + CAST(256 - hit AS DOUBLE) * 144115188075855872.0) AS est_raw FROM s",
     "profile_join_cardinality" ->
       "WITH a AS (SELECT o_custkey AS key, count(*) AS na FROM orders GROUP BY 1), b AS (SELECT c_custkey AS key, count(*) AS nb FROM customer GROUP BY 1) SELECT count(*) AS n_matching_keys, CAST(sum(na * nb) AS BIGINT) AS join_rows, CAST(max(na * nb) AS BIGINT) AS max_key_rows FROM a JOIN b USING (key)",
     "profile_expectations" ->

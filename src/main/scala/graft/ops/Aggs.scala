@@ -72,6 +72,44 @@ object Aggs {
           .otherwise(lit((k - 1).toDouble) / col("hk")).as("est_distinct"))
   }
 
+  /** r4: PORTABLE HyperLogLog — the register construction
+    * `agg_distinct_approx` (Spark's built-in HLL) cannot oracle-check,
+    * rebuilt from engine-neutral parts so even the SKETCH hash-matches:
+    * bucket = first 2 md5 hex chars (m = 256), register = max rank of
+    * the 56-bit suffix where rank = 57 − bitlength (leading-zeros + 1;
+    * `bin()` strips leading zeros identically in both engines), and the
+    * harmonic denominator Σ2^(−M) kept EXACT by summing the integer
+    * terms 2^(57−M) in DECIMAL(38,0) (each term a long-safe power of
+    * two; empty registers contribute 2^57 arithmetically). The estimate
+    * is the raw HLL form αm²/Σ — a fixed chain of correctly-rounded
+    * double ops. No small-range linear-counting correction: it needs
+    * `ln`, whose libm results differ across engines (the same call that
+    * shaped [[aggSimpsonDiversity]] and tf-idf); at fixture scale the
+    * raw estimate is therefore biased high — documented, and the
+    * hash-matched [[aggDistinctKmv]] is the accurate small-range
+    * sibling. State: 256 registers per aggregation — the sketch the
+    * 100 TB scan actually merges. */
+  def aggDistinctHllPortable(events: DataFrame): DataFrame = {
+    val h = md5(col("user_id").cast("string").cast("binary"))
+    val two57 = 144115188075855872.0 // 2^57, exact
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    events
+      .select(conv(substring(h, 1, 2), 16, 10).cast("int").as("b"),
+        conv(substring(h, 3, 14), 16, 10).cast("long").as("v"))
+      .groupBy(col("b"))
+      .agg(max(when(col("v") === 0L, lit(57))
+        .otherwise(lit(57) - length(expr("bin(v)")))).as("m"))
+      .agg(count(lit(1)).as("hit"),
+        sum(call_function("shiftleft", lit(1L), (lit(57) - col("m")).cast("int"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("t_hit"))
+      .select(lit(256L).as("m_buckets"),
+        (lit(256L) - col("hit")).as("v_zero"),
+        col("hit").cast("long").as("n_buckets_hit"),
+        (lit(alpha) * lit(65536.0) * lit(two57) /
+          (col("t_hit").cast("double") +
+            (lit(256L) - col("hit")).cast("double") * lit(two57))).as("est_raw"))
+  }
+
   /** A5: downsample to time buckets (graphdata.py:99-111). */
   def aggTimeBucket(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))

@@ -260,6 +260,9 @@ class InvarianceSpec extends SparkSpec {
     // yield the same k smallest hashes, hence the same estimate
     assert(rows(Aggs.aggDistinctKmv(events.coalesce(1))) ==
       rows(Aggs.aggDistinctKmv(events.repartition(13))))
+    // HLL registers merge by max — same registers at any split
+    assert(rows(Aggs.aggDistinctHllPortable(events.coalesce(1))) ==
+      rows(Aggs.aggDistinctHllPortable(events.repartition(13))))
     assert(rows(graft.ext.Similarity.simSearchPqAdc(
         Tables.embeddings(spark, "/root/testdata/sf0.001").coalesce(1))) ==
       rows(graft.ext.Similarity.simSearchPqAdc(
