@@ -195,6 +195,11 @@ object Sessions {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
     val nNodes = nodes.count() // bounded: ≤ |event types|
+    // empty graph (empty slice / cold start): return the empty frame with
+    // the output schema instead of dividing by zero below
+    if (nNodes == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_pico"),
+        lit(0.0).as("rank"))
     var p = nodes.withColumn("p", lit(Unit12 / nNodes))
     for (_ <- 1 to iters) {
       val contrib = edges

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Empty-input robustness: a library operator must return an EMPTY frame
+  * on an empty input, not throw — at 100 TB an empty slice is routine (a
+  * new partition, a filtered day with no rows, a cold-start store side),
+  * and an operator that crashes on it takes the whole job down. Runs a
+  * representative operator from every family over limit(0) inputs. */
+class EmptyInputSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+  def emptyEvents: DataFrame = Tables.events(spark, sf).limit(0)
+  def emptyDocs: DataFrame = Tables.documents(spark, sf).limit(0)
+  def emptyEmb: DataFrame = Tables.embeddings(spark, sf).limit(0)
+
+  test("batch operators return empty frames on empty inputs") {
+    import graft.ops._
+    assert(Aggs.aggMetricsSummary(emptyEvents).count() == 0)
+    assert(Aggs.aggQuantiles(emptyEvents).count() == 0)
+    assert(Aggs.statRollingCorr(emptyEvents).count() == 0)
+    assert(Aggs.aggBitmapDistinct(emptyEvents).count() == 0)
+    assert(Windows.windowMovingAvg(emptyEvents).count() == 0)
+    assert(SetSort.sortByTime(emptyEvents).count() == 0)
+    assert(Joins.joinAsofNearest(emptyEvents).count() == 0)
+    assert(Joins.joinIntervalBucket(emptyEvents).count() == 0)
+    assert(batch.Clean.cleanWinsorize(emptyEvents).count() == 0)
+  }
+
+  test("ext operators return empty frames on empty inputs") {
+    import graft.ext._
+    assert(Dedup.dedupExact(emptyDocs).count() == 0)
+    assert(Dedup.dedupContainment(emptyDocs).count() == 0)
+    assert(Text.textPassageDedup(emptyDocs).count() == 0)
+    assert(Text.textQualityScore(emptyDocs).count() == 0)
+    assert(CorpusPrep.corpusBudgetSelect(emptyDocs).count() == 0)
+    assert(CorpusPrep.corpusRefreshPipeline(emptyDocs).count() == 0)
+    assert(Sessions.eventsSessionStats(emptyEvents).count() == 0)
+    assert(Sessions.eventsPathTopk(emptyEvents).count() == 0)
+    assert(Sessions.graphPagerankTypes(emptyEvents).count() == 0)
+    assert(Similarity.embQuantizeInt8(emptyEmb).count() == 0)
+    assert(Similarity.embPqCodes(emptyEmb).count() == 0)
+    assert(ops.Joins.joinBloomPrefilter(
+      Tables.orders(spark, sf).limit(0), Tables.customer(spark, sf)).count() == 0)
+    // a REPORT query on an empty table correctly reports two zero-block
+    // layout rows (global agg semantics), not an empty frame
+    val z = sources.Layout.zorderSkipping(emptyEvents).collect()
+    assert(z.length == 2 && z.forall(_.getLong(1) == 0L), z.mkString(","))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+/** Blanket plan lint over EVERY declared query: no CartesianProduct
+  * anywhere, and BroadcastNestedLoopJoin only where a bounded broadcast
+  * side justifies it (explicit allowlist, each entry tied to a documented
+  * bounded frame). Individual PlanSpec gates check the plans we designed;
+  * this gate catches the plan we DIDN'T notice regressing — a new query
+  * or an optimizer change quietly going all-pairs fails here first. */
+class PlanLintSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  // BNLJ-bearing queries with a bounded broadcast side, each justified at
+  // its implementation site (block-pair tables, 1-row agg frames, ≤3-row
+  // tier dims, 1-row sketch frames)
+  private val bnljAllowed = Set(
+    "dedup_embedding_cosine", "dedup_semantic_clusters", // ≤36-row block pairs
+    "sim_knn_join",                                      // same block-pair core
+    "join_range_tier",                                   // 3-row tier dim
+    "layout_zorder_skipping",                            // 1-row bounds agg
+    "agg_distinct_kmv",                                  // 1-row sketch frames
+    "text_tfidf_topk",                                   // 1-row n_docs frame
+    "agg_quantiles_banded", "clean_winsorize",           // bounded bound-frames
+    "agg_quantiles_sampled",                             // 1-row sample-size frame
+    "filter_time_threshold",                             // 1-row max-ts frame
+    "sim_search_cosine_topk"                             // ≤nQueries-row query side
+  )
+
+  test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable =>
+          offenders += s"$name: plan construction failed: ${e.getMessage}"; ""
+        }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+}
