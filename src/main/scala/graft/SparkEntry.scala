@@ -130,6 +130,7 @@ object SparkEntry {
     "window_zscore_hours"   -> ((s, d) => Windows.windowZscoreHours(events(s, d))),
     "window_percent_rank"   -> ((s, d) => Windows.windowPercentRank(events(s, d))),
     "window_mad_hours"      -> ((s, d) => Windows.windowMadHours(events(s, d))),
+    "window_pct_change"     -> ((s, d) => Windows.windowPctChange(events(s, d))),
     // §2.7 sort/limit/topk
     "sort_by_time"          -> ((s, d) => SetSort.sortByTime(events(s, d))),
     "limit_head"            -> ((s, d) => SetSort.limitHead(events(s, d))),
@@ -549,6 +550,8 @@ object SparkEntry {
       """WITH d AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM d GROUP BY 1), q AS (SELECT d.vec_id, d.dim, CASE WHEN m.scale = 0 THEN 0 ELSE least(greatest(CAST(floor(x / m.scale + 0.5) AS BIGINT), -127), 127) END AS q FROM d JOIN m USING (vec_id)), pr AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS k, q FROM q), cb AS (SELECT vec_id AS cid, sub, k, q AS qc FROM pr WHERE vec_id < 16), dist AS (SELECT pr.vec_id, pr.sub, cb.cid, CAST(sum((pr.q - cb.qc) * (pr.q - cb.qc)) AS BIGINT) AS dist2 FROM pr JOIN cb ON pr.sub = cb.sub AND pr.k = cb.k GROUP BY 1, 2, 3), best AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn FROM dist), codes AS (SELECT vec_id, sub, cid AS code FROM best WHERE rn = 1), dt AS (SELECT vec_id AS query_id, sub, cid, dist2 FROM dist WHERE vec_id < 10), scored AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.dist2) AS BIGINT) AS adc_dist2 FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.cid WHERE c.vec_id <> dt.query_id GROUP BY 1, 2), r AS (SELECT query_id, vec_id, adc_dist2, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS BIGINT) AS rn FROM scored) SELECT query_id, rn, vec_id, adc_dist2 FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "events_path_topk" ->
       """WITH p AS (SELECT event_type AS t0, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2 FROM events), c AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n FROM p WHERE t2 IS NOT NULL GROUP BY 1), r AS (SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rn FROM c) SELECT rn, path, n FROM r WHERE rn <= 10 ORDER BY rn""",
+    "window_pct_change" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), l AS (SELECT event_type, hour, n, lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n FROM h) SELECT event_type, strftime(hour, $TS0) AS hour_s, n, prev_n, CASE WHEN prev_n > 0 THEN CAST(n - prev_n AS DOUBLE) / prev_n END AS pct_change FROM l ORDER BY event_type, hour_s""",
     // fixed-point integer PageRank, 3 unrolled iterations — integer sums
     // are exact under any order, so an ITERATIVE algorithm hash-matches
     "graph_pagerank_types" ->

@@ -228,4 +228,25 @@ object Windows {
         (col("dev") > lit(3) * col("mad")).as("is_anomaly"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** r4: hour-over-hour percent change per class — the growth-rate view
+    * every traffic dashboard overlays ([[windowGapToPrev]]'s aggregate
+    * cousin). Change rides integer counts: (n − prev) is exact, the
+    * ratio is ONE correctly-rounded divide, null on the first hour and
+    * when prev = 0 (identical CASE both engines — percent change from
+    * zero is undefined, not infinity). One hash agg + one lag window on
+    * the class key. */
+  def windowPctChange(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), fmtTsSec(col("hour")).as("hour_s"),
+        col("n"), col("prev_n"),
+        when(col("prev_n") > 0,
+          (col("n") - col("prev_n")).cast("double") / col("prev_n"))
+          .as("pct_change"))
+      .orderBy("event_type", "hour_s")
+  }
 }
