@@ -64,6 +64,7 @@ object SparkEntry {
     "join_timeseries_align_multi" -> ((s, d) => Joins.joinTimeseriesAlignMulti(events(s, d))),
     "join_asof_nearest"     -> ((s, d) => Joins.joinAsofNearest(events(s, d))),
     "join_asof_tolerance"   -> ((s, d) => Joins.joinAsofTolerance(events(s, d))),
+    "join_asof_forward"     -> ((s, d) => Joins.joinAsofForward(events(s, d))),
     "join_range_tier"       -> ((s, d) => Joins.joinRangeTier(events(s, d))),
     "join_interval_bucket"  -> ((s, d) => Joins.joinIntervalBucket(events(s, d))),
     "ts_fill_gaps"          -> ((s, d) => Joins.tsFillGaps(events(s, d))),
@@ -131,6 +132,7 @@ object SparkEntry {
     "window_percent_rank"   -> ((s, d) => Windows.windowPercentRank(events(s, d))),
     "window_mad_hours"      -> ((s, d) => Windows.windowMadHours(events(s, d))),
     "window_pct_change"     -> ((s, d) => Windows.windowPctChange(events(s, d))),
+    "window_streaks"        -> ((s, d) => Windows.windowStreaks(events(s, d))),
     // §2.7 sort/limit/topk
     "sort_by_time"          -> ((s, d) => SetSort.sortByTime(events(s, d))),
     "limit_head"            -> ((s, d) => SetSort.limitHead(events(s, d))),
@@ -182,6 +184,7 @@ object SparkEntry {
     "text_decontaminate"    -> ((s, d) => ext.Text.textDecontaminate(documents(s, d))),
     "text_tfidf_topk"       -> ((s, d) => ext.Text.textTfidfTopk(documents(s, d))),
     "text_passage_dedup"    -> ((s, d) => ext.Text.textPassageDedup(documents(s, d))),
+    "text_token_lift"       -> ((s, d) => ext.Text.textTokenLift(documents(s, d))),
     // §2.10 extensions: sampling/splits (training-pipeline family, r2)
     "sample_hash_split"     -> ((s, d) => ext.Sampling.sampleHashSplit(documents(s, d))),
     "sample_per_group"      -> ((s, d) => ext.Sampling.samplePerGroup(documents(s, d))),
@@ -550,6 +553,13 @@ object SparkEntry {
       """WITH d AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, v[CAST(i+1 AS INT)] AS x FROM (SELECT vec_id, embedding::DOUBLE[] v, unnest(range(64)) AS i FROM embeddings)), m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM d GROUP BY 1), q AS (SELECT d.vec_id, d.dim, CASE WHEN m.scale = 0 THEN 0 ELSE least(greatest(CAST(floor(x / m.scale + 0.5) AS BIGINT), -127), 127) END AS q FROM d JOIN m USING (vec_id)), pr AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS k, q FROM q), cb AS (SELECT vec_id AS cid, sub, k, q AS qc FROM pr WHERE vec_id < 16), dist AS (SELECT pr.vec_id, pr.sub, cb.cid, CAST(sum((pr.q - cb.qc) * (pr.q - cb.qc)) AS BIGINT) AS dist2 FROM pr JOIN cb ON pr.sub = cb.sub AND pr.k = cb.k GROUP BY 1, 2, 3), best AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn FROM dist), codes AS (SELECT vec_id, sub, cid AS code FROM best WHERE rn = 1), dt AS (SELECT vec_id AS query_id, sub, cid, dist2 FROM dist WHERE vec_id < 10), scored AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.dist2) AS BIGINT) AS adc_dist2 FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.cid WHERE c.vec_id <> dt.query_id GROUP BY 1, 2), r AS (SELECT query_id, vec_id, adc_dist2, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS BIGINT) AS rn FROM scored) SELECT query_id, rn, vec_id, adc_dist2 FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "events_path_topk" ->
       """WITH p AS (SELECT event_type AS t0, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2 FROM events), c AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n FROM p WHERE t2 IS NOT NULL GROUP BY 1), r AS (SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rn FROM c) SELECT rn, path, n FROM r WHERE rn <= 10 ORDER BY rn""",
+    "join_asof_forward" ->
+      s"""SELECT p.event_id, p.user_id, strftime(p.ts, $TS6) AS ts_s, c.value AS next_click_value, strftime(c.ts, $TS6) AS next_click_ts_s FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts <= c.ts ORDER BY p.event_id""",
+    "window_streaks" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), f AS (SELECT event_type, hour, n, n >= 4 AS hot, row_number() OVER (PARTITION BY event_type ORDER BY hour) - row_number() OVER (PARTITION BY event_type, n >= 4 ORDER BY hour) AS grp FROM h) SELECT event_type, strftime(min(hour), $TS0) AS streak_start_s, strftime(max(hour), $TS0) AS streak_end_s, count(*) AS len_hours, CAST(sum(n) AS BIGINT) AS total_events FROM f WHERE hot GROUP BY event_type, grp ORDER BY event_type, streak_start_s""",
+    // lift = N·n12/(n1·n2): monotone in PMI, no ln — ranking identical
+    "text_token_lift" ->
+      "WITH tk AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t FROM documents), df AS (SELECT t, count(*) AS n_t FROM tk GROUP BY 1 HAVING count(*) BETWEEN 2 AND 450), k AS (SELECT tk.doc_id, tk.t, df.n_t FROM tk JOIN df USING (t)), p AS (SELECT a.t AS t1, b.t AS t2, a.n_t AS n1, b.n_t AS n2, count(*) AS n_12 FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2, 3, 4 HAVING count(*) >= 25), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents), s AS (SELECT t1, t2, n1, n2, n_12, CAST(nd.n * n_12 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS lift FROM p CROSS JOIN nd), r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, t1, t2) AS BIGINT) AS rn FROM s) SELECT rn, t1, t2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, CAST(n_12 AS BIGINT) AS n_12, lift FROM r WHERE rn <= 50 ORDER BY rn",
     "window_pct_change" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), l AS (SELECT event_type, hour, n, lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n FROM h) SELECT event_type, strftime(hour, $TS0) AS hour_s, n, prev_n, CASE WHEN prev_n > 0 THEN CAST(n - prev_n AS DOUBLE) / prev_n END AS pct_change FROM l ORDER BY event_type, hour_s""",
     // fixed-point integer PageRank, 3 unrolled iterations — integer sums

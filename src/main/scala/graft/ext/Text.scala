@@ -315,6 +315,42 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** r4: token-pair lift — co-occurrence association strength,
+    * N·n(a,b)/(n(a)·n(b)) (observed-over-expected; PMI without the
+    * cross-engine `ln`, same dodge as the tf-idf rarity ratio — lift is
+    * monotone in PMI so the RANKING is identical). Candidates come from
+    * a per-doc distinct-token self-join BOUNDED by the same df cap the
+    * jaccard inverted index uses (a stopword-like token would otherwise
+    * explode the pair fan-out quadratically), and the support floor
+    * collapses the pair table before the one global top-k window. Every
+    * number is an exact integer until the single lift divide. */
+  def textTokenLift(documents: DataFrame, minSupport: Long = 25L,
+                    topK: Int = 50, maxDf: Long = 450L): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+    val df = toks.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+      .filter(col("n_t").between(2L, maxDf))
+    val kept = toks.join(df, "t")
+    val pairs = kept.as("a").join(kept.as("b"), Seq("doc_id"))
+      .filter(col("a.t") < col("b.t"))
+      .select(col("a.t").as("t1"), col("b.t").as("t2"),
+        col("a.n_t").as("n1"), col("b.n_t").as("n2"))
+      .groupBy(col("t1"), col("t2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_12"))
+      .filter(col("n_12") >= minSupport)
+    val nDocs = documents.agg(countDistinct(col("doc_id")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+    pairs.crossJoin(broadcast(nDocs))
+      .withColumn("lift", (col("n") * col("n_12")).cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("rn"), col("t1"), col("t2"), col("n1"), col("n2"),
+        col("n_12"), col("lift"))
+      .orderBy("rn")
+  }
+
   /** r4: duplicated-passage detection — the passage-level cousin of
     * document dedup (the RefinedWeb/CCNet pass that strips boilerplate a
     * crawl repeats across pages even when no two DOCUMENTS are

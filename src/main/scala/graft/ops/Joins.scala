@@ -139,6 +139,33 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** J4e (r4): FORWARD as-of join — for each purchase, the EARLIEST click
+    * at or after it per user (the attribution question "what did they do
+    * NEXT", where [[joinAsofNearest]] answers "what led here"). Same
+    * union + linear-window form, mirrored: `first(_, ignoreNulls)` over
+    * the (currentRow, unboundedFollowing) frame ordered by (ts, side)
+    * with purchases BEFORE clicks at equal ts, so an exactly-simultaneous
+    * click still counts as "at". One user-key shuffle, no range join. */
+  def joinAsofForward(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("click_value"), lit(0).as("side"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("click_value"), lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    purchases.unionByName(clicks)
+      .withColumn("next_click_value", first(col("click_value"), ignoreNulls = true).over(w))
+      .withColumn("next_click_ts",
+        first(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        col("next_click_value"), fmtTs(col("next_click_ts")).as("next_click_ts_s"))
+      .orderBy("event_id")
+  }
+
   /** Range join against a (tiny) tier table: classify each reading into
     * the [lo, hi) band it falls in — the sensor-threshold banding the
     * reference hardcodes as if/elif chains (AIRWISEv0.py:165-168 routing,

@@ -229,6 +229,34 @@ object Windows {
       .orderBy("event_type", "hour_s")
   }
 
+  /** r4: high-traffic streaks — maximal runs of consecutive OBSERVED
+    * hours at or above a count threshold per class (gaps-and-islands via
+    * the row_number-difference trick: within a class, rn_all − rn_flagged
+    * is constant exactly along an unbroken run of flagged rows). The
+    * sustained-load view alarms care about: one 300-event hour is a
+    * spike ([[windowZscoreHours]]), six consecutive ones are an episode.
+    * All integers and selections; two row_numbers share the class-key
+    * partitioning (one shuffle, two sorts) and the island agg reuses it. */
+  def windowStreaks(events: DataFrame, threshold: Long = 4L): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val wHot = Window.partitionBy(col("event_type"), col("hot")).orderBy(col("hour"))
+    hourly
+      .withColumn("hot", col("n") >= threshold)
+      .withColumn("grp",
+        row_number().over(wAll).cast("long") - row_number().over(wHot).cast("long"))
+      .filter(col("hot"))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(fmtTsSec(min(col("hour"))).as("streak_start_s"),
+        fmtTsSec(max(col("hour"))).as("streak_end_s"),
+        count(lit(1)).as("len_hours"), sum(col("n")).as("total_events"))
+      .select(col("event_type"), col("streak_start_s"), col("streak_end_s"),
+        col("len_hours"), col("total_events"))
+      .orderBy("event_type", "streak_start_s")
+  }
+
   /** r4: hour-over-hour percent change per class — the growth-rate view
     * every traffic dashboard overlays ([[windowGapToPrev]]'s aggregate
     * cousin). Change rides integer counts: (n − prev) is exact, the

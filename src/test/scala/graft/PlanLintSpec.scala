@@ -19,7 +19,7 @@ class PlanLintSpec extends SparkSpec {
     "join_range_tier",                                   // 3-row tier dim
     "layout_zorder_skipping",                            // 1-row bounds agg
     "agg_distinct_kmv",                                  // 1-row sketch frames
-    "text_tfidf_topk",                                   // 1-row n_docs frame
+    "text_tfidf_topk", "text_token_lift",                // 1-row n_docs frames
     "agg_quantiles_banded", "clean_winsorize",           // bounded bound-frames
     "agg_quantiles_sampled",                             // 1-row sample-size frame
     "filter_time_threshold",                             // 1-row max-ts frame
