@@ -93,6 +93,8 @@ object SparkEntry {
       ops.Skew.saltedGroupSum(events(s, d), "event_type", "value").orderBy("event_type")),
     "agg_quantiles"         -> ((s, d) => Aggs.aggQuantiles(events(s, d))),
     "agg_pivot_type_hour"   -> ((s, d) => Aggs.aggPivotTypeHour(events(s, d))),
+    "agg_unpivot_roundtrip" -> ((s, d) => Aggs.aggUnpivotRoundtrip(events(s, d))),
+    "events_dau_mau"        -> ((s, d) => Aggs.eventsDauMau(events(s, d))),
     "agg_cube_type_day"     -> ((s, d) => Aggs.aggCubeTypeDay(events(s, d))),
     "agg_quantiles_sampled" -> ((s, d) => Aggs.aggQuantilesSampled(events(s, d))),
     "agg_quantiles_banded"  -> ((s, d) => Aggs.aggQuantilesBanded(events(s, d))),
@@ -492,6 +494,11 @@ object SparkEntry {
       "WITH a AS (SELECT o_custkey AS key, count(*) AS na FROM orders GROUP BY 1), b AS (SELECT c_custkey AS key, count(*) AS nb FROM customer GROUP BY 1) SELECT count(*) AS n_matching_keys, CAST(sum(na * nb) AS BIGINT) AS join_rows, CAST(max(na * nb) AS BIGINT) AS max_key_rows FROM a JOIN b USING (key)",
     "profile_expectations" ->
       """WITH s AS (SELECT CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_id_null, count(*) - count(DISTINCT event_id) AS v_id_dup, CAST(sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01 00:00:00' OR ts >= TIMESTAMP '2025-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_range, CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS v_type_domain, CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_user_null, CAST(sum(CASE WHEN value IS NULL OR value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_value_neg FROM events), r AS (SELECT 'event_id_not_null' AS rule, v_id_null AS n_violations FROM s UNION ALL SELECT 'event_id_unique', v_id_dup FROM s UNION ALL SELECT 'ts_in_2024', v_ts_range FROM s UNION ALL SELECT 'event_type_in_domain', v_type_domain FROM s UNION ALL SELECT 'user_id_not_null', v_user_null FROM s UNION ALL SELECT 'value_non_negative', v_value_neg FROM s) SELECT rule, n_violations, CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM r ORDER BY rule""",
+    // the oracle is the PLAIN long-form aggregate: pivot∘unpivot = identity
+    "agg_unpivot_roundtrip" ->
+      s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""",
+    "events_dau_mau" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, user_id // 32 AS w, bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word FROM events GROUP BY 1, 2), grid AS (SELECT * FROM (SELECT DISTINCT d FROM daily) CROSS JOIN (SELECT DISTINCT w FROM daily)), g AS (SELECT grid.d, grid.w, daily.word FROM grid LEFT JOIN daily USING (d, w)), m AS (SELECT d, w, word, bit_or(coalesce(word, 0)) OVER (PARTITION BY w ORDER BY d RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS mword FROM g), s AS (SELECT d, CAST(sum(bit_count(coalesce(word, 0))) AS BIGINT) AS dau, CAST(sum(bit_count(mword)) AS BIGINT) AS mau FROM m GROUP BY 1) SELECT strftime(make_timestamp(d * 86400000000), $TS0) AS day_s, dau, mau, CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness FROM s ORDER BY day_s""",
     "agg_bitmap_distinct" ->
       "WITH b AS (SELECT event_type, user_id // 32 AS w, bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word FROM events GROUP BY 1, 2) SELECT event_type, CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct_users, count(*) AS n_words FROM b GROUP BY 1 ORDER BY event_type",
     "stat_rolling_corr" ->

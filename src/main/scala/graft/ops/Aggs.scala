@@ -164,6 +164,60 @@ object Aggs {
       .orderBy("hour_s")
   }
 
+  /** r4: unpivot (melt) — the inverse of [[aggPivotTypeHour]], and the
+    * shape every wide export needs before it can be grouped again. The
+    * declared query proves the ROUND-TRIP: pivot to wide, melt back with
+    * `stack` (a map-side Generate — no shuffle beyond the pivot's own),
+    * drop the NULL cells pivot materialized for absent (hour, type)
+    * pairs, and the result is exactly the plain long-form aggregate. */
+  def aggUnpivotRoundtrip(events: DataFrame): DataFrame = {
+    val types = Seq("click", "purchase", "view", "signup", "error")
+    val wide = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .pivot("event_type", types)
+      .agg(dsum(col("value")))
+    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    wide
+      .select(col("hour"),
+        expr(s"stack(${types.size}, $stackArgs) as (event_type, sum_value)"))
+      .filter(col("sum_value").isNotNull)
+      .select(fmtTsSec(col("hour")).as("hour_s"), col("event_type"), col("sum_value"))
+      .orderBy("hour_s", "event_type")
+  }
+
+  /** r4: DAU / trailing-30-day MAU stickiness — the engagement ratio
+    * every growth report leads with, EXACT, which is normally infeasible
+    * (a trailing distinct is not decomposable; re-counting a 30-day
+    * window per day re-scans a month of raw data per output row). The
+    * bitmap form makes it windowable: daily per-word presence bitmaps
+    * ([[aggBitmapDistinct]]'s 32-bit words), densified onto the bounded
+    * (day × word) grid, then MAU's trailing distinct is a RANGE-frame
+    * bit_or per word — associative, exact, O(days × domain/32) state
+    * total. DAU/MAU is one correctly-rounded divide on exact bit_count
+    * sums. */
+  def eventsDauMau(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        shiftright(col("user_id"), 5).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          col("user_id").bitwiseAND(lit(31L)).cast("int")).as("bit"))
+      .groupBy(col("d"), col("w")).agg(expr("bit_or(bit)").as("word"))
+    // dense (day × word) grid: a word silent on day d must still carry
+    // its trailing-window OR into d's MAU sum
+    val days = daily.select(col("d")).distinct()
+    val words = daily.select(col("w")).distinct()
+    daily.join(days.crossJoin(words), Seq("d", "w"), "right_outer")
+      .withColumn("mword", expr(
+        s"bit_or(coalesce(word, 0L)) OVER (PARTITION BY w ORDER BY d RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW)"))
+      .groupBy(col("d"))
+      .agg(sum(bit_count(coalesce(col("word"), lit(0L))).cast("long")).as("dau"),
+        sum(bit_count(col("mword")).cast("long")).as("mau"))
+      .select(fmtTsSec(expr("timestamp_micros(d * 86400000000)")).as("day_s"),
+        col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day_s")
+  }
+
   /** A11 (r3): cube — all four (event_type × day) grouping sets in one
     * pass (rollup's lattice sibling; reporting totals by type, by day,
     * by both, and grand). grouping() columns disambiguate NULL keys from

@@ -263,6 +263,9 @@ class InvarianceSpec extends SparkSpec {
     // HLL registers merge by max — same registers at any split
     assert(rows(Aggs.aggDistinctHllPortable(events.coalesce(1))) ==
       rows(Aggs.aggDistinctHllPortable(events.repartition(13))))
+    // trailing bitmap ORs merge associatively — same DAU/MAU at any split
+    assert(rows(Aggs.eventsDauMau(events.coalesce(1))) ==
+      rows(Aggs.eventsDauMau(events.repartition(13))))
     assert(rows(graft.ext.Similarity.simSearchPqAdc(
         Tables.embeddings(spark, "/root/testdata/sf0.001").coalesce(1))) ==
       rows(graft.ext.Similarity.simSearchPqAdc(
