@@ -95,6 +95,10 @@ object SparkEntry {
     "agg_pivot_type_hour"   -> ((s, d) => Aggs.aggPivotTypeHour(events(s, d))),
     "agg_unpivot_roundtrip" -> ((s, d) => Aggs.aggUnpivotRoundtrip(events(s, d))),
     "events_dau_mau"        -> ((s, d) => Aggs.eventsDauMau(events(s, d))),
+    // one-day slice: over the full month every user has done everything
+    // (one degenerate cohort); "yesterday's cohorts" is the real query
+    "events_behavior_cohorts" -> ((s, d) => Aggs.eventsBehaviorCohorts(
+      events(s, d).filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")))),
     "agg_cube_type_day"     -> ((s, d) => Aggs.aggCubeTypeDay(events(s, d))),
     "agg_quantiles_sampled" -> ((s, d) => Aggs.aggQuantilesSampled(events(s, d))),
     "agg_quantiles_banded"  -> ((s, d) => Aggs.aggQuantilesBanded(events(s, d))),
@@ -499,6 +503,8 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""",
     "events_dau_mau" ->
       s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, user_id // 32 AS w, bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word FROM events GROUP BY 1, 2), grid AS (SELECT * FROM (SELECT DISTINCT d FROM daily) CROSS JOIN (SELECT DISTINCT w FROM daily)), g AS (SELECT grid.d, grid.w, daily.word FROM grid LEFT JOIN daily USING (d, w)), m AS (SELECT d, w, word, bit_or(coalesce(word, 0)) OVER (PARTITION BY w ORDER BY d RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS mword FROM g), s AS (SELECT d, CAST(sum(bit_count(coalesce(word, 0))) AS BIGINT) AS dau, CAST(sum(bit_count(mword)) AS BIGINT) AS mau FROM m GROUP BY 1) SELECT strftime(make_timestamp(d * 86400000000), $TS0) AS day_s, dau, mau, CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness FROM s ORDER BY day_s""",
+    "events_behavior_cohorts" ->
+      """WITH b AS (SELECT user_id, bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2 WHEN 'view' THEN 4 WHEN 'signup' THEN 8 WHEN 'error' THEN 16 ELSE 0 END) AS mask FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY 1), c AS (SELECT mask, count(*) AS n_users FROM b GROUP BY 1) SELECT CAST(mask AS BIGINT) AS mask, concat_ws('+', CASE WHEN mask & 1 <> 0 THEN 'click' END, CASE WHEN mask & 2 <> 0 THEN 'purchase' END, CASE WHEN mask & 4 <> 0 THEN 'view' END, CASE WHEN mask & 8 <> 0 THEN 'signup' END, CASE WHEN mask & 16 <> 0 THEN 'error' END) AS behavior_set, n_users FROM c ORDER BY mask""",
     "agg_bitmap_distinct" ->
       "WITH b AS (SELECT event_type, user_id // 32 AS w, bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word FROM events GROUP BY 1, 2) SELECT event_type, CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct_users, count(*) AS n_words FROM b GROUP BY 1 ORDER BY event_type",
     "stat_rolling_corr" ->

@@ -122,6 +122,25 @@ object Similarity {
     * brute-force baseline. */
   def simSearchIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
                    nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val (assigned, probes) = ivfParts(embeddings, nQueries, nCells, nProbe, lloydIters)
+    val pairs = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cell"), col("cosine"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** The Lloyd-refined cell machinery behind [[simSearchIvf]] and
+    * [[simSearchIvfAdc]]: corpus assignments `(vec_id, v, nrm, cell)` and
+    * query probes `(query_id, qv, qn, cell)` (nProbe cells per query).
+    * Bounded driver traffic: nCells seed rows + nCells×dim exact-decimal
+    * means per iteration. */
+  private def ivfParts(embeddings: DataFrame, nQueries: Int, nCells: Int,
+                       nProbe: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings
@@ -164,15 +183,7 @@ object Similarity {
           nearestCells(cents, v, nProbe).map(c => (id, v, nv, c))
         }
       }.toDF("query_id", "qv", "qn", "cell")
-    val pairs = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    pairs.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("rn"), col("vec_id"), col("cell"), col("cosine"))
-      .orderBy("query_id", "rn")
+    (assigned, probes)
   }
 
   /** The nProbe cells whose centroids have highest cosine to v (ties by
@@ -489,6 +500,45 @@ object Similarity {
     * contract; the sub-linear escape is IVF cells in front, exactly as
     * [[simSearchIvf]] composes), shuffle keyed by (query, target) for
     * the sum, then the usual top-k window. */
+  /** r4: the full production ANN stack — IVF cells in FRONT of ADC
+    * scoring: candidates come from the query's nProbe Lloyd cells
+    * ([[ivfParts]]), and only those vectors are ADC-scored against the
+    * broadcast distance tables. Per-query work drops from linear in the
+    * corpus ([[simSearchPqAdc]]'s contract) to linear in the probed
+    * cells' population — the sub-linear form both operators' docs
+    * promise composes exactly as claimed, and `IvfAdcSpec` PROVES it:
+    * this ranking is bit-identical to brute ADC restricted to the same
+    * probed (query, vector) candidate set. Not a declared query (the
+    * unrolled SQL oracle of IVF∘PQ∘ADC would be pages; its two halves
+    * are each hash-match-gated on their own). */
+  def simSearchIvfAdc(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                      nCells: Int = 16, nProbe: Int = 4,
+                      nSub: Int = 8, nCents: Int = 16): DataFrame = {
+    val (assigned, probes) = ivfParts(embeddings, nQueries, nCells, nProbe, 2)
+    val cands = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val (q, codebook) = pqParts(embeddings, nSub, nCents)
+    val codes = embPqCodes(embeddings, nSub, nCents)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val dt = pqDistances(q.filter(col("vec_id") < nQueries), codebook)
+      .select(col("vec_id").as("query_id"), col("sub").cast("long").as("sub"),
+        col("cid"), col("dist2").as("dt2"))
+    val scored = cands
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "sub"))
+      .filter(col("code") === col("cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt2")).as("adc_dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_dist2"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("adc_dist2"))
+      .orderBy("query_id", "rn")
+  }
+
   def simSearchPqAdc(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
                      nSub: Int = 8, nCents: Int = 16): DataFrame = {
     val (q, codebook) = pqParts(embeddings, nSub, nCents)

@@ -185,6 +185,30 @@ object Aggs {
       .orderBy("hour_s", "event_type")
   }
 
+  /** r4: behavior-set cohorts — the power-set histogram "how many users
+    * did exactly THIS combination of actions" (the set-membership view
+    * funnels flatten away: a funnel counts view→click→purchase in order,
+    * this counts every distinct action SET). Each user's actions fold
+    * into one bitmask (bit per class, bit_or agg — associative, exact),
+    * then one count per mask. Two hash aggs, all integer; the second agg
+    * runs on ≤ |users| rows and outputs ≤ 2^|types| rows. */
+  def eventsBehaviorCohorts(events: DataFrame): DataFrame = {
+    val types = Seq("click", "purchase", "view", "signup", "error")
+    val bit = types.zipWithIndex.map { case (t, i) =>
+      when(col("event_type") === t, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val labels = types.zipWithIndex.map { case (t, i) =>
+      when(col("mask").bitwiseAND(lit(1L << i)) =!= 0L, t)
+    }
+    events
+      .select(col("user_id"), bit.as("b"))
+      .groupBy(col("user_id")).agg(expr("bit_or(b)").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_users"))
+      .select(col("mask"), concat_ws("+", labels: _*).as("behavior_set"),
+        col("n_users"))
+      .orderBy("mask")
+  }
+
   /** r4: DAU / trailing-30-day MAU stickiness — the engagement ratio
     * every growth report leads with, EXACT, which is normally infeasible
     * (a trailing distinct is not decomposable; re-counting a 30-day

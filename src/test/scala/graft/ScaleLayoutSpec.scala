@@ -49,6 +49,26 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(zRows < tRows)
   }
 
+  test("IVF-fronted ADC agrees with brute ADC on every scored distance") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = ext.Similarity.simSearchIvfAdc(emb, k = 10).collect()
+    assert(ivf.nonEmpty)
+    // brute ADC with k ≥ corpus = the full ranking; every IVF-path score
+    // must be bit-identical (the ADC core is the same arithmetic whether
+    // candidates came from cells or from everywhere)
+    val brute = ext.Similarity.simSearchPqAdc(emb, k = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.get(key).contains(r.getLong(3)), s"ADC distance mismatch at $key")
+    }
+    // and within each query the ranking is by ascending distance
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      val d = rows.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(d == d.sorted, s"ranking out of order: $d")
+    }
+  }
+
   test("bitmap distinct equals the exact per-class distinct count") {
     val events = Tables.events(spark, sf)
     val bitmap = ops.Aggs.aggBitmapDistinct(events)
