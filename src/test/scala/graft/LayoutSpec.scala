@@ -45,6 +45,21 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() == expected && expected > 0)
   }
 
+  test("binaryFile source reads opaque blobs with path/length metadata") {
+    val dir = Files.createTempDirectory("graft_bin").toString
+    val payload = Array[Byte](1, 2, 3, 4, 5)
+    Files.write(java.nio.file.Paths.get(s"$dir/a.bin"), payload)
+    Files.write(java.nio.file.Paths.get(s"$dir/b.bin"), Array[Byte](9, 8))
+    // the ingestion path for multimodal corpora: files land as (path,
+    // length, content) rows, the ext.Multimodal operators take over after
+    val df = spark.read.format("binaryFile").load(dir)
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .orderBy("path").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("length") == 5L &&
+      rows(0).getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+  }
+
   test("ORC round-trip is value-exact and pushes filters into the ORC scan") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
