@@ -139,6 +139,7 @@ object SparkEntry {
     "window_mad_hours"      -> ((s, d) => Windows.windowMadHours(events(s, d))),
     "window_pct_change"     -> ((s, d) => Windows.windowPctChange(events(s, d))),
     "window_streaks"        -> ((s, d) => Windows.windowStreaks(events(s, d))),
+    "window_rolling_zscore" -> ((s, d) => Windows.windowRollingZscore(events(s, d))),
     // §2.7 sort/limit/topk
     "sort_by_time"          -> ((s, d) => SetSort.sortByTime(events(s, d))),
     "limit_head"            -> ((s, d) => SetSort.limitHead(events(s, d))),
@@ -573,6 +574,10 @@ object SparkEntry {
     // lift = N·n12/(n1·n2): monotone in PMI, no ln — ranking identical
     "text_token_lift" ->
       "WITH tk AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t FROM documents), df AS (SELECT t, count(*) AS n_t FROM tk GROUP BY 1 HAVING count(*) BETWEEN 2 AND 450), k AS (SELECT tk.doc_id, tk.t, df.n_t FROM tk JOIN df USING (t)), p AS (SELECT a.t AS t1, b.t AS t2, a.n_t AS n1, b.n_t AS n2, count(*) AS n_12 FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2, 3, 4 HAVING count(*) >= 25), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents), s AS (SELECT t1, t2, n1, n2, n_12, CAST(nd.n * n_12 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS lift FROM p CROSS JOIN nd), r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, t1, t2) AS BIGINT) AS rn FROM s) SELECT rn, t1, t2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, CAST(n_12 AS BIGINT) AS n_12, lift FROM r WHERE rn <= 50 ORDER BY rn",
+    // z = (n·x − s1)/sqrt(n·s2 − s1²): exact-integer numerator/radicand,
+    // one IEEE sqrt + one divide — the adaptive baseline hash-matches
+    "window_rolling_zscore" ->
+      "WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hu, count(*) AS x FROM events GROUP BY 1, 2), w AS (SELECT event_type, hu, x, CAST(count(*) OVER fr AS BIGINT) AS n, CAST(sum(x) OVER fr AS BIGINT) AS s1, CAST(sum(x*x) OVER fr AS BIGINT) AS s2 FROM h WINDOW fr AS (PARTITION BY event_type ORDER BY hu RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)) SELECT event_type, hu, x, n, CASE WHEN n >= 12 AND n*s2 - s1*s1 > 0 THEN CAST(n*x - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) END AS rolling_z FROM w ORDER BY event_type, hu",
     "window_pct_change" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2), l AS (SELECT event_type, hour, n, lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n FROM h) SELECT event_type, strftime(hour, $TS0) AS hour_s, n, prev_n, CASE WHEN prev_n > 0 THEN CAST(n - prev_n AS DOUBLE) / prev_n END AS pct_change FROM l ORDER BY event_type, hour_s""",
     // fixed-point integer PageRank, 3 unrolled iterations — integer sums

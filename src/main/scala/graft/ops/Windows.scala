@@ -257,6 +257,38 @@ object Windows {
       .orderBy("event_type", "streak_start_s")
   }
 
+  /** r4: trailing-window adaptive z-score — the LIVE form of
+    * [[windowZscoreHours]]: each hour judged against its own trailing
+    * day's PRECEDING hours (the whole-range baseline absorbs the drift
+    * it should be flagging; a ramp looks normal to a detector whose mean
+    * already includes the ramp). Algebra keeps it bit-exact: with
+    * trailing integer sums s1 = Σx, s2 = Σx² over n preceding hours,
+    * z = (n·x − s1)/√(n·s2 − s1²) — numerator and radicand are EXACT
+    * integers, so the whole score is two casts, one IEEE-exact sqrt and
+    * one divide. Frame is RANGE on the epoch-hour index ending at 1
+    * PRECEDING (the current hour must not damp its own baseline); null
+    * below `minHours` of history or at zero variance — same CASE both
+    * engines. One hash agg collapses the scan; the window runs on the
+    * ≤ classes×hours frame. */
+  def windowRollingZscore(events: DataFrame, windowHours: Int = 24,
+                          minHours: Long = 12L): DataFrame = {
+    val fr = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+      .rangeBetween(-windowHours.toLong, -1L)
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("n", count(lit(1)).over(fr))
+      .withColumn("s1", sum(col("x")).over(fr))
+      .withColumn("s2", sum(col("x") * col("x")).over(fr))
+      .withColumn("rad", col("n") * col("s2") - col("s1") * col("s1"))
+      .select(col("event_type"), col("hu"), col("x"), col("n"),
+        when(col("n") >= minHours && col("rad") > 0L,
+          (col("n") * col("x") - col("s1")).cast("double") /
+            sqrt(col("rad").cast("double"))).as("rolling_z"))
+      .orderBy("event_type", "hu")
+  }
+
   /** r4: hour-over-hour percent change per class — the growth-rate view
     * every traffic dashboard overlays ([[windowGapToPrev]]'s aggregate
     * cousin). Change rides integer counts: (n − prev) is exact, the
