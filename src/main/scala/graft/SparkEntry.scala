@@ -418,7 +418,7 @@ object SparkEntry {
     "dedup_semantic_clusters" ->
       """WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e0), p AS (SELECT a.vec_id va, b.vec_id vb FROM n a JOIN n b ON a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35), edges AS (SELECT va AS src, vb AS dst FROM p UNION ALL SELECT vb, va FROM p), nodes AS (SELECT DISTINCT src AS id FROM edges), reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""",
     "corpus_mix_report" ->
-      """WITH c AS (SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS n_chars, sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY 1, 2) SELECT lang, source, n_docs, n_chars, n_tokens, CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS doc_share, CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share FROM c ORDER BY lang, source""",
+      """WITH c AS (SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS n_chars, sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY 1, 2) SELECT lang, source, n_docs, n_chars, n_tokens, CAST(CAST(n_docs AS HUGEINT) * 1000000000 // CAST(sum(n_docs) OVER () AS HUGEINT) AS BIGINT) AS doc_share_ppb, CAST(CAST(n_tokens AS HUGEINT) * 1000000000 // CAST(sum(n_tokens) OVER () AS HUGEINT) AS BIGINT) AS token_share_ppb FROM c ORDER BY lang, source""",
     // x*2^48 is an exact integer for float32 elements (|x| >= 2^-25), so the
     // DECIMAL(38,0) sum never rounds — Spark's HALF_UP vs DuckDB's truncating
     // double->decimal cast would diverge on a DECIMAL(38,12) spelling

@@ -93,8 +93,12 @@ object CorpusPrep {
     * agg over one scan (token counts are map-side expressions); the
     * shares ride a window over the already-aggregated langs×sources
     * frame, so the only single-partition step touches a vocabulary-
-    * bounded handful of rows. Shares are long/long double divisions —
-    * exactly rounded, hash-match. */
+    * bounded handful of rows. Shares are integer parts-per-billion
+    * (DECIMAL(38,0) multiply, integral divide → BIGINT): pure integer
+    * arithmetic is bit-identical across engines and engine VERSIONS,
+    * where a double division's last ulp is not (r4 driver hash
+    * mismatch was exactly that). Consumers wanting a fraction divide
+    * by 1e9 at the edge. */
   def corpusMixReport(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = documents
@@ -104,9 +108,11 @@ object CorpusPrep {
           .as("n_tokens"))
     val all = Window.partitionBy()
     cells
+      .withColumn("tot_docs", sum(col("n_docs")).over(all))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(all))
       .select(col("lang"), col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
-        (col("n_docs").cast("double") / sum(col("n_docs")).over(all)).as("doc_share"),
-        (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)).as("token_share"))
+        expr("CAST(n_docs AS DECIMAL(38,0)) * 1000000000 DIV tot_docs").as("doc_share_ppb"),
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000000 DIV tot_tokens").as("token_share_ppb"))
       .orderBy("lang", "source")
   }
 
@@ -152,24 +158,43 @@ object CorpusPrep {
     * total-ordered), take docs while the running token total stays
     * within budget. This is the greedy knapsack every
     * quality-filtered-subset release runs (quality-ranked C4/FineWeb
-    * cuts). The running sum is a cumulative window over the quality
-    * order; at 100 TB that global order is served by a range exchange
-    * on (quality, doc_id) — same shape as any total sort — and the
-    * prefix sums happen within range partitions (Spark's window over a
-    * range-sorted frame), not on one node. Rows out: only the selected
-    * docs, with their rank and the running total the cut was decided
-    * on. */
+    * cuts).
+    *
+    * r5: a bare `sum() OVER (ORDER BY quality)` window — the oracle's
+    * spelling — executes as ONE sorted partition in Spark, a
+    * single-node funnel at 100 TB. The running total here is the
+    * distributed scan instead: range-exchange on the (quality, doc_id)
+    * total order, per-partition token/row totals (tiny frame: one row
+    * per partition), exclusive cumsum over that frame, then a LOCAL
+    * window per range partition plus the broadcast base. Any range
+    * boundary placement yields the same global prefix sums because the
+    * order is total, so the sampled boundaries don't affect results.
+    * Rows out: only the selected docs, with their rank and the running
+    * total the cut was decided on. */
   def corpusBudgetSelect(documents: DataFrame, budget: Long = 20000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = documents
       .select(col("doc_id"),
         Text.qualityScore.as("quality"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-    val order = Window.orderBy(col("quality").desc, col("doc_id"))
-    scored
-      .withColumn("rank", row_number().over(order).cast("long"))
-      .withColumn("cum_tokens",
-        sum(col("n_tokens")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .repartitionByRange(col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val partTotals = scored.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("pt"), count(lit(1)).as("pc"))
+    val base = partTotals
+      .withColumn("tok_base", coalesce(
+        sum(col("pt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rank_base", coalesce(
+        sum(col("pc")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("tok_base"), col("rank_base"))
+    val local = Window.partitionBy(col("pid"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.join(broadcast(base), "pid")
+      .withColumn("rank", (col("rank_base") + row_number().over(local)).cast("long"))
+      .withColumn("cum_tokens", col("tok_base") +
+        sum(col("n_tokens")).over(local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_tokens") <= budget)
       .select(col("rank"), col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
       .orderBy("rank")

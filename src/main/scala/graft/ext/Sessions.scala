@@ -205,7 +205,11 @@ object Sessions {
       val contrib = edges
         .join(p.select(col("node").as("src"), col("p")), Seq("src"))
         .join(deg, Seq("src"))
-        .select(col("dst").as("node"), expr("(p * n) div deg").as("c"))
+        // p (~1e12 pico-units) × n in int64 wraps silently past ~9.2e6
+        // transitions on one edge; widen through DECIMAL(38,0) — the
+        // integral divide still returns BIGINT, so downstream is unchanged
+        .select(col("dst").as("node"),
+          expr("(CAST(p AS DECIMAL(38,0)) * n) div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       p = nodes.join(contrib, Seq("node"), "left_outer")
         .select(col("node"),

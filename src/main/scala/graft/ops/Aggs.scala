@@ -168,19 +168,23 @@ object Aggs {
     * shape every wide export needs before it can be grouped again. The
     * declared query proves the ROUND-TRIP: pivot to wide, melt back with
     * `stack` (a map-side Generate — no shuffle beyond the pivot's own),
-    * drop the NULL cells pivot materialized for absent (hour, type)
-    * pairs, and the result is exactly the plain long-form aggregate. */
+    * drop the cells pivot materialized for absent (hour, type) pairs,
+    * and the result is exactly the plain long-form aggregate. Absence is
+    * judged on a pivoted row COUNT, not on the sum being NULL — a
+    * present cell whose values are all NULL has count ≥ 1 and survives
+    * the melt with its NULL sum, exactly as the plain aggregate keeps it
+    * (r4 advice item). */
   def aggUnpivotRoundtrip(events: DataFrame): DataFrame = {
     val types = Seq("click", "purchase", "view", "signup", "error")
     val wide = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .pivot("event_type", types)
-      .agg(dsum(col("value")))
-    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+      .agg(dsum(col("value")).as("s"), count(lit(1)).as("c"))
+    val stackArgs = types.map(t => s"'$t', `${t}_s`, `${t}_c`").mkString(", ")
     wide
       .select(col("hour"),
-        expr(s"stack(${types.size}, $stackArgs) as (event_type, sum_value)"))
-      .filter(col("sum_value").isNotNull)
+        expr(s"stack(${types.size}, $stackArgs) as (event_type, sum_value, cnt)"))
+      .filter(col("cnt").isNotNull)
       .select(fmtTsSec(col("hour")).as("hour_s"), col("event_type"), col("sum_value"))
       .orderBy("hour_s", "event_type")
   }

@@ -96,13 +96,18 @@ object Joins {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE running-last over a struct of the click row: value and ts are
+    // always taken from the SAME matched click (two independent
+    // last(ignoreNulls) exprs would pick different rows when a click's
+    // value is NULL — r4 advice item).
     clicks.unionByName(purchases)
-      .withColumn("last_click_value", last(col("click_value"), ignoreNulls = true).over(w))
-      .withColumn("last_click_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("lc", last(
+        when(col("side") === 0, struct(col("ts"), col("click_value"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
-        col("last_click_value"), fmtTs(col("last_click_ts")).as("last_click_ts_s"))
+        col("lc.click_value").as("last_click_value"),
+        fmtTs(col("lc.ts")).as("last_click_ts_s"))
       .orderBy("event_id")
   }
 
@@ -126,15 +131,16 @@ object Joins {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same single-struct carry as joinAsofNearest: one matched click row
     clicks.unionByName(purchases)
-      .withColumn("last_click_value", last(col("click_value"), ignoreNulls = true).over(w))
-      .withColumn("last_click_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("lc", last(
+        when(col("side") === 0, struct(col("ts"), col("click_value"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 1)
-      .withColumn("age_us", unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+      .withColumn("age_us", unix_micros(col("ts")) - unix_micros(col("lc.ts")))
       .withColumn("fresh", col("age_us") <= tolUs)
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
-        when(col("fresh"), col("last_click_value")).as("click_value"),
+        when(col("fresh"), col("lc.click_value")).as("click_value"),
         when(col("fresh"), col("age_us")).as("click_age_us"))
       .orderBy("event_id")
   }
@@ -156,13 +162,16 @@ object Joins {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // single-struct carry (mirror of joinAsofNearest): value and ts come
+    // from the same earliest click row even when its value is NULL
     purchases.unionByName(clicks)
-      .withColumn("next_click_value", first(col("click_value"), ignoreNulls = true).over(w))
-      .withColumn("next_click_ts",
-        first(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("nc", first(
+        when(col("side") === 1, struct(col("ts"), col("click_value"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 0)
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
-        col("next_click_value"), fmtTs(col("next_click_ts")).as("next_click_ts_s"))
+        col("nc.click_value").as("next_click_value"),
+        fmtTs(col("nc.ts")).as("next_click_ts_s"))
       .orderBy("event_id")
   }
 

@@ -16,7 +16,10 @@ import graft.stream.Heartbeat.Packet
   */
 object Smooth {
 
-  case class GapState(last_ts: Long, ewma: Double)
+  /** `seeded` is an explicit flag: a -1.0 "unseeded" sentinel would be
+    * indistinguishable from a legitimately negative EWMA (out-of-order
+    * packets produce negative gaps), silently re-seeding the filter. */
+  case class GapState(last_ts: Long, ewma: Double, seeded: Boolean)
 
   /** One row per packet after the first: the smoothed gap at that point. */
   case class GapRow(node: Long, ts_ms: Long, gap_ms: Long, ewma_gap_ms: Double)
@@ -36,12 +39,12 @@ object Smooth {
       val out = rows.flatMap { p =>
         val r = cur match {
           case None =>
-            cur = Some(GapState(p.ts_ms, -1.0)); None
-          case Some(GapState(last, e)) =>
+            cur = Some(GapState(p.ts_ms, 0.0, seeded = false)); None
+          case Some(GapState(last, e, seeded)) =>
             val gap = p.ts_ms - last
             // first gap seeds the EWMA; after that e' = (gap + e)/2
-            val e2 = if (e < 0.0) gap.toDouble else (gap.toDouble + e) / 2.0
-            cur = Some(GapState(p.ts_ms, e2))
+            val e2 = if (!seeded) gap.toDouble else (gap.toDouble + e) / 2.0
+            cur = Some(GapState(p.ts_ms, e2, seeded = true))
             Some(GapRow(node, p.ts_ms, gap, e2))
         }
         r
