@@ -176,6 +176,30 @@ object Ingest {
     runIngest(socketSource(spark, host, port), dim, outDir, checkpoint,
       trigger = Trigger.ProcessingTime(0L))
 
+  /** The reference's ACTUAL transport: a live MQTT subscription
+    * (AIRWISEv0.py:365-375 `client.connect` + `loop_forever`), served by
+    * the in-repo pure-Scala MQTT 3.1.1 source
+    * ([[graft.sources.MqttSourceProvider]] — no broker-client jar exists
+    * on a zero-egress classpath, and the QoS-0 subscriber protocol is
+    * ~100 lines). Yields (topic, value, arrival); `value` is the JSON
+    * envelope string [[parseEnvelope]] expects. */
+  def mqttSource(spark: org.apache.spark.sql.SparkSession,
+                 host: String, port: Int, topic: String): DataFrame =
+    spark.readStream.format("graft-mqtt")
+      .option("host", host).option("port", port.toString)
+      .option("topic", topic)
+      .load()
+
+  /** [[runIngest]] over the MQTT transport — the end-to-end counterpart of
+    * the reference's broker-to-Postgres daemon: subscribe, parse, route,
+    * land epoch-idempotent parquet. */
+  def runIngestMqtt(spark: org.apache.spark.sql.SparkSession,
+                    host: String, port: Int, topic: String, dim: DataFrame,
+                    outDir: String, checkpoint: String
+                   ): org.apache.spark.sql.streaming.StreamingQuery =
+    runIngest(mqttSource(spark, host, port, topic).select(col("value")),
+      dim, outDir, checkpoint, trigger = Trigger.ProcessingTime(0L))
+
   /** S4 deployment parity: the same routed ingest, but landing in a
     * relational store over JDBC (the reference's Postgres INSERT path,
     * AIRWISEv0.py:159-234) — batched, one connection per partition, and
