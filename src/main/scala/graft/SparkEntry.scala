@@ -80,6 +80,19 @@ object SparkEntry {
     "join_bloom_prefilter"  -> ((s, d) => Joins.joinBloomPrefilter(orders(s, d), customer(s, d))),
     "join_star_rollup"      -> ((s, d) =>
       Joins.joinStarRollup(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    // classic warehouse suite (TPC-H shapes) over the same fixtures
+    "tpch_pricing_summary"  -> ((s, d) => Tpch.tpchPricingSummary(lineitem(s, d))),
+    "tpch_shipping_priority"-> ((s, d) =>
+      Tpch.tpchShippingPriority(lineitem(s, d), orders(s, d), customer(s, d))),
+    "tpch_local_supplier_volume" -> ((s, d) =>
+      Tpch.tpchLocalSupplierVolume(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), region(s, d))),
+    "tpch_revenue_forecast" -> ((s, d) => Tpch.tpchRevenueForecast(lineitem(s, d))),
+    "tpch_promo_revenue"    -> ((s, d) => Tpch.tpchPromoRevenue(lineitem(s, d), part(s, d))),
+    "tpch_late_shipment_priority" -> ((s, d) =>
+      Tpch.tpchLateShipmentPriority(orders(s, d), lineitem(s, d))),
+    "tpch_returned_revenue" -> ((s, d) =>
+      Tpch.tpchReturnedRevenue(lineitem(s, d), orders(s, d), customer(s, d))),
     "layout_zorder_skipping"-> ((s, d) => sources.Layout.zorderSkipping(events(s, d))),
     // §2.5 aggregations
     "agg_last_seen_per_node"-> ((s, d) => Aggs.aggLastSeenPerNode(events(s, d))),
@@ -102,6 +115,7 @@ object SparkEntry {
     "agg_cube_type_day"     -> ((s, d) => Aggs.aggCubeTypeDay(events(s, d))),
     "agg_quantiles_sampled" -> ((s, d) => Aggs.aggQuantilesSampled(events(s, d))),
     "agg_quantiles_banded"  -> ((s, d) => Aggs.aggQuantilesBanded(events(s, d))),
+    "agg_quantiles_interp"  -> ((s, d) => Aggs.aggQuantilesInterp(events(s, d))),
     "agg_value_histogram"   -> ((s, d) => Aggs.aggValueHistogram(events(s, d))),
     "agg_mode_per_key"      -> ((s, d) => Aggs.aggModePerKey(events(s, d))),
     "agg_weighted_avg"      -> ((s, d) => Aggs.aggWeightedAvg(lineitem(s, d))),
@@ -201,6 +215,7 @@ object SparkEntry {
     "events_funnel_stages"  -> ((s, d) => ext.Sessions.eventsFunnelStages(events(s, d))),
     "events_retention_cohort" -> ((s, d) => ext.Sessions.eventsRetentionCohort(events(s, d))),
     "scd2_intervals"        -> ((s, d) => ext.Sessions.scd2Intervals(events(s, d))),
+    "join_pointintime_scd2" -> ((s, d) => ext.Sessions.joinPointInTime(events(s, d))),
     "events_transition_matrix" -> ((s, d) => ext.Sessions.eventsTransitionMatrix(events(s, d))),
     "events_path_topk"      -> ((s, d) => ext.Sessions.eventsPathTopk(events(s, d))),
     "events_session_stats"  -> ((s, d) => ext.Sessions.eventsSessionStats(events(s, d))),
@@ -481,6 +496,23 @@ object SparkEntry {
       "SELECT o.o_orderkey, o.o_custkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING' ORDER BY o.o_orderkey",
     "join_star_rollup" ->
       "SELECT r.r_name, n.n_name, count(*) AS n_orders, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1, 2 ORDER BY r_name, n_name",
+    // TPC-H-shaped suite: every sum is DECIMAL(28,6)-accumulated, every
+    // per-row price chain is spelled in the same fixed operator order as
+    // the Spark plan, so all seven hash-match
+    "tpch_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price, CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2""",
+    "tpch_shipping_priority" ->
+      s"""SELECT o.o_orderkey, strftime(o.o_orderdate, $TS0) AS o_orderdate_s, o.o_orderpriority, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "tpch_local_supplier_volume" ->
+      """SELECT n.n_name, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN supplier s ON l.l_suppkey = s.s_suppkey JOIN nation n ON s.s_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "tpch_revenue_forecast" ->
+      "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24",
+    "tpch_promo_revenue" ->
+      """WITH j AS (SELECT l.l_extendedprice, l.l_discount, p.p_type FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'), s AS (SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue, count(*) AS n_items FROM j) SELECT promo_revenue, total_revenue, n_items, 100.0 * promo_revenue / total_revenue AS promo_share_pct FROM s""",
+    "tpch_late_shipment_priority" ->
+      "SELECT o_orderpriority, count(*) AS n_late_orders FROM orders o WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) GROUP BY 1 ORDER BY 1",
+    "tpch_returned_revenue" ->
+      """WITH rev AS (SELECT o.o_custkey, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, count(*) AS n_returned_items FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_returnflag = 'R' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1) SELECT c.c_custkey, c.c_name, c.c_acctbal, rev.revenue, rev.n_returned_items FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "stat_seasonal_residual" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1, 2), c AS (SELECT event_type, hr, n, (epoch_us(hr) // 86400000000 + 4) % 7 AS dow, hour(hr) AS hod FROM h), b AS (SELECT event_type, dow, hod, CAST(sum(n) AS DOUBLE) / count(*) AS baseline_n FROM c GROUP BY 1, 2, 3) SELECT c.event_type, strftime(c.hr, $TS0) AS hour_s, c.n, b.baseline_n, CAST(c.n AS DOUBLE) - b.baseline_n AS residual FROM c JOIN b USING (event_type, dow, hod) ORDER BY event_type, hour_s""",
     // e_t = (x_t + e_{t-1})/2: one add + one exact exponent shift per
@@ -516,6 +548,22 @@ object SparkEntry {
       "SELECT l_returnflag, CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS weighted_sum, CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty, count(*) AS n_items, CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "window_percent_rank" ->
       "SELECT event_id, event_type, value, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_id",
+    // every arithmetic step (q·(n−1), frac, lo + (hi−lo)·frac) is the same
+    // fixed chain of correctly-rounded double ops in both engines
+    "agg_quantiles_interp" -> {
+      def p(q: String) = s"CAST($q AS DOUBLE) * CAST(n - 1 AS DOUBLE)"
+      def straddle(q: String, nm: String) =
+        s"max(CASE WHEN rn = floor(${p(q)}) + 1 THEN value END) AS lo_$nm, " +
+          s"max(CASE WHEN rn = floor(${p(q)}) + 2 THEN value END) AS hi_$nm"
+      def interp(q: String, nm: String) =
+        s"CASE WHEN ${p(q)} - floor(${p(q)}) = 0 THEN lo_$nm " +
+          s"ELSE lo_$nm + (hi_$nm - lo_$nm) * (${p(q)} - floor(${p(q)})) END AS ${nm}_interp"
+      "WITH o AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), " +
+        s"a AS (SELECT event_type, max(n) AS n, ${straddle("0.5", "p50")}, ${straddle("0.9", "p90")}, ${straddle("0.99", "p99")} FROM o GROUP BY 1) " +
+        s"SELECT event_type, n, ${interp("0.5", "p50")}, ${interp("0.9", "p90")}, ${interp("0.99", "p99")} FROM a ORDER BY event_type"
+    },
+    "join_pointintime_scd2" ->
+      s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2), t AS (SELECT *, CASE WHEN n >= 4 THEN 'high' WHEN n >= 2 THEN 'mid' ELSE 'low' END AS tier FROM daily), g AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day) - row_number() OVER (PARTITION BY user_id, tier ORDER BY day) AS island FROM t), iv AS (SELECT user_id, tier, min(day) AS from_day, max(day) AS to_day FROM g GROUP BY user_id, tier, island) SELECT e.event_id, e.user_id, strftime(e.ts, $TS6) AS ts_s, e.value, iv.tier, strftime(iv.from_day, $TS0) AS valid_from, strftime(iv.to_day, $TS0) AS valid_to FROM events e JOIN iv ON e.user_id = iv.user_id AND date_trunc('day', e.ts) >= iv.from_day AND date_trunc('day', e.ts) <= iv.to_day WHERE e.event_type = 'purchase' ORDER BY e.event_id""",
     "scd2_intervals" ->
       s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2), t AS (SELECT *, CASE WHEN n >= 4 THEN 'high' WHEN n >= 2 THEN 'mid' ELSE 'low' END AS tier FROM daily), g AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day) - row_number() OVER (PARTITION BY user_id, tier ORDER BY day) AS island FROM t) SELECT user_id, tier, strftime(min(day), $TS0) AS valid_from, strftime(max(day), $TS0) AS valid_to, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events FROM g GROUP BY user_id, tier, island ORDER BY user_id, valid_from""",
     "text_repetition_ratio" ->

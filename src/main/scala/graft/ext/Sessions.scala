@@ -95,7 +95,18 @@ object Sessions {
     * ([user_id] ⊆ clustering keys ⇒ distribution satisfied, no further
     * exchange). Deterministic: days are unique per user after the
     * rollup, so every window order is total. */
-  def scd2Intervals(events: DataFrame): DataFrame = {
+  def scd2Intervals(events: DataFrame): DataFrame =
+    scd2Core(events)
+      .select(col("user_id"), col("tier"),
+        fmtTsSec(col("from_day")).as("valid_from"),
+        fmtTsSec(col("to_day")).as("valid_to"),
+        col("n_days"), col("n_events"))
+      .orderBy("user_id", "valid_from")
+
+  /** Shared SCD2 core (timestamp-typed interval bounds) serving both
+    * [[scd2Intervals]] (the rendered change-history table) and
+    * [[joinPointInTime]] (the lookup against it). */
+  private def scd2Core(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
@@ -108,11 +119,32 @@ object Sessions {
       .groupBy(col("user_id"), col("tier"), col("island"))
       .agg(min(col("day")).as("from_day"), max(col("day")).as("to_day"),
         count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
-      .select(col("user_id"), col("tier"),
+  }
+
+  /** Point-in-time (temporal) join against the SCD2 change history: each
+    * purchase is enriched with the activity tier that was VALID on its
+    * day — the "as the dimension looked then" lookup every warehouse with
+    * an SCD2 table runs, and the temporal dual of `join_latest_dim`'s
+    * "as it looks now". The join is an equi-join on user_id with the
+    * containment predicate as extra conjuncts — never a range join
+    * against the raw fact table: the interval side is the COLLAPSED
+    * change history (a handful of rows per user), so the per-key match
+    * fan-out is bounded by interval count, not event count. Every
+    * purchase day is an active day, so containment matches exactly one
+    * interval per fact row (inner join, no fan-out, no loss). */
+  def joinPointInTime(events: DataFrame): DataFrame = {
+    val iv = scd2Core(events).select(col("user_id").as("iv_user_id"),
+      col("tier"), col("from_day"), col("to_day"))
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("day", date_trunc("day", col("ts")))
+      .join(iv, col("user_id") === col("iv_user_id") &&
+        col("day") >= col("from_day") && col("day") <= col("to_day"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        col("value"), col("tier"),
         fmtTsSec(col("from_day")).as("valid_from"),
-        fmtTsSec(col("to_day")).as("valid_to"),
-        col("n_days"), col("n_events"))
-      .orderBy("user_id", "valid_from")
+        fmtTsSec(col("to_day")).as("valid_to"))
+      .orderBy("event_id")
   }
 
   /** First-order Markov transition matrix over each user's event stream:

@@ -308,6 +308,46 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** Interpolated (percentile_cont-style) quantiles — the industry-default
+    * definition next to the discrete family: value at zero-indexed position
+    * q·(n−1), linearly interpolated between the two straddling order
+    * statistics. Interpolation is normally the reason quantiles CAN'T
+    * hash-match across engines (built-in `percentile`/`quantile_cont`
+    * differ in promotion and evaluation order); here every number is a
+    * fixed-order chain of correctly-rounded IEEE ops mirrored verbatim in
+    * the oracle — q·(n−1) as one double multiply, frac = pos − floor(pos),
+    * lo + (hi − lo)·frac — so even the interpolated values hash-match.
+    * Same one-window + one-hash-agg shape as [[aggQuantiles]]; the banded
+    * two-phase form ([[aggQuantilesBanded]]) is the 100 TB escape for the
+    * per-type sort here too. */
+  def aggQuantilesInterp(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val counted = events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    def pos(q: Double) = lit(q) * (col("n") - lit(1)).cast("double")
+    val straddle = qs.flatMap { case (q, nm) =>
+      Seq(max(when(col("rn") === floor(pos(q)) + lit(1), col("value"))).as(s"lo_$nm"),
+          max(when(col("rn") === floor(pos(q)) + lit(2), col("value"))).as(s"hi_$nm"))
+    }
+    val g = counted.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), straddle: _*)
+    val interp = qs.foldLeft(g) { case (df, (q, nm)) =>
+      val p = pos(q)
+      val frac = p - floor(p).cast("double")
+      // frac = 0 (incl. the n = 1 group, where no hi row exists) short-
+      // circuits to lo: lo + (NULL - lo) * 0 would be NULL, not lo
+      df.withColumn(s"${nm}_interp",
+        when(frac === 0.0, col(s"lo_$nm"))
+          .otherwise(col(s"lo_$nm") + (col(s"hi_$nm") - col(s"lo_$nm")) * frac))
+    }
+    interp.select(col("event_type"), col("n"),
+        col("p50_interp"), col("p90_interp"), col("p99_interp"))
+      .orderBy("event_type")
+  }
+
   /** The 100 TB EXACT quantile form (VERDICT r3 #4): the exact path in
     * [[aggQuantiles]] window-sorts each event_type in full, so its
     * parallelism is bounded by the number of types — few types at 100 TB

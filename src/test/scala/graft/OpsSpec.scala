@@ -97,6 +97,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("interpolated quantiles: hand-checked positions, n=1 group, frac=0 case") {
+    // 5 values -> p50 position = 0.5*4 = 2.0 (frac 0, exact row 3);
+    // p90 position = 0.9*4 = 3.6 -> 40 + (50-40)*0.6 = 46
+    val df = (Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "a", 40.0), (5L, "a", 50.0), (6L, "b", 7.0)))
+      .toDF("event_id", "event_type", "value")
+    val out = Aggs.aggQuantilesInterp(df).collect()
+    val a = out(0)
+    assert(a.getAs[Double]("p50_interp") == 30.0)
+    assert(math.abs(a.getAs[Double]("p90_interp") - 46.0) < 1e-12)
+    val b = out(1) // single row: every quantile is that row's value
+    assert(b.getAs[Double]("p50_interp") == 7.0)
+    assert(b.getAs[Double]("p99_interp") == 7.0)
+  }
+
+  test("point-in-time join matches each purchase to exactly one valid interval") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // user 7: 4 events on day 1 (high), 1 event on day 2 (low) — the
+    // purchase on each day must pick up THAT day's tier
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 7L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 7L, "purchase", 5.0, "{}"),
+      (5L, ts("2024-01-02 10:00:00"), 7L, "purchase", 6.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = ext.Sessions.joinPointInTime(df).collect()
+    assert(out.length == 2) // one interval match per purchase, no fan-out
+    assert(out(0).getAs[Long]("event_id") == 4L)
+    assert(out(0).getAs[String]("tier") == "high")
+    assert(out(1).getAs[Long]("event_id") == 5L)
+    assert(out(1).getAs[String]("tier") == "low")
+  }
+
   test("approx distinct census is within the configured error of exact") {
     val events = Tables.events(spark, "/root/testdata/sf0.01")
     val exact = Aggs.aggDistinctNodes(events).collect().head.getAs[Long]("n_nodes")

@@ -48,6 +48,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("every declared query's plan shape matches the checked-in snapshot") {
+    // shapes must be the COLD plans: a dedup/text frame memoized by an
+    // earlier suite in this JVM shows up as InMemoryRelation and swallows
+    // its build-side exchanges, making the snapshot depend on suite order
+    ext.Dedup.clearSharedCache(spark)
+    spark.catalog.clearCache()
     Files.createDirectories(dumpDir)
     val current = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -1,0 +1,160 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Tpch
+
+/** Unit + plan-shape checks for the classic warehouse (TPC-H-shaped)
+  * suite. Values are verified on literal frames small enough to check by
+  * hand; plan gates pin the scale-relevant choices (map-side partial agg
+  * on the scan-heavy queries, semi-join multiplicity, fact-collapse-
+  * before-dimension-join). */
+class TpchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = (s: String) => Timestamp.valueOf(s)
+
+  private def li(rows: (Long, Long, Long, Double, Double, Double, Double, String, String, String)*) =
+    rows.toSeq.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "ship")
+      .withColumn("l_shipdate", col("ship").cast("timestamp")).drop("ship")
+
+  test("pricing summary: exact sums, charge chain, cutoff filter") {
+    val df = li(
+      (1L, 1L, 1L, 10.0, 100.0, 0.1, 0.05, "A", "F", "1996-01-01 00:00:00"),
+      (2L, 1L, 1L, 20.0, 200.0, 0.0, 0.10, "A", "F", "1996-02-01 00:00:00"),
+      (3L, 1L, 1L, 99.0, 999.0, 0.5, 0.50, "A", "F", "1999-01-01 00:00:00"), // past cutoff
+      (4L, 1L, 1L, 5.0, 50.0, 0.2, 0.00, "R", "O", "1996-03-01 00:00:00"))
+    val out = Tpch.tpchPricingSummary(df).collect()
+    assert(out.length == 2)
+    val af = out(0)
+    assert(af.getAs[String]("l_returnflag") == "A")
+    assert(af.getAs[Double]("sum_qty") == 30.0)
+    assert(af.getAs[Double]("sum_base_price") == 300.0)
+    // 100*0.9 + 200*1.0 = 290; charge: 90*1.05 + 200*1.1 = 94.5 + 220
+    assert(af.getAs[Double]("sum_disc_price") == 290.0)
+    assert(af.getAs[Double]("sum_charge") == 314.5)
+    assert(af.getAs[Double]("avg_qty") == 15.0)
+    assert(af.getAs[Long]("count_order") == 2L)
+    val r = out(1)
+    assert(r.getAs[String]("l_returnflag") == "R")
+    assert(r.getAs[Double]("sum_disc_price") == 40.0)
+  }
+
+  test("pricing summary plan: partial agg before the one exchange, no join") {
+    val plan = Tpch.tpchPricingSummary(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert("\\bHashAggregate\\b".r.findAllIn(plan).size == 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("revenue forecast: band + quantity filters, single-row result") {
+    val df = li(
+      (1L, 1L, 1L, 10.0, 100.0, 0.05, 0.0, "A", "F", "1996-06-01 00:00:00"), // in
+      (2L, 1L, 1L, 30.0, 100.0, 0.05, 0.0, "A", "F", "1996-06-01 00:00:00"), // qty too big
+      (3L, 1L, 1L, 10.0, 100.0, 0.10, 0.0, "A", "F", "1996-06-01 00:00:00"), // disc out of band
+      (4L, 1L, 1L, 10.0, 100.0, 0.05, 0.0, "A", "F", "1995-06-01 00:00:00")) // wrong year
+    val out = Tpch.tpchRevenueForecast(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("revenue") == 5.0) // 100 * 0.05
+    assert(out(0).getAs[Long]("n_items") == 1L)
+  }
+
+  test("late-shipment priority: order counted once despite two late items") {
+    val orders = Seq(
+      (10L, ts("1996-07-15 00:00:00"), "1-URGENT"),
+      (11L, ts("1996-07-15 00:00:00"), "1-URGENT"),  // no late items
+      (12L, ts("1996-12-01 00:00:00"), "2-HIGH"))    // outside quarter
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val items = Seq(
+      (10L, ts("1996-12-01 00:00:00")),  // late (139 days)
+      (10L, ts("1996-12-15 00:00:00")),  // late again — must not double-count
+      (11L, ts("1996-07-20 00:00:00")),  // on time
+      (12L, ts("1997-06-01 00:00:00")))  // late but order outside quarter
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Tpch.tpchLateShipmentPriority(orders, items).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("o_orderpriority") == "1-URGENT")
+    assert(out(0).getAs[Long]("n_late_orders") == 1L)
+  }
+
+  test("promo revenue: share is (100 * promo) / total") {
+    val items = li(
+      (1L, 100L, 1L, 1.0, 100.0, 0.0, 0.0, "A", "F", "1996-09-10 00:00:00"),
+      (2L, 200L, 1L, 1.0, 300.0, 0.0, 0.0, "A", "F", "1996-09-20 00:00:00"),
+      (3L, 100L, 1L, 1.0, 999.0, 0.0, 0.0, "A", "F", "1996-10-05 00:00:00")) // outside month
+    val part = Seq((100L, "PROMO"), (200L, "STANDARD")).toDF("p_partkey", "p_type")
+    val out = Tpch.tpchPromoRevenue(items, part).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("promo_revenue") == 100.0)
+    assert(out(0).getAs[Double]("total_revenue") == 400.0)
+    assert(out(0).getAs[Double]("promo_share_pct") == 25.0)
+  }
+
+  test("shipping priority: segment + date gates, revenue-desc top-k") {
+    val customers = Seq((1L, "BUILDING"), (2L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, ts("1996-06-01 00:00:00"), "1-URGENT"),
+      (11L, 1L, ts("1996-06-02 00:00:00"), "2-HIGH"),
+      (12L, 2L, ts("1996-06-03 00:00:00"), "3-MEDIUM"),   // wrong segment
+      (13L, 1L, ts("1997-06-01 00:00:00"), "4-NOT SPECIFIED")) // ordered after cutoff
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val items = li(
+      (10L, 1L, 1L, 1.0, 100.0, 0.0, 0.0, "N", "O", "1997-02-01 00:00:00"),
+      (10L, 1L, 1L, 1.0, 50.0, 0.0, 0.0, "N", "O", "1997-03-01 00:00:00"),
+      (11L, 1L, 1L, 1.0, 900.0, 0.0, 0.0, "N", "O", "1997-02-01 00:00:00"),
+      (11L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-01 00:00:00"),  // shipped before cutoff
+      (12L, 1L, 1L, 1.0, 500.0, 0.0, 0.0, "N", "O", "1997-02-01 00:00:00"),
+      (13L, 1L, 1L, 1.0, 700.0, 0.0, 0.0, "N", "O", "1997-07-01 00:00:00"))
+    val out = Tpch.tpchShippingPriority(items, orders, customers).collect()
+    assert(out.map(_.getAs[Long]("o_orderkey")).toSeq == Seq(11L, 10L))
+    assert(out(0).getAs[Double]("revenue") == 900.0)
+    assert(out(1).getAs[Double]("revenue") == 150.0)
+  }
+
+  test("local supplier volume: customer and supplier must share a nation") {
+    val region = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((100, "JAPAN", 0), (101, "INDIA", 0), (200, "FRANCE", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, 100), (2L, 101), (3L, 200))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((7L, 100), (8L, 200)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (10L, 7L, ts("1996-03-01 00:00:00")),
+      (11L, 8L, ts("1996-03-01 00:00:00")),
+      (12L, 7L, ts("1995-03-01 00:00:00")))  // wrong year
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val items = li(
+      (10L, 1L, 1L, 1.0, 100.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"), // JP cust × JP supp: counts
+      (10L, 1L, 2L, 1.0, 40.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"),  // JP cust × IN supp: filtered
+      (11L, 1L, 3L, 1.0, 70.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"),  // FR×FR but not ASIA
+      (12L, 1L, 1L, 1.0, 999.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00")) // order outside year
+    val out = Tpch.tpchLocalSupplierVolume(items, orders, customer, supplier,
+      nation, region).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("n_name") == "JAPAN")
+    assert(out(0).getAs[Double]("revenue") == 100.0)
+  }
+
+  test("returned revenue: fact collapses before the customer attribute join") {
+    val customers = Seq((7L, "Alice", 10.0), (8L, "Bob", 20.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    val orders = Seq(
+      (10L, 7L, ts("1996-02-01 00:00:00")),
+      (11L, 8L, ts("1996-02-01 00:00:00")),
+      (12L, 7L, ts("1996-06-01 00:00:00")))  // outside quarter
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val items = li(
+      (10L, 1L, 1L, 1.0, 100.0, 0.0, 0.0, "R", "F", "1996-03-01 00:00:00"),
+      (10L, 1L, 1L, 1.0, 60.0, 0.0, 0.0, "N", "F", "1996-03-01 00:00:00"),  // not returned
+      (11L, 1L, 1L, 1.0, 30.0, 0.0, 0.0, "R", "F", "1996-03-01 00:00:00"),
+      (12L, 1L, 1L, 1.0, 500.0, 0.0, 0.0, "R", "F", "1996-07-01 00:00:00")) // outside quarter
+    val out = Tpch.tpchReturnedRevenue(items, orders, customers).collect()
+    assert(out.map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("revenue"))).toSeq
+      == Seq((7L, 100.0), (8L, 30.0)))
+    assert(out(0).getAs[String]("c_name") == "Alice")
+  }
+}
