@@ -68,6 +68,7 @@ object SparkEntry {
     "join_range_tier"       -> ((s, d) => Joins.joinRangeTier(events(s, d))),
     "join_interval_bucket"  -> ((s, d) => Joins.joinIntervalBucket(events(s, d))),
     "ts_fill_gaps"          -> ((s, d) => Joins.tsFillGaps(events(s, d))),
+    "ts_resample_linear"    -> ((s, d) => Joins.tsResampleLinear(events(s, d))),
     // salted form of J1: bit-identical output, skew spread over (key, salt)
     "join_salted_skew"      -> ((s, d) =>
       ops.Skew.saltedJoin(lineitem(s, d),
@@ -113,6 +114,7 @@ object SparkEntry {
     "events_behavior_cohorts" -> ((s, d) => Aggs.eventsBehaviorCohorts(
       events(s, d).filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")))),
     "agg_cube_type_day"     -> ((s, d) => Aggs.aggCubeTypeDay(events(s, d))),
+    "agg_grouping_sets"     -> ((s, d) => Aggs.aggGroupingSets(events(s, d))),
     "agg_quantiles_sampled" -> ((s, d) => Aggs.aggQuantilesSampled(events(s, d))),
     "agg_quantiles_banded"  -> ((s, d) => Aggs.aggQuantilesBanded(events(s, d))),
     "agg_quantiles_interp"  -> ((s, d) => Aggs.aggQuantilesInterp(events(s, d))),
@@ -329,6 +331,10 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), $TS0) AS hour_s, CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS click, CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase, CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS view, CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS signup, CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour_s""",
     "agg_cube_type_day" ->
       s"""SELECT CAST(GROUPING(event_type) AS INT) AS g_type, CAST(GROUPING(day) AS INT) AS g_day, event_type, day, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value FROM (SELECT event_type, strftime(date_trunc('day', ts), $TS0) AS day, value FROM events) GROUP BY CUBE(event_type, day) ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST""",
+    "agg_grouping_sets" ->
+      s"""SELECT CAST(GROUPING(event_type) AS INT) AS g_type, CAST(GROUPING(day) AS INT) AS g_day, event_type, day, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value FROM (SELECT event_type, strftime(date_trunc('day', ts), $TS0) AS day, value FROM events) GROUP BY GROUPING SETS ((event_type), (day), ()) ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST""",
+    "ts_resample_linear" ->
+      s"""WITH hourly AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hu, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS v FROM events GROUP BY 1, 2), n AS (SELECT *, lead(hu) OVER w AS next_hu, lead(v) OVER w AS next_v FROM hourly WINDOW w AS (PARTITION BY user_id ORDER BY hu)), g AS (SELECT user_id, hu, v, next_hu, next_v, unnest(range(hu, coalesce(next_hu - 1, hu) + 1)) AS h FROM n) SELECT user_id, strftime(make_timestamp(h * 3600000000), $TS0) AS hour_s, CASE WHEN h = hu THEN v ELSE v + (next_v - v) * (CAST(h - hu AS DOUBLE) / CAST(next_hu - hu AS DOUBLE)) END AS value_interp, h <> hu AS is_interp FROM g ORDER BY user_id, hour_s""",
     "text_token_positions" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents) SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i+1 AS INT)] AS token FROM (SELECT doc_id, t, unnest(range(least(5, len(t)))) AS i FROM toks) ORDER BY doc_id, pos""",
     "text_chunk_windows" ->

@@ -263,6 +263,30 @@ object Aggs {
       .orderBy(col("g_type"), col("g_day"),
         col("event_type").asc_nulls_first, col("day").asc_nulls_first)
 
+  /** A11b (r5): explicit GROUPING SETS — the lattice SUBSET neither
+    * sibling can spell: per-type totals, per-day totals, and the grand
+    * total, WITHOUT the (type, day) detail level (`cube` would compute
+    * it, `rollup` can't skip the hierarchy). The report shape every
+    * dashboard's summary row set actually is; one Expand + one
+    * partial/final hash agg, exactly like cube — the Expand fan-out is
+    * 3× instead of cube's 4×, so at 100 TB the skipped grouping set is
+    * real shuffle savings, not cosmetics. Same grouping() NULL-key
+    * disambiguation as [[aggCubeTypeDay]]. */
+  def aggGroupingSets(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", fmtTsSec(date_trunc("day", col("ts"))))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("day")), Seq.empty),
+        col("event_type"), col("day"))
+      .agg(
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day")).cast("int").as("g_day"),
+        count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("g_type"), col("g_day"), col("event_type"), col("day"),
+        col("n"), col("sum_value"))
+      .orderBy(col("g_type"), col("g_day"),
+        col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
   /** Exact discrete percentiles per key — the monitoring-dashboard op
     * (p50/p90/p99 of a metric per event class). Discrete (the value AT row
     * ceil(q·n), no interpolation), so the result is engine-portable where

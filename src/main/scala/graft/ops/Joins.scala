@@ -262,6 +262,42 @@ object Joins {
       .orderBy("user_id", "hour_s")
   }
 
+  /** J8b (r5): hourly resampling with LINEAR interpolation — the
+    * interpolating sibling of [[tsFillGaps]]'s forward fill, and exactly
+    * what the reference's overlaid plots do visually when matplotlib
+    * draws a line across a reporting gap (`graphdata.py:98-112`). Same
+    * join-free Generate shape: each observed hourly sample emits itself
+    * plus the gap hours up to its user's next sample, carrying BOTH
+    * anchors (`lead` value + hour index), so every interpolated row is
+    * born map-side downstream of the last exchange — no spine join at
+    * any scale. The interpolated value `v + (next_v − v) · (k/m)` is a
+    * fixed chain of correctly-rounded double ops (the fraction is one
+    * integer/integer divide on hour indices), mirrored verbatim in the
+    * oracle ⇒ hash-match. No extrapolation past a user's last sample —
+    * interpolation needs both anchors (the trailing-edge fill is
+    * [[tsFillGaps]]'s forward-fill job). */
+  def tsResampleLinear(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(davg(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hu"))
+    hourly
+      .withColumn("next_hu", lead(col("hu"), 1).over(w))
+      .withColumn("next_v", lead(col("v"), 1).over(w))
+      .select(col("user_id"), col("hu"), col("v"), col("next_hu"), col("next_v"),
+        explode(sequence(col("hu"),
+          coalesce(col("next_hu") - lit(1L), col("hu")))).as("h"))
+      .select(col("user_id"),
+        fmtTsSec(timestamp_seconds(col("h") * lit(3600L))).as("hour_s"),
+        when(col("h") === col("hu"), col("v"))
+          .otherwise(col("v") + (col("next_v") - col("v")) *
+            ((col("h") - col("hu")).cast("double") /
+              (col("next_hu") - col("hu")).cast("double"))).as("value_interp"),
+        (col("h") =!= col("hu")).as("is_interp"))
+      .orderBy("user_id", "hour_s")
+  }
+
   /** J5: semi join — keys present in the other set (heartbeat ∩ dim,
     * AIRWISEv0.py:80-87). */
   def joinSemiActiveNodes(customer: DataFrame, orders: DataFrame): DataFrame =

@@ -131,6 +131,35 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getAs[String]("tier") == "low")
   }
 
+  test("linear resample interpolates gap hours, never extrapolates past the last sample") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 7L, "a", 10.0, "{}"),
+      (2L, ts("2024-01-01 03:30:00"), 7L, "a", 40.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Joins.tsResampleLinear(df).collect()
+    assert(out.length == 4) // hours 00..03, nothing after the last sample
+    assert(out.map(_.getAs[Double]("value_interp")).toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    assert(out.map(_.getAs[Boolean]("is_interp")).toSeq == Seq(false, true, true, false))
+  }
+
+  test("grouping sets: type totals + day totals + grand, NO detail level") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 8L, "click", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Aggs.aggGroupingSets(df).collect()
+    // 2 types + 2 days + 1 grand = 5 rows; cube would give 8 (3 detail cells)
+    assert(out.length == 5)
+    val grand = out.filter(r => r.getAs[Int]("g_type") == 1 && r.getAs[Int]("g_day") == 1)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == 3L)
+    assert(grand.head.getAs[Double]("sum_value") == 7.0)
+    val clickRow = out.find(r => r.getAs[String]("event_type") == "click").get
+    assert(clickRow.getAs[Long]("n") == 2L && clickRow.getAs[Int]("g_day") == 1)
+  }
+
   test("approx distinct census is within the configured error of exact") {
     val events = Tables.events(spark, "/root/testdata/sf0.01")
     val exact = Aggs.aggDistinctNodes(events).collect().head.getAs[Long]("n_nodes")
