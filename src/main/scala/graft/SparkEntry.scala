@@ -94,6 +94,24 @@ object SparkEntry {
       Tpch.tpchLateShipmentPriority(orders(s, d), lineitem(s, d))),
     "tpch_returned_revenue" -> ((s, d) =>
       Tpch.tpchReturnedRevenue(lineitem(s, d), orders(s, d), customer(s, d))),
+    "tpch_nation_trade_volume" -> ((s, d) =>
+      Tpch.tpchNationTradeVolume(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d))),
+    "tpch_market_share"     -> ((s, d) =>
+      Tpch.tpchMarketShare(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), part(s, d), nation(s, d), region(s, d))),
+    "tpch_customer_distribution" -> ((s, d) =>
+      Tpch.tpchCustomerDistribution(customer(s, d), orders(s, d))),
+    "tpch_top_supplier"     -> ((s, d) =>
+      Tpch.tpchTopSupplier(lineitem(s, d), supplier(s, d))),
+    "tpch_small_qty_revenue"-> ((s, d) =>
+      Tpch.tpchSmallQtyRevenue(lineitem(s, d), part(s, d))),
+    "tpch_big_order_customers" -> ((s, d) =>
+      Tpch.tpchBigOrderCustomers(lineitem(s, d), orders(s, d), customer(s, d))),
+    "tpch_bracket_revenue"  -> ((s, d) =>
+      Tpch.tpchBracketRevenue(lineitem(s, d), part(s, d))),
+    "tpch_idle_customer_balance" -> ((s, d) =>
+      Tpch.tpchIdleCustomerBalance(customer(s, d), orders(s, d), nation(s, d))),
     "layout_zorder_skipping"-> ((s, d) => sources.Layout.zorderSkipping(events(s, d))),
     // §2.5 aggregations
     "agg_last_seen_per_node"-> ((s, d) => Aggs.aggLastSeenPerNode(events(s, d))),
@@ -519,6 +537,22 @@ object SparkEntry {
       "SELECT o_orderpriority, count(*) AS n_late_orders FROM orders o WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) GROUP BY 1 ORDER BY 1",
     "tpch_returned_revenue" ->
       """WITH rev AS (SELECT o.o_custkey, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, count(*) AS n_returned_items FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_returnflag = 'R' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1) SELECT c.c_custkey, c.c_name, c.c_acctbal, rev.revenue, rev.n_returned_items FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_nation_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l.l_shipdate) AS ship_year, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN supplier s ON l.l_suppkey = s.s_suppkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n1 ON s.s_nationkey = n1.n_nationkey JOIN nation n2 ON c.c_nationkey = n2.n_nationkey WHERE (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_11') OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_7') GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "tpch_market_share" ->
+      """WITH j AS (SELECT year(o.o_orderdate) AS order_year, n1.n_name AS supp_nation, l.l_extendedprice, l.l_discount FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n2 ON c.c_nationkey = n2.n_nationkey JOIN region r ON n2.n_regionkey = r.r_regionkey JOIN supplier s ON l.l_suppkey = s.s_suppkey JOIN nation n1 ON s.s_nationkey = n1.n_nationkey WHERE p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'), a AS (SELECT order_year, CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS nation_revenue, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue, count(*) AS n_items FROM j GROUP BY 1) SELECT order_year, nation_revenue, total_revenue, n_items, nation_revenue / total_revenue AS mkt_share FROM a ORDER BY order_year""",
+    "tpch_customer_distribution" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY 1) SELECT COALESCE(oc.c_count, 0) AS c_count, count(*) AS custdist FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "tpch_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1) SELECT r.l_suppkey AS s_suppkey, s.s_name, r.total_revenue FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev) ORDER BY s_suppkey""",
+    "tpch_small_qty_revenue" ->
+      """WITH w AS (SELECT l.l_quantity, l.l_extendedprice, CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) OVER (PARTITION BY l.l_partkey) AS DOUBLE) / COUNT(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_brand = 'Brand#4') SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly, count(*) AS n_items FROM w WHERE l_quantity < 0.2 * avg_qty""",
+    "tpch_big_order_customers" ->
+      s"""WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty FROM lineitem GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 250) SELECT c.c_name, c.c_custkey, o.o_orderkey, strftime(o.o_orderdate, $TS0) AS o_orderdate_s, o.o_totalprice, big.total_qty FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY total_qty DESC, o_orderkey""",
+    "tpch_bracket_revenue" ->
+      """WITH j AS (SELECT CASE WHEN p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20 THEN 'bracket_1' WHEN p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30 THEN 'bracket_2' ELSE 'bracket_3' END AS bracket, l.l_extendedprice, l.l_discount, l.l_quantity FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20) OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30) OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)) SELECT bracket, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty, count(*) AS n_items FROM j GROUP BY 1 ORDER BY 1""",
+    "tpch_idle_customer_balance" ->
+      """WITH avgb AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0), idle AS (SELECT c.c_acctbal, c.c_nationkey FROM customer c, avgb WHERE c.c_acctbal > avgb.avg_bal AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) SELECT n.n_name, count(*) AS n_customers, CAST(SUM(CAST(i.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal FROM idle i JOIN nation n ON i.c_nationkey = n.n_nationkey GROUP BY 1 ORDER BY 1""",
     "stat_seasonal_residual" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1, 2), c AS (SELECT event_type, hr, n, (epoch_us(hr) // 86400000000 + 4) % 7 AS dow, hour(hr) AS hod FROM h), b AS (SELECT event_type, dow, hod, CAST(sum(n) AS DOUBLE) / count(*) AS baseline_n FROM c GROUP BY 1, 2, 3) SELECT c.event_type, strftime(c.hr, $TS0) AS hour_s, c.n, b.baseline_n, CAST(c.n AS DOUBLE) - b.baseline_n AS residual FROM c JOIN b USING (event_type, dow, hod) ORDER BY event_type, hour_s""",
     // e_t = (x_t + e_{t-1})/2: one add + one exact exponent shift per

@@ -168,6 +168,210 @@ object Tpch {
       .agg(count(lit(1)).as("n_late_orders"))
       .orderBy("o_orderpriority")
 
+  /** Q7 shape — nation trade volume: revenue shipped between two trading
+    * nations (supplier side vs customer side), per direction per ship year.
+    * The symmetric pair predicate rides the two ≤25-row broadcast nation
+    * joins as a single disjunctive filter on the joined names — both nation
+    * hops are map-side, so the fact row acquires its (supp_nation,
+    * cust_nation) labels without a shuffle and the first exchange is the
+    * final 4-group agg. Year comes from integer `year()` — identical in
+    * both engines. */
+  def tpchNationTradeVolume(lineitem: DataFrame, orders: DataFrame,
+                            customer: DataFrame, supplier: DataFrame,
+                            nation: DataFrame): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_11") ||
+              (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_7"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(dsum(discPrice).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** Q8 shape — market share: of all revenue that EUROPE customers spent on
+    * STANDARD parts, what fraction came through NATION_7 suppliers, per
+    * order year. The share numerator is a CONDITIONAL decimal sum inside
+    * the same aggregate as the denominator (one pass, no self-join); the
+    * final divide is one correctly-rounded double op spelled identically in
+    * the oracle, so the ratio itself hash-matches. Customer-side region
+    * scoping collapses nation⋈region to a bounded broadcast; part is left
+    * unhinted (SF-scaled — AQE broadcasts at bench scale only). */
+  def tpchMarketShare(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame, part: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame = {
+    val mktNations = nation
+      .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(part.filter(col("p_type") === "STANDARD").select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(mktNations), col("c_nationkey") === col("n_nationkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey").as("s_nkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_7", discPrice).otherwise(lit(0.0)))
+          .as("nation_revenue"),
+        dsum(discPrice).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("order_year"), col("nation_revenue"), col("total_revenue"),
+        col("n_items"),
+        (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+      .orderBy("order_year")
+  }
+
+  /** Q13 shape — customer order-count distribution: how many customers
+    * placed exactly k orders. The LEFT OUTER join keeps zero-order
+    * customers (count of a null key is 0, the row every inner-join form
+    * silently drops); both aggregates are pure integer counts. Orders
+    * collapses to per-custkey counts BEFORE meeting customer — the join
+    * carries one row per customer, not one per order. */
+  def tpchCustomerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** Q15 shape — top supplier: the supplier(s) with the maximum revenue over
+    * one ship quarter. The max is computed on the ALREADY-AGGREGATED
+    * per-supplier frame (bounded by supplier count, not fact rows) and
+    * joined back on revenue EQUALITY — safe only because revenue is
+    * decimal-exact (a float sum's equality would be partitioning-dependent);
+    * Catalyst folds the 1-row cross join + equality filter into a broadcast
+    * HASH join on the normalized revenue key — the scalar probe costs one
+    * broadcast, never a loop (plan-gated). */
+  def tpchTopSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(discPrice).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17 shape — small-quantity-order revenue: weekly revenue lost if
+    * orders below 20 % of a part's average quantity were not stocked, for
+    * one brand. The per-part average rides a WINDOW over the brand-filtered
+    * fact slice (one l_partkey shuffle; the agg+rejoin form would shuffle
+    * the same rows AND add a join) — with the average spelled decimal-exact
+    * so the `qty < 0.2·avg` cut never sits on an FP boundary that could
+    * differ between engines. */
+  def tpchSmallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"))
+    lineitem.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(part.filter(col("p_brand") === "Brand#4").select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(28, 6))).over(w)
+          .cast("double") / count(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+
+  }
+
+  /** Q18 shape — large-volume orders: the customers behind every order
+    * whose total quantity exceeds 250. The HAVING runs on the per-order
+    * aggregate (map-side combine collapses the fact scan to one row per
+    * order) BEFORE any dimension is touched, so orders and customer join a
+    * ~p99-selective frame; top rows deterministic via (qty desc, orderkey). */
+  def tpchBigOrderCustomers(lineitem: DataFrame, orders: DataFrame,
+                            customer: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice")), col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        fmtTsSec(col("o_orderdate")).as("o_orderdate_s"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("total_qty"), col("o_orderkey"))
+
+  /** Q19 shape — bracketed revenue: revenue from three disjunctive
+    * (brand, size band, quantity band) brackets, reported per bracket. The
+    * join stays a plain partkey EQUI-join (the disjunction is a residual
+    * filter, not a join condition — no nested-loop anywhere); brackets are
+    * mutually exclusive by brand so the `when` chain is a total labeling.
+    * All band predicates compare stored doubles/ints to literals — no
+    * arithmetic, nothing to round. */
+  def tpchBracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val b1 = col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1.0, 20.0)
+    val b2 = col("p_brand") === "Brand#19" && col("p_size").between(10, 30) &&
+      col("l_quantity").between(10.0, 30.0)
+    val b3 = col("p_brand") === "Brand#2" && col("p_size").between(20, 50) &&
+      col("l_quantity").between(20.0, 40.0)
+    lineitem.select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(part.select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .select(when(b1, "bracket_1").when(b2, "bracket_2").otherwise("bracket_3")
+        .as("bracket"), col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .groupBy(col("bracket"))
+      .agg(dsum(discPrice).as("revenue"), dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("bracket")
+  }
+
+  /** Q22 shape — idle customer balance: per nation, the count and held
+    * balance of above-average-balance customers with no order since 2000
+    * (dormant capital). The positive-balance average is a 1-row aggregate
+    * shipped as an explicit broadcast nested-loop (single-row build side,
+    * allowlisted in PlanLintSpec — a map-side literal in effect); the
+    * "no recent order" test is a LEFT ANTI join against the date-filtered
+    * order keys; nation is the bounded broadcast. The `acctbal > avg`
+    * comparison is double-vs-double with the average built decimal-exact —
+    * identical bits both engines. */
+  def tpchIdleCustomerBalance(customer: DataFrame, orders: DataFrame,
+                              nation: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val recent = orders
+      .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey"))
+    customer.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("n_name")
+  }
+
   /** Q10 shape — returned-item revenue loss: the 20 customers who returned
     * the most revenue in one quarter. The fact side collapses FIRST (the
     * returnflag filter + quarter-scoped orders join + per-custkey agg run

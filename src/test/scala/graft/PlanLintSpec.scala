@@ -24,7 +24,8 @@ class PlanLintSpec extends SparkSpec {
     "agg_quantiles_sampled",                             // 1-row sample-size frame
     "filter_time_threshold",                             // 1-row max-ts frame
     "sim_search_cosine_topk",                            // ≤nQueries-row query side
-    "events_dau_mau"                                     // bounded days×(domain/32) grid
+    "events_dau_mau",                                    // bounded days×(domain/32) grid
+    "tpch_idle_customer_balance"                         // 1-row avg-balance frame
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {

@@ -157,4 +157,166 @@ class TpchSpec extends SparkSpec {
       == Seq((7L, 100.0), (8L, 30.0)))
     assert(out(0).getAs[String]("c_name") == "Alice")
   }
+
+  test("nation trade volume: both directions kept, others dropped") {
+    val nation = Seq((100, "NATION_7", 0), (101, "NATION_11", 0), (102, "NATION_3", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, 100), (2L, 101), (3L, 102))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((7L, 101), (8L, 100), (9L, 102))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq((10L, 7L), (11L, 8L), (12L, 9L))
+      .toDF("o_orderkey", "o_custkey")
+    val items = li(
+      (10L, 1L, 1L, 1.0, 100.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"), // 7 -> 11
+      (11L, 1L, 2L, 1.0, 40.0, 0.0, 0.0, "N", "O", "1997-03-05 00:00:00"),  // 11 -> 7
+      (12L, 1L, 1L, 1.0, 70.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"))  // 7 -> 3: dropped
+    val out = Tpch.tpchNationTradeVolume(items, orders, customer, supplier, nation)
+      .collect()
+    assert(out.map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"),
+      r.getAs[Int]("ship_year"), r.getAs[Double]("revenue"))).toSeq
+      == Seq(("NATION_11", "NATION_7", 1997, 40.0), ("NATION_7", "NATION_11", 1996, 100.0)))
+  }
+
+  test("market share: conditional numerator inside the one aggregate") {
+    val region = Seq((1, "EUROPE"), (2, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((100, "NATION_7", 1), (101, "NATION_5", 1), (102, "NATION_9", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, 100), (2L, 101)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((7L, 101), (9L, 102)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((10L, 7L, ts("1996-03-01 00:00:00")),
+      (11L, 9L, ts("1996-03-01 00:00:00")))  // customer outside EUROPE
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val part = Seq((1L, "STANDARD"), (2L, "PROMO")).toDF("p_partkey", "p_type")
+    val items = li(
+      (10L, 1L, 1L, 1.0, 100.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"), // NATION_7 supp
+      (10L, 1L, 2L, 1.0, 300.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"), // other supp
+      (10L, 2L, 1L, 1.0, 999.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"), // wrong part type
+      (11L, 1L, 1L, 1.0, 999.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00")) // non-EUROPE cust
+    val out = Tpch.tpchMarketShare(items, orders, customer, supplier, part,
+      nation, region).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Int]("order_year") == 1996)
+    assert(out(0).getAs[Double]("nation_revenue") == 100.0)
+    assert(out(0).getAs[Double]("total_revenue") == 400.0)
+    assert(out(0).getAs[Double]("mkt_share") == 0.25)
+  }
+
+  test("customer distribution: zero-order customers survive the left join") {
+    val customer = Seq(7L, 8L, 9L).toDF("c_custkey")
+    val orders = Seq((10L, 7L), (11L, 7L), (12L, 8L)).toDF("o_orderkey", "o_custkey")
+    val out = Tpch.tpchCustomerDistribution(customer, orders).collect()
+    // one customer with 2 orders, one with 1, one with 0 — all distinct counts
+    assert(out.map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toSet
+      == Set((2L, 1L), (1L, 1L), (0L, 1L)))
+  }
+
+  test("top supplier: exact-revenue ties all surface; quarter filter applies") {
+    val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("s_suppkey", "s_name")
+    val items = li(
+      (1L, 1L, 1L, 1.0, 60.0, 0.5, 0.0, "N", "O", "1996-02-01 00:00:00"),  // 30
+      (2L, 1L, 2L, 1.0, 10.0, 0.0, 0.0, "N", "O", "1996-02-01 00:00:00"),  // 10
+      (3L, 1L, 2L, 1.0, 20.0, 0.0, 0.0, "N", "O", "1996-03-01 00:00:00"),  // +20 = 30: tie
+      (4L, 1L, 3L, 1.0, 999.0, 0.0, 0.0, "N", "O", "1996-06-01 00:00:00")) // outside quarter
+    val out = Tpch.tpchTopSupplier(items, supplier).collect()
+    assert(out.map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Double]("total_revenue"))).toSeq
+      == Seq((1L, 30.0), (2L, 30.0)))
+  }
+
+  test("top supplier plan: the 1-row max frame broadcasts — no cartesian") {
+    val plan = Tpch.tpchTopSupplier(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      Tables.supplier(spark, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // Catalyst folds the cross join + equality filter into a broadcast
+    // HASH join on the (normalized) revenue key — the equality predicate
+    // becomes the join key, so not even a nested loop remains
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("small-qty revenue: cut strictly below 20% of the part's average") {
+    val part = Seq((1L, "Brand#4"), (2L, "Brand#4"), (3L, "Brand#9"))
+      .toDF("p_partkey", "p_brand")
+    val items = li(
+      // part 1: qtys 1, 19, 40 -> avg 20, threshold 4.0 -> only qty 1 counts
+      (1L, 1L, 1L, 1.0, 70.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+      (2L, 1L, 1L, 19.0, 100.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+      (3L, 1L, 1L, 40.0, 100.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+      // part 3: tiny qty but wrong brand
+      (4L, 3L, 1L, 1.0, 999.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"))
+    val out = Tpch.tpchSmallQtyRevenue(items, part).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("avg_yearly") == 10.0) // 70 / 7
+    assert(out(0).getAs[Long]("n_items") == 1L)
+  }
+
+  test("small-qty revenue plan: one Window on the brand slice, no rejoin") {
+    val plan = Tpch.tpchSmallQtyRevenue(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      Tables.part(spark, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1, plan)
+    // exactly one join: lineitem x brand-filtered part keys
+    assert("Join".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("big-order customers: HAVING cut runs on the per-order aggregate") {
+    val customer = Seq((7L, "Alice"), (8L, "Bob")).toDF("c_custkey", "c_name")
+    val orders = Seq(
+      (10L, 7L, ts("1996-01-01 00:00:00"), 1000.0),
+      (11L, 8L, ts("1996-01-01 00:00:00"), 2000.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val items = li(
+      (10L, 1L, 1L, 200.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+      (10L, 1L, 1L, 100.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"), // 300 > 250
+      (11L, 1L, 1L, 249.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00")) // under
+    val out = Tpch.tpchBigOrderCustomers(items, orders, customer).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("c_name") == "Alice")
+    assert(out(0).getAs[Double]("total_qty") == 300.0)
+  }
+
+  test("bracket revenue: disjoint labeling, disjunction filter, equi-join only") {
+    val part = Seq(
+      (1L, "Brand#4", 10), (2L, "Brand#19", 20), (3L, "Brand#2", 30),
+      (4L, "Brand#4", 40))  // size outside bracket 1
+      .toDF("p_partkey", "p_brand", "p_size")
+    val items = li(
+      (1L, 1L, 1L, 10.0, 100.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"), // b1
+      (2L, 2L, 1L, 20.0, 200.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"), // b2
+      (3L, 3L, 1L, 30.0, 400.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"), // b3
+      (4L, 4L, 1L, 10.0, 999.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"), // no bracket
+      (5L, 1L, 1L, 45.0, 999.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00")) // qty out
+    val out = Tpch.tpchBracketRevenue(items, part).collect()
+    assert(out.map(r => (r.getAs[String]("bracket"), r.getAs[Double]("revenue"))).toSeq
+      == Seq(("bracket_1", 100.0), ("bracket_2", 200.0), ("bracket_3", 400.0)))
+    val plan = Tpch.tpchBracketRevenue(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      Tables.part(spark, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("idle customer balance: positive-only average, anti-join on recent orders") {
+    val nation = Seq((100, "N_A"), (101, "N_B")).toDF("n_nationkey", "n_name")
+    val customer = Seq(
+      (7L, 100, 900.0),   // above avg, no recent order: counted
+      (8L, 100, 800.0),   // above avg but has recent order
+      (9L, 101, 100.0),   // below avg
+      (10L, 101, -500.0)) // negative: excluded from the average too
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    // avg over positives = (900 + 800 + 100) / 3 = 600
+    val orders = Seq(
+      (20L, 8L, ts("2001-01-01 00:00:00")),   // recent: disqualifies 8
+      (21L, 7L, ts("1999-06-01 00:00:00")))   // old: does not disqualify 7
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Tpch.tpchIdleCustomerBalance(customer, orders, nation).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("n_name") == "N_A")
+    assert(out(0).getAs[Long]("n_customers") == 1L)
+    assert(out(0).getAs[Double]("total_bal") == 900.0)
+  }
 }
