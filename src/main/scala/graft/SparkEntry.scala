@@ -236,6 +236,8 @@ object SparkEntry {
     "events_retention_cohort" -> ((s, d) => ext.Sessions.eventsRetentionCohort(events(s, d))),
     "scd2_intervals"        -> ((s, d) => ext.Sessions.scd2Intervals(events(s, d))),
     "join_pointintime_scd2" -> ((s, d) => ext.Sessions.joinPointInTime(events(s, d))),
+    "events_window_funnel"  -> ((s, d) => ext.Sessions.eventsWindowFunnel(events(s, d))),
+    "events_rfm_scores"     -> ((s, d) => ext.Sessions.eventsRfmScores(events(s, d))),
     "events_transition_matrix" -> ((s, d) => ext.Sessions.eventsTransitionMatrix(events(s, d))),
     "events_path_topk"      -> ((s, d) => ext.Sessions.eventsPathTopk(events(s, d))),
     "events_session_stats"  -> ((s, d) => ext.Sessions.eventsSessionStats(events(s, d))),
@@ -244,6 +246,10 @@ object SparkEntry {
     "multimodal_fake_features" -> ((s, d) => ext.Multimodal.multimodalFakeFeatures(documents(s, d))),
     "multimodal_frame_energies" -> ((s, d) => ext.Multimodal.multimodalFrameEnergies(documents(s, d))),
     "multimodal_blockhash"  -> ((s, d) => ext.Multimodal.multimodalBlockhash(documents(s, d))),
+    "multimodal_vad_segments" -> ((s, d) => ext.Multimodal.multimodalVadSegments(documents(s, d))),
+    "dedup_minhash_est"     -> ((s, d) => ext.Dedup.dedupMinhashEst(documents(s, d))),
+    "sample_rate_per_stratum" -> ((s, d) => ext.Sampling.sampleRatePerStratum(documents(s, d))),
+    "text_vocab_coverage"   -> ((s, d) => ext.Text.textVocabCoverage(documents(s, d))),
     // §3.3 composite: the cleandata.py parity chain end-to-end
     "clean_pipeline"        -> ((s, d) => batch.Clean.cleanPipeline(events(s, d))),
     // composite flagship of the LLM-pipeline family (r2)
@@ -379,6 +385,18 @@ object SparkEntry {
       "SELECT user_id, top_type, n FROM (SELECT user_id, event_type AS top_type, count(*) AS n, row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn FROM events GROUP BY user_id, event_type) WHERE rn = 1 ORDER BY user_id",
     "events_funnel_stages" ->
       s"""WITH w1 AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type = 'click' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM w2), u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3 FROM w3 GROUP BY user_id) SELECT user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage, strftime(t1, $TS6) AS t1_s, strftime(t2, $TS6) AS t2_s, strftime(t3, $TS6) AS t3_s FROM u ORDER BY user_id""",
+    "events_window_funnel" ->
+      """WITH w1 AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type = 'click' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 AND ts <= t1 + INTERVAL 24 HOUR THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 24 HOUR THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM w2), u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3 FROM w3 GROUP BY user_id) SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth, count(*) AS n_users FROM u GROUP BY 1 ORDER BY 1""",
+    "events_rfm_scores" ->
+      """WITH u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency, CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS monetary FROM events GROUP BY 1), r AS (SELECT user_id, CAST(date_diff('day', CAST(last_ts AS DATE), DATE '2024-02-01') AS BIGINT) AS recency_days, frequency, monetary FROM u), s AS (SELECT user_id, recency_days, frequency, monetary, CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score, CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score, CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score FROM r) SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment FROM s ORDER BY user_id""",
+    "multimodal_vad_segments" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), f AS (SELECT doc_id, i // 64 AS frame_no, count(*) AS cnt, sum(byte) AS s FROM b GROUP BY 1, 2), act AS (SELECT doc_id, frame_no FROM f WHERE cnt = 64 AND CAST(s AS DOUBLE) / 255.0 > 23.7), isl AS (SELECT doc_id, frame_no, frame_no - row_number() OVER (PARTITION BY doc_id ORDER BY frame_no) AS island FROM act) SELECT doc_id, CAST(min(frame_no) AS BIGINT) AS seg_start, CAST(max(frame_no) AS BIGINT) AS seg_end, count(*) AS n_frames FROM isl GROUP BY doc_id, island ORDER BY doc_id, seg_start""",
+    "dedup_minhash_est" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT::HUGEINT AS u FROM sh), seeds AS (SELECT seed, ((2*seed + 1) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS a, (seed * CAST('14029467366897019727' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS b FROM range(32) r(seed)), minsig AS (SELECT doc_id, seed, min(((u % 4294967296) * a + (((u // 4294967296) * a) % 4294967296) * 4294967296 + b) % CAST('18446744073709551616' AS HUGEINT)) AS mv FROM ex CROSS JOIN seeds GROUP BY doc_id, seed), bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS key FROM minsig GROUP BY doc_id, seed // 4), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), agr AS (SELECT c.doc_a, c.doc_b, sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) AS n_agree FROM cand c JOIN minsig ma ON ma.doc_id = c.doc_a JOIN minsig mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed GROUP BY 1, 2) SELECT a.doc_a, a.doc_b, CAST(a.n_agree AS BIGINT) AS n_agree, CAST(a.n_agree AS DOUBLE) / 32.0 AS est_jaccard, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard, CAST(a.n_agree AS DOUBLE) / 32.0 - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS err FROM agr a JOIN sh sa ON a.doc_a = sa.doc_id JOIN sh sb ON a.doc_b = sb.doc_id ORDER BY doc_a, doc_b""",
+    "sample_rate_per_stratum" ->
+      """WITH s AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 1000 AS BIGINT) AS permille, CAST(CASE WHEN lang = 'en' THEN 250 ELSE 1000 END AS BIGINT) AS rate FROM documents) SELECT doc_id, lang, permille, rate FROM s WHERE permille < rate ORDER BY doc_id""",
+    "text_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1), r AS (SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank, sum(n) OVER (ORDER BY n DESC, token) AS cum_n, sum(n) OVER () AS total_n FROM c) SELECT rank, token, n, cum_n, CAST(CAST(cum_n AS HUGEINT) * 1000000000 // CAST(total_n AS HUGEINT) AS BIGINT) AS cum_share_ppb FROM r WHERE rank <= 100 ORDER BY rank""",
     "multimodal_blockhash" ->
       """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), bs AS (SELECT doc_id, i % 16 AS blk, sum(byte) AS s FROM b GROUP BY 1, 2), tot AS (SELECT doc_id, sum(s) AS total FROM bs GROUP BY 1), sig0 AS (SELECT bs.doc_id, sum(CASE WHEN bs.s * 16 > tot.total THEN (1 << CAST(blk AS INT)) ELSE 0 END) AS bh FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY bs.doc_id), sig AS (SELECT d.doc_id, coalesce(s0.bh, 0) AS bh FROM documents d LEFT JOIN sig0 s0 USING (doc_id)) SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(bit_count(xor(CAST(a.bh AS BIGINT), CAST(b2.bh AS BIGINT))) AS BIGINT) AS hamming FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id WHERE bit_count(xor(CAST(a.bh AS BIGINT), CAST(b2.bh AS BIGINT))) <= 2 ORDER BY doc_a, doc_b""",
     "agg_value_histogram" ->

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (training-pipeline north star).
@@ -192,5 +193,44 @@ object Multimodal {
         element_at(col("features"), 1).as("f0"),
         element_at(col("features"), 2).as("f1"))
       .orderBy("doc_id")
+  }
+
+  /** Voice-activity-style segmentation over the frame stream — the audio
+    * sibling of [[multimodalFrameEnergies]]: frames whose energy clears a
+    * threshold are "active", and maximal runs of consecutive active
+    * frames collapse to (start, end, length) segments — the VAD pass an
+    * audio-training pipeline runs to cut silence before transcription.
+    * Real VAD swaps into the energy kernel; the segmentation — the part
+    * that must scale — is the gaps-and-islands row_number difference
+    * (frame_no − rank is constant along an unbroken active run), pure
+    * integer arithmetic on the frame ids, one window + one agg on the
+    * doc key. Energy is exact (integer byte-sum / 255, the frame-energy
+    * contract), so the threshold compare lands identically in both
+    * engines and the DuckDB oracle recomputes the very same segments
+    * from hex(encode(text)). */
+  def multimodalVadSegments(documents: DataFrame, frameBytes: Int = 64,
+                            threshold: Double = 23.7): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val frames = frameSampleStub(asMedia(documents), frameBytes, everyNth = 1)
+      .map { r =>
+        val fno = r.media_type.substring(r.media_type.indexOf("frame=") + 6).toLong
+        var s = 0L
+        r.content.foreach(b => s += (b & 0xFF).toLong)
+        (r.doc_id, fno, s / 255.0, r.content.length)
+      }
+      .toDF("doc_id", "frame_no", "energy", "n_bytes")
+      // complete frames only (the tail fragment has fewer bytes and a
+      // spuriously low energy — same cnt=64 gate as frame_energies)
+      .filter(col("n_bytes") === frameBytes)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    frames
+      .filter(col("energy") > threshold)
+      .withColumn("island", col("frame_no") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("frame_no")).as("seg_start"), max(col("frame_no")).as("seg_end"),
+        count(lit(1)).as("n_frames"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"), col("n_frames"))
+      .orderBy("doc_id", "seg_start")
   }
 }

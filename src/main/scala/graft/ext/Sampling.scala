@@ -90,4 +90,31 @@ object Sampling {
       .select(col("lang"), col("rn"), col("doc_id"), col("source"))
       .orderBy("lang", "rn")
   }
+
+  /** Rate-based stratified downsampling — the "rebalance the training mix"
+    * operator: each stratum (lang) keeps a configured fraction of its
+    * documents, expressed in permille (the over-represented language is
+    * thinned, the rest pass through). Unlike [[samplePerGroup]]'s hard
+    * quota (which needs a per-stratum window shuffle), the rate cut is a
+    * PURE MAP-SIDE filter: keep iff md5-permille(doc_id) < rate — no
+    * shuffle at all before the output sort, assignment stable across
+    * runs, engines and partitionings (re-running an incremental pipeline
+    * keeps every prior decision). The fixture mix thins `en` (the 44 %
+    * head class) to 25 % and keeps the tail languages whole. */
+  def sampleRatePerStratum(documents: DataFrame,
+                           rates: Map[String, Int] = Map("en" -> 250),
+                           defaultPermille: Int = 1000): DataFrame = {
+    // first 4 md5 hex digits mod 1000: the permille sibling of hashBucket
+    // (same spelling in the DuckDB oracle)
+    val pm = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int") % 1000)
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"), pm.cast("long").as("permille"),
+        rate.cast("long").as("rate"))
+      .filter(col("permille") < col("rate"))
+      .orderBy("doc_id")
+  }
 }

@@ -82,6 +82,69 @@ object Sessions {
       .orderBy("user_id")
   }
 
+  /** Time-bounded funnel ("window funnel", the conversion-within-24h form
+    * of [[eventsFunnelStages]]): click → view → purchase, each stage
+    * strictly after the previous AND inside 24 h of the user's FIRST
+    * click — the deadline turns "eventually converted" into "converted
+    * while the session was hot", which is what campaign analytics
+    * actually bills. Same one-shuffle shape as the unbounded funnel
+    * (stacked whole-partition window minima over one user_id
+    * partitioning, no self-join); the deadline is a timestamp compare
+    * against t1 + 24 h, a pure selection — nothing to round. Output is
+    * the depth histogram (how many users died at each stage). */
+  def eventsWindowFunnel(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val deadline = col("t1") + expr(s"INTERVAL $windowHours HOURS")
+    val staged = events
+      .withColumn("t1", min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" &&
+        col("ts") > col("t1") && col("ts") <= deadline, col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2") && col("ts") <= deadline, col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .select(when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+        .when(col("t1").isNotNull, 1L).otherwise(0L).as("funnel_depth"))
+      .groupBy(col("funnel_depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_depth")
+  }
+
+  /** RFM scoring — the classic marketing segmentation: per-user recency
+    * (days from last activity to the analysis anchor), frequency (event
+    * count) and monetary (purchase value total), each quartiled into a
+    * 1–4 score whose concatenation is the segment label ("444" = best).
+    * The raw scan collapses to ONE row per user in the first hash agg;
+    * the three ntile windows run on that user-bounded frame with total
+    * orders (metric, then user_id), so every tile is deterministic —
+    * SQL-standard ntile remainder distribution, identical both engines
+    * (the `window_ntile_quartile` precedent). The anchor is a fixed
+    * literal (the day after the fixture's last event) — a derived
+    * global-max anchor would need a scalar join; a reporting run pins
+    * its analysis date anyway. At billion-user scale the three global
+    * ntile orders move to the banded two-phase quantile form
+    * (`agg_quantiles_banded`); the per-user agg shape is unchanged. */
+  def eventsRfmScores(events: DataFrame, anchor: String = "2024-02-01"): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        graft.Det.dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("monetary"))
+      .withColumn("recency_days",
+        datediff(lit(anchor).cast("date"), col("last_ts").cast("date")).cast("long"))
+    val rW = Window.orderBy(desc("recency_days"), col("user_id"))
+    val fW = Window.orderBy(col("frequency"), col("user_id"))
+    val mW = Window.orderBy(col("monetary"), col("user_id"))
+    perUser
+      .withColumn("r_score", ntile(4).over(rW).cast("long"))
+      .withColumn("f_score", ntile(4).over(fW).cast("long"))
+      .withColumn("m_score", ntile(4).over(mW).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** SCD-type-2 interval build (gaps-and-islands): collapse each user's
     * run of consecutive same-tier activity days into one validity
     * interval `[valid_from, valid_to]` — the change-history table a

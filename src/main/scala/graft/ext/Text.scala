@@ -381,4 +381,33 @@ object Text {
       .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_passages"))
       .orderBy("doc_id")
   }
+
+  /** Vocabulary coverage curve — the top-k token types with their
+    * cumulative share of all corpus tokens (the Zipf head: "the top 100
+    * types cover X % of the stream"), the number that sizes tokenizer
+    * vocabularies and stopword lists. The corpus collapses to the
+    * vocabulary frame in one partial/final hash agg (the only fact-scale
+    * shuffle); rank, cumulative count and the grand total then ride
+    * windows over that vocabulary-bounded frame (the single-partition
+    * step is ≤ |vocab| rows — `corpus_mix_report`'s share-window
+    * posture). Shares are integer parts-per-billion (DECIMAL(38,0)
+    * multiply + integer DIV): version-proof across engines, the
+    * `corpus_mix_report` r5 lesson applied from the start. */
+  def textVocabCoverage(documents: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val byFreq = Window.orderBy(desc("n"), col("token"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(byFreq))
+      .withColumn("total_n", sum(col("n")).over(all))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        expr("CAST(cum_n AS DECIMAL(38,0)) * 1000000000 DIV total_n")
+          .as("cum_share_ppb"))
+      .orderBy("rank")
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Sampling, Sessions, Text}
+
+/** Unit semantics for the r5 pipeline-operator batch: time-bounded funnel,
+  * RFM scoring, MinHash estimator audit, stratified rate sampling,
+  * vocabulary coverage, VAD segmentation. Values checked on literal frames
+  * small enough to verify by hand; scale-relevant plan shapes gated where
+  * the operator's contract promises one. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = (s: String) => Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String, Double)*) =
+    rows.toSeq.map { case (u, t, time, v) => (u, t, ts(time), v) }
+      .toDF("user_id", "event_type", "ts", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+
+  test("window funnel: stages must land inside 24h of the first click") {
+    val events = ev(
+      // user 1: full funnel inside the window -> depth 3
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (1L, "view", "2024-01-01 11:00:00", 0.0),
+      (1L, "purchase", "2024-01-01 12:00:00", 5.0),
+      // user 2: view arrives 25h after the first click -> depth 1
+      (2L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, "view", "2024-01-02 11:00:00", 0.0),
+      // user 3: never clicks -> depth 0
+      (3L, "view", "2024-01-01 10:00:00", 0.0),
+      // user 4: purchase BEFORE the view -> stops at depth 2
+      (4L, "click", "2024-01-01 10:00:00", 0.0),
+      (4L, "purchase", "2024-01-01 10:30:00", 5.0),
+      (4L, "view", "2024-01-01 11:00:00", 0.0))
+    val out = Sessions.eventsWindowFunnel(events).collect()
+      .map(r => r.getAs[Long]("funnel_depth") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("window funnel vs unbounded funnel: the deadline is the only difference") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (1L, "view", "2024-01-05 11:00:00", 0.0)) // days later
+    // unbounded funnel credits the view; the 24h window does not
+    val unbounded = Sessions.eventsFunnelStages(events).collect()
+    assert(unbounded(0).getAs[Long]("stage") == 2L)
+    val windowed = Sessions.eventsWindowFunnel(events).collect()
+      .map(r => r.getAs[Long]("funnel_depth") -> r.getAs[Long]("n_users")).toMap
+    assert(windowed == Map(1L -> 1L))
+  }
+
+  test("RFM: quartile scores rank recency/frequency/monetary independently") {
+    // 4 users, strictly ordered on each metric so every tile has one user.
+    // user 4 is most recent, most frequent, biggest spender -> "444".
+    val events = ev(
+      (1L, "purchase", "2024-01-07 00:00:00", 10.0),
+      (2L, "purchase", "2024-01-14 00:00:00", 20.0),
+      (2L, "click", "2024-01-13 00:00:00", 0.0),
+      (3L, "purchase", "2024-01-21 00:00:00", 30.0),
+      (3L, "click", "2024-01-19 00:00:00", 0.0),
+      (3L, "click", "2024-01-20 00:00:00", 0.0),
+      (4L, "purchase", "2024-01-28 00:00:00", 40.0),
+      (4L, "click", "2024-01-25 00:00:00", 0.0),
+      (4L, "click", "2024-01-26 00:00:00", 0.0),
+      (4L, "click", "2024-01-27 00:00:00", 0.0))
+    val out = Sessions.eventsRfmScores(events).collect()
+    val seg = out.map(r => r.getAs[Long]("user_id") -> r.getAs[String]("segment")).toMap
+    assert(seg == Map(1L -> "111", 2L -> "222", 3L -> "333", 4L -> "444"))
+    val u4 = out.find(_.getAs[Long]("user_id") == 4L).get
+    assert(u4.getAs[Long]("recency_days") == 4L)  // Jan 28 -> Feb 1
+    assert(u4.getAs[Long]("frequency") == 4L)
+    assert(u4.getAs[Double]("monetary") == 40.0)
+  }
+
+  test("minhash estimator: identical docs agree on all 32 slots, err = 0") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val df = Seq(
+      (1L, base), (2L, base),
+      (3L, "completely different content about spark catalyst plans and shuffles"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupMinhashEst(df).collect()
+    val pair = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(pair.isDefined, s"identical docs must be LSH candidates: ${out.mkString(";")}")
+    assert(pair.get.getAs[Long]("n_agree") == 32L)
+    assert(pair.get.getAs[Double]("est_jaccard") == 1.0)
+    assert(pair.get.getAs[Double]("jaccard") == 1.0)
+    assert(pair.get.getAs[Double]("err") == 0.0)
+    // no candidate pair against the unrelated doc
+    assert(out.forall(r => r.getAs[Long]("doc_b") != 3L))
+    Dedup.clearSharedCache(spark)
+  }
+
+  test("stratified rate sampling: head class thinned, tail untouched, map-side") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Sampling.sampleRatePerStratum(docs).collect()
+    val in = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val kept = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    // non-en strata pass through whole
+    in.keys.filter(_ != "en").foreach(l => assert(kept(l) == in(l), l))
+    // en thinned to ~25% (hash-proportioned; generous band)
+    val enFrac = kept("en").toDouble / in("en")
+    assert(enFrac > 0.1 && enFrac < 0.4, s"en kept $enFrac")
+    // reproducible
+    assert(Sampling.sampleRatePerStratum(docs).collect().toSeq == out.toSeq)
+    // pure map-side before the output sort: no hash exchange anywhere
+    val plan = Sampling.sampleRatePerStratum(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("vocab coverage: ranks, cumulative counts and integer ppb shares") {
+    val df = Seq(
+      (1L, "a a a b"), (2L, "b c"))
+      .toDF("doc_id", "text")
+    val out = Text.textVocabCoverage(df, topK = 2).collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getAs[Long]("rank") == 1L && r1.getAs[String]("token") == "a")
+    assert(r1.getAs[Long]("n") == 3L && r1.getAs[Long]("cum_n") == 3L)
+    assert(r1.getAs[Long]("cum_share_ppb") == 500000000L) // 3/6
+    val r2 = out(1)
+    assert(r2.getAs[String]("token") == "b" && r2.getAs[Long]("cum_n") == 5L)
+    assert(r2.getAs[Long]("cum_share_ppb") == 833333333L) // floor(5e9/6)
+  }
+
+  test("VAD segments: consecutive hot frames merge, gaps split") {
+    // 4 complete 64-byte frames: hot, cold, hot, hot -> segments (0,0) and (2,3)
+    val hot = "z" * 64   // 64*122/255 = 30.6 > 23.7
+    val cold = " " * 64  // 64*32/255 = 8.0
+    val df = Seq((1L, hot + cold + hot + hot)).toDF("doc_id", "text")
+    val out = Multimodal.multimodalVadSegments(df).collect()
+    assert(out.map(r => (r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"),
+      r.getAs[Long]("n_frames"))).toSeq == Seq((0L, 0L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("VAD segments: incomplete tail frame never fakes a silence break") {
+    // 64 hot bytes + a 10-byte hot tail: the tail fragment is dropped, one segment
+    val df = Seq((1L, "z" * 74)).toDF("doc_id", "text")
+    val out = Multimodal.multimodalVadSegments(df).collect()
+    assert(out.map(r => (r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"))).toSeq
+      == Seq((0L, 0L)))
+  }
+}
