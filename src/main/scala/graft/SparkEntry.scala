@@ -112,6 +112,9 @@ object SparkEntry {
       Tpch.tpchBracketRevenue(lineitem(s, d), part(s, d))),
     "tpch_idle_customer_balance" -> ((s, d) =>
       Tpch.tpchIdleCustomerBalance(customer(s, d), orders(s, d), nation(s, d))),
+    "tpch_part_value_concentration" -> ((s, d) =>
+      Tpch.tpchPartValueConcentration(lineitem(s, d))),
+    "agg_distinct_intersect_kmv" -> ((s, d) => Aggs.aggDistinctIntersectKmv(events(s, d))),
     "layout_zorder_skipping"-> ((s, d) => sources.Layout.zorderSkipping(events(s, d))),
     // §2.5 aggregations
     "agg_last_seen_per_node"-> ((s, d) => Aggs.aggLastSeenPerNode(events(s, d))),
@@ -569,6 +572,10 @@ object SparkEntry {
       s"""WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty FROM lineitem GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 250) SELECT c.c_name, c.c_custkey, o.o_orderkey, strftime(o.o_orderdate, $TS0) AS o_orderdate_s, o.o_totalprice, big.total_qty FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY total_qty DESC, o_orderkey""",
     "tpch_bracket_revenue" ->
       """WITH j AS (SELECT CASE WHEN p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20 THEN 'bracket_1' WHEN p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30 THEN 'bracket_2' ELSE 'bracket_3' END AS bracket, l.l_extendedprice, l.l_discount, l.l_quantity FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20) OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30) OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)) SELECT bracket, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty, count(*) AS n_items FROM j GROUP BY 1 ORDER BY 1""",
+    "tpch_part_value_concentration" ->
+      """WITH pv AS (SELECT l_partkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS part_value, count(*) AS n_items FROM lineitem GROUP BY 1), t AS (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) AS total_value FROM pv) SELECT pv.l_partkey, pv.part_value, pv.n_items, t.total_value FROM pv, t WHERE pv.part_value > 0.00075 * t.total_value ORDER BY part_value DESC, l_partkey""",
+    "agg_distinct_intersect_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type, user_id, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events WHERE event_type IN ('click', 'purchase')), r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), th AS (SELECT event_type, CASE WHEN count(*) < 64 THEN 1.0 ELSE max(CASE WHEN rn = 64 THEN h END) END AS theta FROM r GROUP BY 1), t AS (SELECT min(theta) AS theta FROM th), sa AS (SELECT user_id, h FROM r WHERE event_type = 'click' AND rn <= 64), sb AS (SELECT user_id FROM r WHERE event_type = 'purchase' AND rn <= 64), cm AS (SELECT count(*) AS n_common_sample FROM sa JOIN sb USING (user_id), t WHERE sa.h < t.theta), ex AS (SELECT count(*) AS n_exact FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b USING (user_id)) SELECT CAST(64 AS BIGINT) AS k, t.theta, cm.n_common_sample, CAST(cm.n_common_sample AS DOUBLE) / t.theta AS est_intersect, ex.n_exact, CAST(cm.n_common_sample AS DOUBLE) / t.theta - CAST(ex.n_exact AS DOUBLE) AS err FROM cm, t, ex""",
     "tpch_idle_customer_balance" ->
       """WITH avgb AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0), idle AS (SELECT c.c_acctbal, c.c_nationkey FROM customer c, avgb WHERE c.c_acctbal > avgb.avg_bal AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) SELECT n.n_name, count(*) AS n_customers, CAST(SUM(CAST(i.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal FROM idle i JOIN nation n ON i.c_nationkey = n.n_nationkey GROUP BY 1 ORDER BY 1""",
     "stat_seasonal_residual" ->

@@ -72,6 +72,61 @@ object Aggs {
           .otherwise(lit((k - 1).toDouble) / col("hk")).as("est_distinct"))
   }
 
+  /** Theta-sketch-style KMV INTERSECTION — approximate |clickers ∩
+    * purchasers| from two k-minimum-values sketches, the set-operation
+    * trick Druid/ClickHouse theta sketches run at 100 TB where an exact
+    * distinct-intersection join is a full shuffle of both sides: keep each
+    * class's k smallest user-hashes, clip both samples to θ = min(θ_a,
+    * θ_b), and scale the common survivors by 1/θ. Everything before the
+    * one final divide is selections and exact integer/md5 arithmetic
+    * (same portable hash family as [[aggDistinctKmv]]), so the whole
+    * estimator hash-matches. The exact intersection rides along as the
+    * audit column (the `dedup_minhash_est` pattern — it is the expensive
+    * side at scale and exists to calibrate k; production drops it).
+    * Sketch frames are k rows per class; the sample join is bounded by k. */
+  def aggDistinctIntersectKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u64 = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 16), 16, 10)
+      .cast("decimal(38,0)").cast("double")
+    val classes = Seq("click", "purchase")
+    val hashed = events
+      .filter(col("event_type").isin(classes: _*))
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .select(col("event_type"), col("user_id"), (u64 / lit(math.pow(2, 64))).as("h"))
+    val rn = row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h")))
+    val ranked = hashed.withColumn("rn", rn)
+    // per-class θ: the k-th smallest hash, or 1.0 when the class has
+    // fewer than k members (its sample is then exhaustive)
+    val thetas = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(col("event_type"),
+        when(col("m") < k, lit(1.0)).otherwise(col("hk")).as("theta"))
+    val theta = thetas.agg(min(col("theta")).as("theta"))
+    // both samples clipped to the shared θ; common members = equal user
+    // (h is a function of user_id, so joining on user_id is exact)
+    val sa = ranked.filter(col("event_type") === "click" && col("rn") <= k)
+      .select(col("user_id"), col("h"))
+    val sb = ranked.filter(col("event_type") === "purchase" && col("rn") <= k)
+      .select(col("user_id"))
+    val common = sa.join(sb, "user_id")
+      .crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common_sample")) // 0-row-safe: ungrouped agg always emits
+    val exact = events.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+      .join(events.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct(), "user_id")
+      .agg(count(lit(1)).as("n_exact"))
+    common.crossJoin(broadcast(theta)).crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("theta"),
+        col("n_common_sample"),
+        (col("n_common_sample").cast("double") / col("theta")).as("est_intersect"),
+        col("n_exact"),
+        (col("n_common_sample").cast("double") / col("theta") -
+          col("n_exact").cast("double")).as("err"))
+  }
+
   /** r4: PORTABLE HyperLogLog — the register construction
     * `agg_distinct_approx` (Spark's built-in HLL) cannot oracle-check,
     * rebuilt from engine-neutral parts so even the SKETCH hash-matches:

@@ -372,6 +372,29 @@ object Tpch {
       .orderBy("n_name")
   }
 
+  /** Q11 shape — value concentration: the parts whose discounted revenue
+    * exceeds a fraction of the WHOLE corpus's revenue (the "important
+    * stock" cut — where is value concentrated?). The grand total is a
+    * 1-row decimal-exact aggregate broadcast against the per-part frame
+    * (allowlisted 1-row nested-loop, a map-side literal in effect); the
+    * threshold compare is double-vs-double with both sides built from the
+    * same decimal sums, so the cut is engine-exact. Per-part and grand
+    * totals come from ONE scan: the grand total re-aggregates the
+    * per-part frame (part-bounded), never the fact table twice. */
+  def tpchPartValueConcentration(lineitem: DataFrame,
+                                 fraction: Double = 0.00075): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(dsum(discPrice).as("part_value"), count(lit(1)).as("n_items"))
+    val total = perPart.agg(sum(col("part_value").cast(
+      org.apache.spark.sql.types.DecimalType(28, 6))).cast("double").as("total_value"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_value") > lit(fraction) * col("total_value"))
+      .select(col("l_partkey"), col("part_value"), col("n_items"),
+        col("total_value"))
+      .orderBy(desc("part_value"), col("l_partkey"))
+  }
+
   /** Q10 shape — returned-item revenue loss: the 20 customers who returned
     * the most revenue in one quarter. The fact side collapses FIRST (the
     * returnflag filter + quarter-scoped orders join + per-custkey agg run

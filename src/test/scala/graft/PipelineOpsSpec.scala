@@ -135,6 +135,36 @@ class PipelineOpsSpec extends SparkSpec {
       r.getAs[Long]("n_frames"))).toSeq == Seq((0L, 0L, 1L), (2L, 3L, 2L)))
   }
 
+  test("KMV intersection: exhaustive sketches recover the exact overlap") {
+    // 30 clickers (1..30), 20 purchasers (21..40) -> overlap 21..30 = 10.
+    // Both classes fit inside k=64, so theta = 1.0 and est = exact.
+    val events = ev(
+      (1 to 30).map(u => (u.toLong, "click", "2024-01-01 10:00:00", 0.0)) ++
+      (21 to 40).map(u => (u.toLong, "purchase", "2024-01-01 11:00:00", 5.0)): _*)
+    val out = graft.ops.Aggs.aggDistinctIntersectKmv(events).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Double]("theta") == 1.0)
+    assert(r.getAs[Long]("n_common_sample") == 10L)
+    assert(r.getAs[Double]("est_intersect") == 10.0)
+    assert(r.getAs[Long]("n_exact") == 10L)
+    assert(r.getAs[Double]("err") == 0.0)
+  }
+
+  test("KMV intersection: clipped sketches scale the sample by 1/theta") {
+    // 200 clickers vs 200 purchasers, 100 common; k=64 forces theta < 1
+    val events = ev(
+      (1 to 200).map(u => (u.toLong, "click", "2024-01-01 10:00:00", 0.0)) ++
+      (101 to 300).map(u => (u.toLong, "purchase", "2024-01-01 11:00:00", 1.0)): _*)
+    val out = graft.ops.Aggs.aggDistinctIntersectKmv(events).collect()(0)
+    val theta = out.getAs[Double]("theta")
+    assert(theta > 0.0 && theta < 1.0)
+    val est = out.getAs[Double]("est_intersect")
+    assert(est == out.getAs[Long]("n_common_sample").toDouble / theta)
+    // unbiased-ish: within a factor-2 band of the true 100 for this k
+    assert(est > 50.0 && est < 200.0, s"est $est")
+  }
+
   test("VAD segments: incomplete tail frame never fakes a silence break") {
     // 64 hot bytes + a 10-byte hot tail: the tail fragment is dropped, one segment
     val df = Seq((1L, "z" * 74)).toDF("doc_id", "text")

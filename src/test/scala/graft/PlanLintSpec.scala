@@ -25,7 +25,9 @@ class PlanLintSpec extends SparkSpec {
     "filter_time_threshold",                             // 1-row max-ts frame
     "sim_search_cosine_topk",                            // ≤nQueries-row query side
     "events_dau_mau",                                    // bounded days×(domain/32) grid
-    "tpch_idle_customer_balance"                         // 1-row avg-balance frame
+    "tpch_idle_customer_balance",                        // 1-row avg-balance frame
+    "tpch_part_value_concentration",                     // 1-row grand-total frame
+    "agg_distinct_intersect_kmv"                         // 1-row theta/exact frames
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {

@@ -300,6 +300,17 @@ class TpchSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("part value concentration: cut against the exact grand total") {
+    val items = li(
+      (1L, 1L, 1L, 1.0, 700.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+      (2L, 2L, 1L, 1.0, 200.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+      (3L, 3L, 1L, 1.0, 100.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"))
+    // total 1000; fraction 0.25 -> only part 1 (700) survives
+    val out = Tpch.tpchPartValueConcentration(items, fraction = 0.25).collect()
+    assert(out.map(r => (r.getAs[Long]("l_partkey"), r.getAs[Double]("part_value"),
+      r.getAs[Double]("total_value"))).toSeq == Seq((1L, 700.0, 1000.0)))
+  }
+
   test("idle customer balance: positive-only average, anti-join on recent orders") {
     val nation = Seq((100, "N_A"), (101, "N_B")).toDF("n_nationkey", "n_name")
     val customer = Seq(
