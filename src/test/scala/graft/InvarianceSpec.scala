@@ -271,4 +271,23 @@ class InvarianceSpec extends SparkSpec {
       rows(graft.ext.Similarity.simSearchPqAdc(
         Tables.embeddings(spark, "/root/testdata/sf0.001").repartition(13))))
   }
+
+  test("r5b batch is partitioning-independent") {
+    // theta intersection: both sketches + theta clip merge across splits
+    assert(rows(Aggs.aggDistinctIntersectKmv(events.coalesce(1))) ==
+      rows(Aggs.aggDistinctIntersectKmv(events.repartition(13))))
+    // vocab coverage: single-partition rank/cumsum windows on the vocab
+    // frame see the same aggregated counts at any upstream split
+    assert(rows(Text.textVocabCoverage(docs.coalesce(1))) ==
+      rows(Text.textVocabCoverage(docs.repartition(13))))
+    // minhash estimator: band keys + slot agreement are per-doc functions
+    Dedup.clearSharedCache(spark)
+    val a = rows(Dedup.dedupMinhashEst(docs.coalesce(1)))
+    Dedup.clearSharedCache(spark)
+    val b = rows(Dedup.dedupMinhashEst(docs.repartition(13)))
+    assert(a == b)
+    // rate sampling is map-side: trivially invariant, but the claim is load-bearing
+    assert(rows(Sampling.sampleRatePerStratum(docs.coalesce(1))) ==
+      rows(Sampling.sampleRatePerStratum(docs.repartition(13))))
+  }
 }
