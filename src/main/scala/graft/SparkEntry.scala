@@ -114,7 +114,32 @@ object SparkEntry {
       Tpch.tpchIdleCustomerBalance(customer(s, d), orders(s, d), nation(s, d))),
     "tpch_part_value_concentration" -> ((s, d) =>
       Tpch.tpchPartValueConcentration(lineitem(s, d))),
+    "tpch_min_cost_supplier" -> ((s, d) =>
+      Tpch.tpchMinCostSupplier(lineitem(s, d), part(s, d), supplier(s, d),
+        nation(s, d), region(s, d))),
+    "tpch_product_profit"   -> ((s, d) =>
+      Tpch.tpchProductProfit(lineitem(s, d), part(s, d), supplier(s, d),
+        orders(s, d), nation(s, d))),
+    "tpch_ship_latency_priority" -> ((s, d) =>
+      Tpch.tpchShipLatencyPriority(lineitem(s, d), orders(s, d))),
+    "tpch_supplier_part_counts" -> ((s, d) =>
+      Tpch.tpchSupplierPartCounts(lineitem(s, d), part(s, d), supplier(s, d))),
+    "tpch_dominant_part_supplier" -> ((s, d) =>
+      Tpch.tpchDominantPartSupplier(lineitem(s, d), part(s, d), supplier(s, d),
+        nation(s, d), region(s, d))),
+    "tpch_waiting_suppliers" -> ((s, d) =>
+      Tpch.tpchWaitingSuppliers(lineitem(s, d), orders(s, d), supplier(s, d),
+        nation(s, d))),
     "agg_distinct_intersect_kmv" -> ((s, d) => Aggs.aggDistinctIntersectKmv(events(s, d))),
+    "agg_distinct_union_kmv" -> ((s, d) => Aggs.aggDistinctUnionKmv(events(s, d))),
+    "stat_chi_square"       -> ((s, d) => Aggs.statChiSquare(events(s, d))),
+    "stat_gini_revenue"     -> ((s, d) => Aggs.statGiniRevenue(orders(s, d))),
+    "ts_interval_union"     -> ((s, d) => Joins.tsIntervalUnion(events(s, d))),
+    "graph_triangles"       -> ((s, d) => ext.Sessions.graphTriangles(events(s, d))),
+    "events_burst_users"    -> ((s, d) => ext.Sessions.eventsBurstUsers(events(s, d))),
+    "dedup_normalized"      -> ((s, d) => ext.Dedup.dedupNormalized(documents(s, d))),
+    "multimodal_audio_fingerprint" -> ((s, d) =>
+      ext.Multimodal.multimodalAudioFingerprint(documents(s, d))),
     "layout_zorder_skipping"-> ((s, d) => sources.Layout.zorderSkipping(events(s, d))),
     // §2.5 aggregations
     "agg_last_seen_per_node"-> ((s, d) => Aggs.aggLastSeenPerNode(events(s, d))),
@@ -574,6 +599,34 @@ object SparkEntry {
       """WITH j AS (SELECT CASE WHEN p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20 THEN 'bracket_1' WHEN p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30 THEN 'bracket_2' ELSE 'bracket_3' END AS bracket, l.l_extendedprice, l.l_discount, l.l_quantity FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20) OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30) OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)) SELECT bracket, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty, count(*) AS n_items FROM j GROUP BY 1 ORDER BY 1""",
     "tpch_part_value_concentration" ->
       """WITH pv AS (SELECT l_partkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS part_value, count(*) AS n_items FROM lineitem GROUP BY 1), t AS (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) AS total_value FROM pv) SELECT pv.l_partkey, pv.part_value, pv.n_items, t.total_value FROM pv, t WHERE pv.part_value > 0.00075 * t.total_value ORDER BY part_value DESC, l_partkey""",
+    "agg_distinct_union_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type, user_id, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events WHERE event_type IN ('click', 'purchase')), r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), th AS (SELECT event_type, CASE WHEN count(*) < 64 THEN 1.0 ELSE max(CASE WHEN rn = 64 THEN h END) END AS theta FROM r GROUP BY 1), t AS (SELECT min(theta) AS theta FROM th), us AS (SELECT count(*) AS n_union_sample FROM (SELECT DISTINCT user_id, h FROM r WHERE rn <= 64) u, t WHERE u.h < t.theta), ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events WHERE event_type IN ('click', 'purchase')) SELECT CAST(64 AS BIGINT) AS k, t.theta, us.n_union_sample, CAST(us.n_union_sample AS DOUBLE) / t.theta AS est_union, ex.n_exact, CAST(us.n_union_sample AS DOUBLE) / t.theta - CAST(ex.n_exact AS DOUBLE) AS err FROM us, t, ex""",
+    "stat_chi_square" ->
+      """WITH cells0 AS (SELECT event_type, hour(ts) // 6 AS daypart, count(*) AS o0 FROM events GROUP BY 1, 2), cells AS (SELECT t.event_type, p.daypart, COALESCE(c.o0, 0) AS o FROM (SELECT DISTINCT event_type FROM cells0) t CROSS JOIN (SELECT DISTINCT daypart FROM cells0) p LEFT JOIN cells0 c ON c.event_type = t.event_type AND c.daypart = p.daypart), m AS (SELECT o, sum(o) OVER () AS g, CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) * CAST(sum(o) OVER (PARTITION BY daypart) AS DOUBLE) / CAST(sum(o) OVER () AS DOUBLE) AS e FROM cells), t AS (SELECT g, CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e * 1048576.0) AS BIGINT) AS term_q20 FROM m) SELECT count(*) AS n_cells, CAST(max(g) AS BIGINT) AS n_events, CAST(sum(term_q20) AS BIGINT) AS chi2_q20, CAST(sum(term_q20) AS DOUBLE) / 1048576.0 AS chi2 FROM t""",
+    "stat_gini_revenue" ->
+      """WITH pc AS (SELECT o_custkey, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS rev_cents FROM orders GROUP BY 1), r AS (SELECT rev_cents, row_number() OVER (ORDER BY rev_cents, o_custkey) * rev_cents AS w FROM pc), a AS (SELECT count(*) AS n_customers, CAST(sum(rev_cents) AS BIGINT) AS total_cents, CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS wsum FROM r) SELECT n_customers, CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue, 2.0 * wsum / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE)) - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE) AS gini FROM a""",
+    "ts_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us, epoch_us(ts) + 1800000000 AS e_us FROM events), w AS (SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv), f AS (SELECT *, CASE WHEN pme IS NULL OR s_us > pme THEN 1 ELSE 0 END AS is_new FROM w), g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f) SELECT user_id, island, min(s_us) AS start_us, max(e_us) AS end_us, (max(e_us) - min(s_us)) // 1000000 AS duration_s, count(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY user_id, island""",
+    "graph_triangles" ->
+      """WITH active AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events), edges AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id), tri AS (SELECT count(*) AS n_triangles FROM (SELECT e1.a AS wa, e2.b AS wc FROM edges e1 JOIN edges e2 ON e1.b = e2.a) w JOIN edges e3 ON w.wa = e3.a AND w.wc = e3.b), deg AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY 1), wt AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg), ec AS (SELECT count(*) AS n_edges FROM edges) SELECT ec.n_edges, tri.n_triangles, wt.n_wedges, CASE WHEN wt.n_wedges = 0 THEN 0.0 ELSE 3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(wt.n_wedges AS DOUBLE) END AS clustering_coeff FROM ec, tri, wt""",
+    "events_burst_users" ->
+      s"""WITH bm AS (SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n FROM events GROUP BY 1, 2), pk AS (SELECT user_id, max(n) AS peak_per_minute FROM bm GROUP BY 1), fp AS (SELECT bm.user_id, pk.peak_per_minute, min(bm.minute) AS first_peak FROM bm JOIN pk ON bm.user_id = pk.user_id AND bm.n = pk.peak_per_minute GROUP BY 1, 2) SELECT user_id, peak_per_minute, strftime(first_peak, $TS0) AS first_peak_minute FROM fp WHERE peak_per_minute >= 4 ORDER BY user_id""",
+    "dedup_normalized" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[\t\n\r]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), '  *', ' ', 'g')) AS norm FROM documents) SELECT min(doc_id) AS keep_doc_id, count(*) AS n_equivalent, md5(norm) AS norm_md5 FROM n GROUP BY md5(norm) ORDER BY keep_doc_id""",
+    "multimodal_audio_fingerprint" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), f AS (SELECT doc_id, i // 32 AS fno, count(*) AS cnt, sum(byte) AS e FROM b GROUP BY 1, 2), cf AS (SELECT doc_id, fno, e FROM f WHERE cnt = 32), nf AS (SELECT doc_id, count(*) AS n_frames FROM cf GROUP BY 1), d AS (SELECT c1.doc_id, CASE WHEN c2.e > c1.e THEN 1::BIGINT << CAST(c1.fno AS INT) ELSE 0::BIGINT END AS bit FROM cf c1 JOIN cf c2 ON c1.doc_id = c2.doc_id AND c2.fno = c1.fno + 1 WHERE c1.fno < 48), fps AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS fp FROM d GROUP BY 1), base AS (SELECT h.doc_id, CAST(COALESCE(nf.n_frames, 0) AS BIGINT) AS n_frames, CAST(COALESCE(fps.fp, 0) AS BIGINT) AS fingerprint FROM hx h LEFT JOIN nf USING (doc_id) LEFT JOIN fps USING (doc_id)) SELECT doc_id, n_frames, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS n_matching FROM base ORDER BY doc_id""",
+    "tpch_min_cost_supplier" ->
+      """WITH eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE'), cost AS (SELECT l.l_partkey, l.l_suppkey, min(l.l_extendedprice / l.l_quantity) AS unit_cost FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey JOIN eu ON l.l_suppkey = eu.s_suppkey WHERE p.p_type = 'STANDARD' AND p.p_size = 15 GROUP BY 1, 2), best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1) SELECT eu.s_acctbal, eu.s_name, eu.n_name, c.l_partkey AS p_partkey, c.unit_cost FROM cost c JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost JOIN eu ON c.l_suppkey = eu.s_suppkey ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "tpch_product_profit" ->
+      """SELECT n.n_name, year(o.o_orderdate) AS o_year, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit, count(*) AS n_items FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey JOIN supplier s ON l.l_suppkey = s.s_suppkey JOIN nation n ON s.s_nationkey = n.n_nationkey JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE p.p_name LIKE '%gear%' GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
+    "tpch_ship_latency_priority" ->
+      """WITH j AS (SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) >= 60 THEN 'SLOW' WHEN date_diff('day', o.o_orderdate, l.l_shipdate) >= 30 THEN 'MEDIUM' ELSE 'FAST' END AS latency_tier, o.o_orderpriority FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00') SELECT latency_tier, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_critical, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_other FROM j GROUP BY 1 ORDER BY 1""",
+    "tpch_supplier_part_counts" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), ok AS (SELECT pr.l_partkey, pr.l_suppkey FROM pairs pr WHERE pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT ok.l_suppkey) AS supplier_cnt FROM ok JOIN part p ON ok.l_partkey = p.p_partkey WHERE p.p_brand <> 'Brand#2' GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "tpch_dominant_part_supplier" ->
+      """WITH shipped AS (SELECT l.l_partkey, l.l_suppkey, CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS supp_qty FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_name LIKE 'red%' AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1, 2), totals AS (SELECT l_partkey, CAST(SUM(CAST(supp_qty AS DECIMAL(28,6))) AS DOUBLE) AS total_qty FROM shipped GROUP BY 1), dom AS (SELECT DISTINCT sh.l_suppkey FROM shipped sh JOIN totals t ON sh.l_partkey = t.l_partkey WHERE sh.supp_qty > 0.5 * t.total_qty) SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA' AND s.s_suppkey IN (SELECT l_suppkey FROM dom) ORDER BY s_suppkey""",
+    "tpch_waiting_suppliers" ->
+      """WITH pos AS (SELECT l.l_orderkey, l.l_suppkey, max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY THEN 1 ELSE 0 END) AS supp_late FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderstatus = 'F' GROUP BY 1, 2), po AS (SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late_supp FROM pos GROUP BY 1), blamed AS (SELECT pos.l_suppkey, count(*) AS numwait FROM pos JOIN po ON pos.l_orderkey = po.l_orderkey WHERE pos.supp_late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1 GROUP BY 1) SELECT s.s_suppkey, s.s_name, b.numwait FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey JOIN nation n ON s.s_nationkey = n.n_nationkey WHERE n.n_name = 'NATION_3' ORDER BY numwait DESC, s_name LIMIT 25""",
     "agg_distinct_intersect_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type, user_id, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events WHERE event_type IN ('click', 'purchase')), r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), th AS (SELECT event_type, CASE WHEN count(*) < 64 THEN 1.0 ELSE max(CASE WHEN rn = 64 THEN h END) END AS theta FROM r GROUP BY 1), t AS (SELECT min(theta) AS theta FROM th), sa AS (SELECT user_id, h FROM r WHERE event_type = 'click' AND rn <= 64), sb AS (SELECT user_id FROM r WHERE event_type = 'purchase' AND rn <= 64), cm AS (SELECT count(*) AS n_common_sample FROM sa JOIN sb USING (user_id), t WHERE sa.h < t.theta), ex AS (SELECT count(*) AS n_exact FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b USING (user_id)) SELECT CAST(64 AS BIGINT) AS k, t.theta, cm.n_common_sample, CAST(cm.n_common_sample AS DOUBLE) / t.theta AS est_intersect, ex.n_exact, CAST(cm.n_common_sample AS DOUBLE) / t.theta - CAST(ex.n_exact AS DOUBLE) AS err FROM cm, t, ex""",
     "tpch_idle_customer_balance" ->

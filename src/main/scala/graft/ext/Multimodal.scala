@@ -233,4 +233,46 @@ object Multimodal {
       .select(col("doc_id"), col("seg_start"), col("seg_end"), col("n_frames"))
       .orderBy("doc_id", "seg_start")
   }
+
+  /** r5c: landmark audio fingerprint — the Shazam-style invariant next to
+    * [[multimodalBlockhash]]'s image pHash: the SIGN of consecutive
+    * frame-energy deltas, packed into one integer. Energy-delta signs
+    * survive volume scaling and re-encoding noise (absolute energies
+    * don't), which is why every audio-dedup pipeline fingerprints deltas.
+    * Kernel: 32-byte frames → integer byte-sum energies → bit i set iff
+    * energy[i+1] > energy[i], first 48 deltas (fits a positive int64 in
+    * any engine). Per-doc map-side kernel (a real spectrogram landmark
+    * extractor swaps in; the signature→bucket flow is unchanged) + ONE
+    * fingerprint window for bucket sizes — match discovery is an
+    * equi-GROUP, never a pair join. Pure integer arithmetic ⇒ the DuckDB
+    * oracle rebuilds identical fingerprints from hex(encode(text)). */
+  def multimodalAudioFingerprint(documents: DataFrame, frameBytes: Int = 32,
+                                 maxDeltas: Int = 48): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sig = asMedia(documents).map { r =>
+      val nFrames = r.content.length / frameBytes
+      val e = new Array[Long](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var s = 0L
+        var i = f * frameBytes
+        val end = i + frameBytes
+        while (i < end) { s += (r.content(i) & 0xFFL); i += 1 }
+        e(f) = s
+        f += 1
+      }
+      var fp = 0L
+      var d = 0
+      while (d < nFrames - 1 && d < maxDeltas) {
+        if (e(d + 1) > e(d)) fp |= (1L << d)
+        d += 1
+      }
+      (r.doc_id, nFrames.toLong, fp)
+    }.toDF("doc_id", "n_frames", "fingerprint")
+    sig
+      .withColumn("n_matching",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .orderBy("doc_id")
+  }
 }

@@ -341,4 +341,78 @@ object Sessions {
       .select(col("rn"), col("path"), col("n"))
       .orderBy("rn")
   }
+
+  /** r5c: triangle census of the user co-activity graph — the clustering
+    * signal community detection and fraud-ring spotting start from
+    * (pagerank ranks nodes, triangles measure cohesion). Graph: an edge
+    * joins two users active in the same hour; edges are DISTINCT ordered
+    * pairs (a < b), built from the hourly co-activity equi-join — work is
+    * Σ occupancy² per hour, an explicit density knob, never all-pairs
+    * over users. Count: the node-ordering algorithm every distributed
+    * triangle paper settles on — each triangle a<b<c is found exactly
+    * once by joining wedges (a<b<c via two ordered edges) against the
+    * ordered edge set on (a, c). Wedges from the PER-NODE out-adjacency
+    * (ordered degrees), so skew is bounded by the highest ordered degree,
+    * provably ≤ √(2·|E|) after the orientation — THE reason node-ordering
+    * scales where naive wedge counting doesn't. All counts integer; the
+    * global clustering coefficient is one long/long double divide. */
+  def graphTriangles(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+    // one computation, four consumers (both wedge legs, the closing-edge
+    // probe, the degree census) — memoized+persisted via the Dedup shared
+    // cache (same lifecycle: clearSharedCache / application end); without
+    // it Spark re-derives the distinct-pair build per consumer
+    val edges = Dedup.memo(events, "triangle-edges") {
+      active.as("x")
+        .join(active.as("y"), col("x.hr") === col("y.hr") &&
+          col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+        .distinct()
+    }
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
+    val triangles = wedges.join(edges.as("e3"),
+        col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // degrees from ONE edge scan (explode both endpoints); the edge count
+    // rides the same census: |E| = Σdeg / 2
+    val census = edges
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("n_wedges"),
+        coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"))
+    census.crossJoin(broadcast(triangles))
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
+
+  /** r5c: burst (bot-candidate) detection — users whose peak per-minute
+    * event rate clears a threshold, with the first minute that peaked.
+    * The rate gate every crawl/training-data pipeline runs before
+    * ingesting "user" traffic (the streaming dual is
+    * [[graft.stream.Throttle]]'s token bucket — this is the batch audit
+    * that tunes its budget). One (user, minute) hash agg collapses the
+    * scan; per-user peak + first-peak-minute come from one agg over that
+    * frame (max + conditional min — selections, no window); integers
+    * throughout ⇒ hash-match. */
+  def eventsBurstUsers(events: DataFrame, perMinute: Int = 4): DataFrame = {
+    val byMinute = events
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val peaks = byMinute.groupBy(col("user_id"))
+      .agg(max(col("n")).as("peak_per_minute"))
+    byMinute.join(peaks, "user_id")
+      .filter(col("n") === col("peak_per_minute"))
+      .groupBy(col("user_id"), col("peak_per_minute"))
+      .agg(min(col("minute")).as("first_peak"))
+      .filter(col("peak_per_minute") >= perMinute.toLong)
+      .select(col("user_id"), col("peak_per_minute"),
+        fmtTsSec(col("first_peak")).as("first_peak_minute"))
+      .orderBy("user_id")
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Det._
 
 /** Aggregation operators (SURVEY.md §2.5, A1–A7).
@@ -997,5 +998,124 @@ object Aggs {
         col("baseline_n"),
         (col("n").cast("double") - col("baseline_n")).as("residual"))
       .orderBy("event_type", "hour_s")
+  }
+
+  /** r5c: chi-square independence test — is traffic mix independent of
+    * time of day? The (event_type × daypart) contingency table feeds the
+    * classic Σ(o−e)²/e statistic. Exactness: observed counts and the
+    * marginals are integers from ONE hash agg (the cell table; marginals
+    * are window sums over the ≤ classes×4 cell frame, never a re-scan);
+    * each expected value and each cell term is a fixed chain of
+    * correctly-rounded double ops (`rt·ct/g`, subtract, square, divide),
+    * and the cross-cell SUM — the one order-sensitive step — is made
+    * order-independent by quantizing each term to binary fixed point
+    * (floor(term·2²⁰), the [[aggTimeWeightedAvg]] trick) and summing
+    * exact integers. Marginals cast to double BEFORE multiplying, so the
+    * product can't overflow int64 at 100 TB row counts. */
+  def statChiSquare(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val observed = events
+      .groupBy(col("event_type"), (hour(col("ts")).cast("long") / lit(6L))
+        .cast("long").as("daypart"))
+      .agg(count(lit(1)).as("o0"))
+    // densify: a (type, daypart) combination with zero observations still
+    // contributes (0−e)²/e — dropping empty cells understates the
+    // statistic. The grid is observed-types × observed-dayparts, built by
+    // crossing the two tiny distinct frames (bounded: classes × 4;
+    // explicit broadcast nested loop, allowlisted in PlanLintSpec).
+    val cells = observed.select(col("event_type")).distinct()
+      .crossJoin(broadcast(observed.select(col("daypart")).distinct()))
+      .join(observed, Seq("event_type", "daypart"), "left")
+      .select(col("event_type"), col("daypart"),
+        coalesce(col("o0"), lit(0L)).as("o"))
+    val rt = sum(col("o")).over(Window.partitionBy(col("event_type")))
+    val ct = sum(col("o")).over(Window.partitionBy(col("daypart")))
+    val g = sum(col("o")).over(Window.partitionBy())
+    val e = rt.cast("double") * ct.cast("double") / g.cast("double")
+    val term = (col("o").cast("double") - col("e")) *
+      (col("o").cast("double") - col("e")) / col("e")
+    cells
+      .select(col("o"), col("event_type"), col("daypart"),
+        rt.as("row_total"), ct.as("col_total"), g.as("grand_total"), e.as("e"))
+      .select(col("o"), col("grand_total"),
+        floor(term * lit(1048576.0)).cast("long").as("term_q20"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(max(col("grand_total")), lit(0L)).as("n_events"),
+        coalesce(sum(col("term_q20")), lit(0L)).as("chi2_q20"))
+      .select(col("n_cells"), col("n_events"), col("chi2_q20"),
+        (col("chi2_q20").cast("double") / lit(1048576.0)).as("chi2"))
+  }
+
+  /** r5c: Gini coefficient of customer revenue — the standard inequality
+    * index behind "how concentrated is our revenue?" ([[profileKeySkew]]
+    * answers with a top-10 share; Gini is the whole-distribution scalar).
+    * G = 2·Σ(i·rᵢ)/(n·Σrᵢ) − (n+1)/n over revenues ranked ascending.
+    * Exactness: prices are 2-decimal, so the WHOLE computation runs in
+    * integer CENTS — per-customer totals, the rank (a total order on
+    * (cents, custkey)), every i·rᵢ product, and both sums (the rank-
+    * weighted one in DECIMAL(38,0) — a double or DECIMAL(·,6) weighted
+    * sum is one halfway-rounding away from a cross-engine ulp, observed)
+    * — leaving a fixed 5-op double chain at the very end. Plan: the fact
+    * table collapses to one row per customer in the first agg; the rank
+    * window and both final sums run on customer cardinality. */
+  def statGiniRevenue(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(28, 2))) * lit(100))
+        .cast(DecimalType(38, 0)).cast("long").as("rev_cents"))
+    val i = row_number().over(Window.orderBy(col("rev_cents"), col("o_custkey")))
+      .cast("long")
+    perCust
+      .select(col("rev_cents"), (i * col("rev_cents")).as("w"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev_cents")).as("total_cents"),
+        sum(col("w").cast(DecimalType(38, 0))).cast("double").as("wsum"))
+      .select(col("n_customers"),
+        (col("total_cents").cast("double") / lit(100.0)).as("total_revenue"),
+        (lit(2.0) * col("wsum") /
+          (col("n_customers").cast("double") * col("total_cents").cast("double")) -
+          (col("n_customers").cast("double") + lit(1.0)) /
+            col("n_customers").cast("double")).as("gini"))
+  }
+
+  /** r5c: theta-sketch distinct UNION — |clickers ∪ purchasers| from the
+    * same two KMV sketches [[aggDistinctIntersectKmv]] intersects: clip
+    * both samples to the shared θ = min(θ_a, θ_b), count DISTINCT members
+    * across them, scale by 1/θ. With union (and intersection) the whole
+    * theta-sketch set algebra is closed — A∖B is est_union − est_b.
+    * Selections and portable-hash integers until one final divide, so the
+    * estimator hash-matches; the exact union rides as the audit column.
+    * Sketch frames are k rows per class — driver-safe at any scale. */
+  def aggDistinctUnionKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u64 = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 16), 16, 10)
+      .cast("decimal(38,0)").cast("double")
+    val classes = Seq("click", "purchase")
+    val hashed = events
+      .filter(col("event_type").isin(classes: _*))
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .select(col("event_type"), col("user_id"), (u64 / lit(math.pow(2, 64))).as("h"))
+    val rn = row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h")))
+    val ranked = hashed.withColumn("rn", rn)
+    val thetas = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(when(col("m") < k, lit(1.0)).otherwise(col("hk")).as("theta"))
+    val theta = thetas.agg(min(col("theta")).as("theta"))
+    val unionSample = ranked.filter(col("rn") <= k)
+      .select(col("user_id"), col("h")).distinct()
+      .crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_union_sample"))
+    val exact = events.filter(col("event_type").isin(classes: _*))
+      .select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
+    unionSample.crossJoin(broadcast(theta)).crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("theta"), col("n_union_sample"),
+        (col("n_union_sample").cast("double") / col("theta")).as("est_union"),
+        col("n_exact"),
+        (col("n_union_sample").cast("double") / col("theta") -
+          col("n_exact").cast("double")).as("err"))
   }
 }

@@ -455,4 +455,39 @@ object Joins {
           .otherwise("changed").as("status"))
       .orderBy("user_id")
   }
+
+  /** r5c: interval union — merge each user's overlapping presence
+    * intervals (event time padded to [t, t+30 min)) into maximal
+    * episodes. The gaps-and-islands sibling of [[graft.ext.Sessions]]'
+    * gap sessionization: sessions split on inter-EVENT gaps, interval
+    * union merges on interval OVERLAP, so a chain of half-overlapping
+    * intervals fuses into one episode even when consecutive starts are
+    * further apart than any fixed gap. Algorithm: a new island starts
+    * where the interval's start exceeds the running max of all previous
+    * ends (running max + running conditional sum over ONE (user, time)
+    * window — no self-join, no spine); island ids then group to
+    * (start, end, n) rows. Every comparison is exact integer epoch
+    * micros, so the output hash-matches any engine. One window + one
+    * hash agg, both on the user key. */
+  def tsIntervalUnion(events: DataFrame, padMinutes: Int = 30): DataFrame = {
+    val padUs = padMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s_us"), col("event_id"))
+    val iv = events.select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("s_us"),
+      (expr("unix_micros(ts)") + lit(padUs)).as("e_us"))
+    iv
+      .withColumn("prev_max_end", max(col("e_us"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new", when(col("prev_max_end").isNull ||
+        col("s_us") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s_us")).as("start_us"), max(col("e_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("island"), col("start_us"), col("end_us"),
+        expr("(end_us - start_us) div 1000000").as("duration_s"),
+        col("n_events"))
+      .orderBy("user_id", "island")
+  }
 }

@@ -395,6 +395,197 @@ object Tpch {
       .orderBy(desc("part_value"), col("l_partkey"))
   }
 
+  /** Q2 shape — minimum-cost supplier: for each part in a size/type slice,
+    * the EUROPE supplier(s) quoting the lowest observed unit price. The
+    * canonical correlated scalar subquery (`WHERE cost = (SELECT min ...)`)
+    * is re-expressed as aggregate + join-back: per-(part, supplier) min
+    * unit price, re-aggregated per part, equi-joined on (partkey, cost).
+    * Unit price is ONE double divide (correctly rounded, identical both
+    * engines) and min is a selection, so the double equality join key is
+    * engine-exact. Both aggs shuffle on l_partkey — the join-back reuses
+    * the partitioning; supplier attributes join AFTER the collapse, so
+    * names never ride the fact shuffle. (No `partsupp` fixture exists, so
+    * observed lineitem prices stand in for published supply costs — same
+    * plan shape, same correlation structure.) */
+  def tpchMinCostSupplier(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame, nation: DataFrame,
+                          region: DataFrame): DataFrame = {
+    val euSupp = supplier
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val slice = part
+      .filter(col("p_type") === "STANDARD" && col("p_size") === 15)
+      .select(col("p_partkey"))
+    val cost = lineitem
+      .join(slice, col("l_partkey") === col("p_partkey"))
+      .join(euSupp.select(col("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val best = cost.groupBy(col("l_partkey").as("bp"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    cost
+      .join(best, col("l_partkey") === col("bp") &&
+        col("unit_cost") === col("min_cost"))
+      .join(euSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("unit_cost"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q9 shape — product-line profit: per (supplier nation, order year)
+    * profit on one part family. Profit per item extends the revenue chain
+    * with a proxy supply cost (`0.1 * p_retailprice * l_quantity`, left-
+    * associated — no `partsupp.ps_supplycost` fixture exists): subtract of
+    * two fixed-order double chains, decimal-summed. The part-name filter
+    * collapses part to a keys+price frame before the fact join; nation is
+    * the bounded broadcast; supplier/orders ride unhinted equi-joins. */
+  def tpchProductProfit(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, orders: DataFrame,
+                        nation: DataFrame): DataFrame = {
+    val p = part.filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val profit = discPrice -
+      lit(0.1) * col("p_retailprice") * col("l_quantity")
+    lineitem
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(dsum(profit).as("sum_profit"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), desc("o_year"))
+  }
+
+  /** Q12 shape — shipping-latency priority audit: did slow shipments carry
+    * critical orders? Lines shipped in one year are banded by order-to-ship
+    * latency (no `l_shipmode` fixture exists; latency tiers are the
+    * behavioral stand-in), counting critical (URGENT/HIGH) vs other orders
+    * per band. `datediff` is exact integer day arithmetic; the CASE bands
+    * and conditional counts are the canonical Q12 aggregate. One equi-join
+    * + one 3-group agg — the fact side collapses map-side. */
+  def tpchShipLatencyPriority(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+    val tier = when(lat >= 60, "SLOW").when(lat >= 30, "MEDIUM").otherwise("FAST")
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(tier.as("latency_tier"))
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("n_critical"),
+        sum(when(critical, 0L).otherwise(1L)).as("n_other"))
+      .orderBy("latency_tier")
+  }
+
+  /** Q16 shape — supplier diversity per part class: how many distinct
+    * suppliers have shipped each (brand, type, size) outside one excluded
+    * brand, excluding flagged suppliers (negative account balance — the
+    * "customer complaints" stand-in; no comment columns exist). The flagged
+    * list is a LEFT ANTI join (canonical `NOT IN`), part attributes join a
+    * distinct (part, supp) frame — the fact table collapses to distinct
+    * pairs FIRST, so the attribute join and the count-distinct agg run on
+    * pair cardinality, never item cardinality. */
+  def tpchSupplierPartCounts(lineitem: DataFrame, part: DataFrame,
+                             supplier: DataFrame): DataFrame = {
+    val flagged = supplier.filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    val pairs = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    pairs
+      .join(flagged, pairs("l_suppkey") === flagged("s_suppkey"), "left_anti")
+      .join(part.filter(col("p_brand") =!= "Brand#2")
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20 shape — dominant part suppliers: ASIA suppliers who shipped more
+    * than half of a part family's total 1996 volume (the concentration
+    * risk the canonical "excess inventory" probe measures; shipped volume
+    * stands in for `ps_availqty`). Nested aggregate + threshold + semi
+    * join: per-(part, supp) quantities re-aggregate to per-part totals
+    * (shuffle reused on l_partkey), the >50 % cut compares two decimal-
+    * exact doubles, and the surviving supplier keys SEMI-join supplier —
+    * output is supplier rows, never pair rows. */
+  def tpchDominantPartSupplier(lineitem: DataFrame, part: DataFrame,
+                               supplier: DataFrame, nation: DataFrame,
+                               region: DataFrame): DataFrame = {
+    val slice = part.filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(slice, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("supp_qty"))
+    val totals = shipped.groupBy(col("l_partkey").as("tp"))
+      .agg(sum(col("supp_qty").cast(
+        org.apache.spark.sql.types.DecimalType(28, 6))).cast("double").as("total_qty"))
+    val dominant = shipped
+      .join(totals, col("l_partkey") === col("tp"))
+      .filter(col("supp_qty") > lit(0.5) * col("total_qty"))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q21 shape — suppliers who kept orders waiting: for finished multi-
+    * supplier orders, the suppliers who were the ONLY late shipper (late =
+    * shipped > 75 days after order; no commit/receipt date fixtures). The
+    * canonical EXISTS + NOT EXISTS double correlation collapses to ONE
+    * aggregate pass: per-(order, supplier) late flags roll up to per-order
+    * supplier/late-supplier counts, and "blamed" rows are late suppliers on
+    * orders with > 1 supplier and exactly 1 late one — same semantics, one
+    * shuffle on the order key instead of two correlated re-scans (the form
+    * both engines evaluate deterministically; the oracle spells the
+    * identical aggregate). Supplier attributes join after the per-supplier
+    * collapse. */
+  def tpchWaitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+                           supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val perOrderSupp = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 75 DAYS"), 1L).otherwise(0L))
+        .as("supp_late"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late_supp"))
+    perOrderSupp
+      .filter(col("supp_late") === 1L)
+      .join(perOrder, col("l_orderkey") === col("ok") &&
+        col("n_supp") > 1L && col("n_late_supp") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(25)
+  }
+
   /** Q10 shape — returned-item revenue loss: the 20 customers who returned
     * the most revenue in one quarter. The fact side collapses FIRST (the
     * returnflag filter + quarter-scoped orders join + per-custkey agg run

@@ -47,4 +47,20 @@ class EmptyInputSpec extends SparkSpec {
     val z = sources.Layout.zorderSkipping(emptyEvents).collect()
     assert(z.length == 2 && z.forall(_.getLong(1) == 0L), z.mkString(","))
   }
+
+  test("r5c operators survive empty inputs") {
+    import graft.ext._
+    assert(ops.Joins.tsIntervalUnion(emptyEvents).count() == 0)
+    assert(Sessions.eventsBurstUsers(emptyEvents).count() == 0)
+    assert(Dedup.dedupNormalized(emptyDocs).count() == 0)
+    assert(Multimodal.multimodalAudioFingerprint(emptyDocs).count() == 0)
+    // report aggregates emit one zero row, not a crash or a null census
+    val tri = Sessions.graphTriangles(emptyEvents).collect()
+    assert(tri.length == 1 && tri(0).getAs[Long]("n_edges") == 0L &&
+      tri(0).getAs[Long]("n_triangles") == 0L)
+    val chi = ops.Aggs.statChiSquare(emptyEvents).collect()
+    assert(chi.length == 1 && chi(0).getAs[Long]("n_cells") == 0L &&
+      chi(0).getAs[Long]("n_events") == 0L &&
+      chi(0).getAs[Double]("chi2") == 0.0)
+  }
 }

@@ -290,4 +290,23 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(Sampling.sampleRatePerStratum(docs.coalesce(1))) ==
       rows(Sampling.sampleRatePerStratum(docs.repartition(13))))
   }
+
+  test("r5c batch is partitioning-independent") {
+    // chi-square: quantized integer terms sum exactly under any merge order
+    assert(rows(Aggs.statChiSquare(events.coalesce(1))) ==
+      rows(Aggs.statChiSquare(events.repartition(13))))
+    // gini: integer-cents weighted sum + total-order rank
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    assert(rows(Aggs.statGiniRevenue(orders.coalesce(1))) ==
+      rows(Aggs.statGiniRevenue(orders.repartition(13))))
+    // interval union: running max/sum windows on per-user total orders
+    assert(rows(graft.ops.Joins.tsIntervalUnion(events.coalesce(1))) ==
+      rows(graft.ops.Joins.tsIntervalUnion(events.repartition(13))))
+    // triangles: census counts are integers; memoized edges cleared between runs
+    Dedup.clearSharedCache(spark)
+    val t1 = rows(graft.ext.Sessions.graphTriangles(events.coalesce(1)))
+    Dedup.clearSharedCache(spark)
+    val t13 = rows(graft.ext.Sessions.graphTriangles(events.repartition(13)))
+    assert(t1 == t13)
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Multimodal, Sampling, Sessions, Text}
+import graft.ops.{Aggs, Joins}
 
 /** Unit semantics for the r5 pipeline-operator batch: time-bounded funnel,
   * RFM scoring, MinHash estimator audit, stratified rate sampling,
@@ -171,5 +172,119 @@ class PipelineOpsSpec extends SparkSpec {
     val out = Multimodal.multimodalVadSegments(df).collect()
     assert(out.map(r => (r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"))).toSeq
       == Seq((0L, 0L)))
+  }
+
+  test("chi-square: independent contingency table scores exactly zero") {
+    // counts proportional across dayparts -> e == o in every cell
+    val rows =
+      Seq.fill(10)((1L, "click", "2024-01-01 01:00:00", 0.0)) ++
+      Seq.fill(10)((1L, "click", "2024-01-01 13:00:00", 0.0)) ++
+      Seq.fill(5)((2L, "view", "2024-01-01 02:00:00", 0.0)) ++
+      Seq.fill(5)((2L, "view", "2024-01-01 14:00:00", 0.0))
+    val out = Aggs.statChiSquare(ev(rows: _*)).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_cells") == 4L)
+    assert(out(0).getAs[Long]("n_events") == 30L)
+    assert(out(0).getAs[Double]("chi2") == 0.0)
+    // perfect association: each class confined to its own daypart
+    val skew =
+      Seq.fill(10)((1L, "click", "2024-01-01 01:00:00", 0.0)) ++
+      Seq.fill(10)((2L, "view", "2024-01-01 13:00:00", 0.0))
+    val chi2 = Aggs.statChiSquare(ev(skew: _*)).collect()(0).getAs[Double]("chi2")
+    // 2x2 with perfect separation: chi2 = n = 20 (quantized to 2^-20)
+    assert(math.abs(chi2 - 20.0) < 1e-5)
+  }
+
+  test("gini: equal revenues score 0, total concentration scores (n-1)/n") {
+    val eq = Seq((10L, 1L, 100.0), (11L, 2L, 100.0), (12L, 3L, 100.0), (13L, 4L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val g0 = Aggs.statGiniRevenue(eq).collect()(0)
+    assert(g0.getAs[Long]("n_customers") == 4L)
+    assert(g0.getAs[Double]("total_revenue") == 400.0)
+    assert(g0.getAs[Double]("gini") == 0.0)
+    val conc = Seq((10L, 1L, 0.01), (11L, 2L, 0.01), (12L, 3L, 0.01), (13L, 4L, 400.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val g1 = Aggs.statGiniRevenue(conc).collect()(0).getAs[Double]("gini")
+    assert(g1 > 0.74 && g1 < 0.76) // near-total concentration, n=4 -> ~3/4
+  }
+
+  test("kmv union: below-k sets are exhaustive — estimator is exact") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, "click", "2024-01-01 10:01:00", 0.0),
+      (2L, "purchase", "2024-01-01 10:02:00", 0.0),
+      (3L, "purchase", "2024-01-01 10:03:00", 0.0),
+      (4L, "view", "2024-01-01 10:04:00", 0.0)) // other classes ignored
+    val out = Aggs.aggDistinctUnionKmv(events).collect()(0)
+    assert(out.getAs[Double]("theta") == 1.0)
+    assert(out.getAs[Long]("n_union_sample") == 3L)
+    assert(out.getAs[Long]("n_exact") == 3L)
+    assert(out.getAs[Double]("est_union") == 3.0)
+    assert(out.getAs[Double]("err") == 0.0)
+  }
+
+  test("interval union: overlap chains fuse, gaps split, duration is exact") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (1L, "click", "2024-01-01 10:20:00", 0.0),  // overlaps the first pad
+      (1L, "click", "2024-01-01 11:30:00", 0.0),  // new episode
+      (2L, "click", "2024-01-01 10:00:00", 0.0))
+    val out = Joins.tsIntervalUnion(events).collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("island"),
+      r.getAs[Long]("duration_s"), r.getAs[Long]("n_events"))).toSeq
+      == Seq((1L, 1L, 3000L, 2L), (1L, 2L, 1800L, 1L), (2L, 1L, 1800L, 1L)))
+  }
+
+  test("triangles: node-ordering count finds each triangle once") {
+    // users 1,2,3 co-active in hour A (one triangle); 4 touches only 1 in hour B
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, "click", "2024-01-01 10:10:00", 0.0),
+      (3L, "click", "2024-01-01 10:20:00", 0.0),
+      (1L, "click", "2024-01-01 12:00:00", 0.0),
+      (4L, "click", "2024-01-01 12:30:00", 0.0))
+    val out = Sessions.graphTriangles(events).collect()(0)
+    assert(out.getAs[Long]("n_edges") == 4L)
+    assert(out.getAs[Long]("n_triangles") == 1L)
+    // degrees 3,2,2,1 -> wedges 3+1+1+0 = 5; coeff = 3*1/5
+    assert(out.getAs[Long]("n_wedges") == 5L)
+    assert(out.getAs[Double]("clustering_coeff") == 0.6)
+  }
+
+  test("burst users: peak rate gate and first peaking minute") {
+    val rows =
+      Seq.tabulate(5)(i => (1L, "click", f"2024-01-01 10:05:${i}%02d", 0.0)) ++
+      Seq.tabulate(5)(i => (1L, "click", f"2024-01-01 10:09:${i}%02d", 0.0)) ++ // 2nd peak
+      Seq.tabulate(3)(i => (2L, "click", f"2024-01-01 10:05:${i}%02d", 0.0))    // under gate
+    val out = Sessions.eventsBurstUsers(ev(rows: _*)).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("user_id") == 1L)
+    assert(out(0).getAs[Long]("peak_per_minute") == 5L)
+    assert(out(0).getAs[String]("first_peak_minute") == "2024-01-01 10:05:00")
+  }
+
+  test("normalized dedup: case/punct/whitespace variants collapse, others don't") {
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO\tWORLD"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val out = Dedup.dedupNormalized(docs).collect()
+    assert(out.map(r => (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_equivalent"))).toSeq
+      == Seq((1L, 3L), (4L, 1L)))
+  }
+
+  test("audio fingerprint: delta signs pack LSB-first; short docs fp 0") {
+    val docs = Seq(
+      (1L, "a" * 32 + "b" * 32 + "a" * 32), // up, down -> bits 1,0 -> fp 1
+      (2L, "a" * 32 + "b" * 32 + "a" * 32), // identical -> same bucket
+      (3L, "short")).toDF("doc_id", "text")
+    val out = Multimodal.multimodalAudioFingerprint(docs).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_frames"), r.getAs[Long]("fingerprint"),
+        r.getAs[Long]("n_matching"))).toMap
+    assert(byDoc(1L) == ((3L, 1L, 2L)))
+    assert(byDoc(2L) == ((3L, 1L, 2L)))
+    assert(byDoc(3L) == ((0L, 0L, 1L)))
   }
 }

@@ -27,7 +27,10 @@ class PlanLintSpec extends SparkSpec {
     "events_dau_mau",                                    // bounded days×(domain/32) grid
     "tpch_idle_customer_balance",                        // 1-row avg-balance frame
     "tpch_part_value_concentration",                     // 1-row grand-total frame
-    "agg_distinct_intersect_kmv"                         // 1-row theta/exact frames
+    "agg_distinct_intersect_kmv",                        // 1-row theta/exact frames
+    "agg_distinct_union_kmv",                            // 1-row theta/exact frames
+    "stat_chi_square",                                   // classes×4 dense grid cross
+    "graph_triangles"                                    // 1-row census frames
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {

@@ -311,6 +311,122 @@ class TpchSpec extends SparkSpec {
       r.getAs[Double]("total_value"))).toSeq == Seq((1L, 700.0, 1000.0)))
   }
 
+  test("min-cost supplier: per-part min, ties kept, region + slice gates") {
+    val region = Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((100, "FRANCE", 0), (101, "JAPAN", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, "S1", 50.0, 100), (2L, "S2", 90.0, 100), (3L, "S3", 10.0, 101))
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val part = Seq((5L, "STANDARD", 15), (6L, "STANDARD", 15), (7L, "PROMO", 15))
+      .toDF("p_partkey", "p_type", "p_size")
+    val items = li(
+      (1L, 5L, 1L, 2.0, 20.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),  // unit 10
+      (2L, 5L, 2L, 4.0, 40.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),  // unit 10: tie
+      (3L, 6L, 2L, 1.0, 30.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),  // unit 30, sole
+      (4L, 5L, 3L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),   // cheapest but JAPAN
+      (5L, 7L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"))   // wrong p_type
+    val out = Tpch.tpchMinCostSupplier(items, part, supplier, nation, region).collect()
+    // ordered by acctbal desc: S2 (90) twice? no — S2 wins part 5 (tie with S1) and part 6
+    assert(out.map(r => (r.getAs[String]("s_name"), r.getAs[Long]("p_partkey"))).toSeq
+      == Seq(("S2", 5L), ("S2", 6L), ("S1", 5L)))
+    assert(out(0).getAs[Double]("unit_cost") == 10.0)
+    assert(out(1).getAs[Double]("unit_cost") == 30.0)
+  }
+
+  test("product profit: retail-cost proxy subtracts inside the decimal sum") {
+    val part = Seq((5L, "hot gear", 100.0), (6L, "red widget", 100.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val supplier = Seq((1L, 100)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((100, "N_A")).toDF("n_nationkey", "n_name")
+    val orders = Seq((10L, ts("1996-03-01 00:00:00")), (11L, ts("1997-03-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val items = li(
+      (10L, 5L, 1L, 2.0, 100.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00"), // 100 - 20 = 80
+      (11L, 5L, 1L, 1.0, 50.0, 0.0, 0.0, "N", "O", "1997-03-05 00:00:00"),  // 50 - 10 = 40
+      (10L, 6L, 1L, 1.0, 999.0, 0.0, 0.0, "N", "O", "1996-03-05 00:00:00")) // wrong part family
+    val out = Tpch.tpchProductProfit(items, part, supplier, orders, nation).collect()
+    assert(out.map(r => (r.getAs[Int]("o_year"), r.getAs[Double]("sum_profit"))).toSeq
+      == Seq((1997, 40.0), (1996, 80.0)))
+  }
+
+  test("ship latency priority: day bands, critical vs other, year gate") {
+    val orders = Seq(
+      (10L, ts("1997-01-01 00:00:00"), "1-URGENT"),
+      (11L, ts("1997-01-01 00:00:00"), "5-LOW"),
+      (12L, ts("1997-01-01 00:00:00"), "2-HIGH"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val items = li(
+      (10L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1997-03-15 00:00:00"),  // 73d SLOW critical
+      (11L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1997-02-05 00:00:00"),  // 35d MEDIUM other
+      (12L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1997-01-10 00:00:00"),  // 9d FAST critical
+      (10L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1998-03-15 00:00:00"))  // outside ship year
+    val out = Tpch.tpchShipLatencyPriority(items, orders).collect()
+    assert(out.map(r => (r.getAs[String]("latency_tier"), r.getAs[Long]("n_critical"),
+      r.getAs[Long]("n_other"))).toSeq
+      == Seq(("FAST", 1L, 0L), ("MEDIUM", 0L, 1L), ("SLOW", 1L, 0L)))
+  }
+
+  test("supplier part counts: flagged suppliers anti-joined, brand excluded, pairs distinct") {
+    val supplier = Seq((1L, 10.0), (2L, -5.0), (3L, 20.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val part = Seq((5L, "Brand#1", "SMALL", 3), (6L, "Brand#2", "LARGE", 9))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val items = li(
+      (1L, 5L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+      (2L, 5L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),  // dup pair
+      (3L, 5L, 2L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),  // flagged supp
+      (4L, 5L, 3L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+      (5L, 6L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"))  // excluded brand
+    val out = Tpch.tpchSupplierPartCounts(items, part, supplier).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("p_brand") == "Brand#1")
+    assert(out(0).getAs[Long]("supplier_cnt") == 2L)
+  }
+
+  test("dominant part supplier: >50% of part volume, semi-join to region suppliers") {
+    val region = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((100, "JAPAN", 0), (101, "FRANCE", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, "S1", 100), (2L, "S2", 100), (3L, "S3", 101))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val part = Seq((5L, "red bolt"), (6L, "blue bolt")).toDF("p_partkey", "p_name")
+    val items = li(
+      (1L, 5L, 1L, 70.0, 1.0, 0.0, 0.0, "N", "O", "1996-05-01 00:00:00"),  // S1: 70/100
+      (2L, 5L, 2L, 30.0, 1.0, 0.0, 0.0, "N", "O", "1996-05-01 00:00:00"),  // S2: 30/100
+      (3L, 6L, 3L, 99.0, 1.0, 0.0, 0.0, "N", "O", "1996-05-01 00:00:00"),  // dominant but not red
+      (4L, 5L, 2L, 500.0, 1.0, 0.0, 0.0, "N", "O", "1997-05-01 00:00:00")) // outside year
+    val out = Tpch.tpchDominantPartSupplier(items, part, supplier, nation, region).collect()
+    assert(out.map(_.getAs[String]("s_name")).toSeq == Seq("S1"))
+    assert(out(0).getAs[String]("n_name") == "JAPAN")
+  }
+
+  test("waiting suppliers: only sole-late supplier on multi-supplier finished orders") {
+    val nation = Seq((100, "NATION_3"), (101, "NATION_9")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, "S1", 100), (2L, "S2", 100), (3L, "S3", 101))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val orders = Seq(
+      (10L, ts("1996-01-01 00:00:00"), "F"),
+      (11L, ts("1996-01-01 00:00:00"), "F"),
+      (12L, ts("1996-01-01 00:00:00"), "O"),  // not finished
+      (13L, ts("1996-01-01 00:00:00"), "F"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderstatus")
+    val items = li(
+      // order 10: S1 late, S2 on time -> S1 blamed
+      (10L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-06-01 00:00:00"),
+      (10L, 1L, 2L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-15 00:00:00"),
+      // order 11: both late -> nobody blamed
+      (11L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-06-01 00:00:00"),
+      (11L, 1L, 2L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-06-01 00:00:00"),
+      // order 12: sole-late but order not finished
+      (12L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-06-01 00:00:00"),
+      (12L, 1L, 2L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-15 00:00:00"),
+      // order 13: single-supplier late -> no other supplier, not blamed
+      (13L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-06-01 00:00:00"))
+    val out = Tpch.tpchWaitingSuppliers(items, orders, supplier, nation).collect()
+    assert(out.map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait"))).toSeq
+      == Seq(("S1", 1L)))
+  }
+
   test("idle customer balance: positive-only average, anti-join on recent orders") {
     val nation = Seq((100, "N_A"), (101, "N_B")).toDF("n_nationkey", "n_name")
     val customer = Seq(
