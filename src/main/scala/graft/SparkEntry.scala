@@ -138,6 +138,12 @@ object SparkEntry {
     "graph_triangles"       -> ((s, d) => ext.Sessions.graphTriangles(events(s, d))),
     "events_burst_users"    -> ((s, d) => ext.Sessions.eventsBurstUsers(events(s, d))),
     "dedup_normalized"      -> ((s, d) => ext.Dedup.dedupNormalized(documents(s, d))),
+    "stat_benford"          -> ((s, d) => Aggs.statBenford(lineitem(s, d))),
+    "snapshot_upsert"       -> ((s, d) => Joins.snapshotUpsert(events(s, d))),
+    "ts_downsample_ltob"    -> ((s, d) => Joins.tsDownsampleLtob(events(s, d))),
+    "emb_binarize_sign"     -> ((s, d) => ext.Similarity.embBinarizeSign(embeddings(s, d))),
+    "sim_search_hamming_topk" -> ((s, d) =>
+      ext.Similarity.simSearchHammingTopk(embeddings(s, d))),
     "multimodal_audio_fingerprint" -> ((s, d) =>
       ext.Multimodal.multimodalAudioFingerprint(documents(s, d))),
     "layout_zorder_skipping"-> ((s, d) => sources.Layout.zorderSkipping(events(s, d))),
@@ -608,9 +614,19 @@ object SparkEntry {
     "ts_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us, epoch_us(ts) + 1800000000 AS e_us FROM events), w AS (SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv), f AS (SELECT *, CASE WHEN pme IS NULL OR s_us > pme THEN 1 ELSE 0 END AS is_new FROM w), g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f) SELECT user_id, island, min(s_us) AS start_us, max(e_us) AS end_us, (max(e_us) - min(s_us)) // 1000000 AS duration_s, count(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY user_id, island""",
     "graph_triangles" ->
-      """WITH active AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events), edges AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id), tri AS (SELECT count(*) AS n_triangles FROM (SELECT e1.a AS wa, e2.b AS wc FROM edges e1 JOIN edges e2 ON e1.b = e2.a) w JOIN edges e3 ON w.wa = e3.a AND w.wc = e3.b), deg AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY 1), wt AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg), ec AS (SELECT count(*) AS n_edges FROM edges) SELECT ec.n_edges, tri.n_triangles, wt.n_wedges, CASE WHEN wt.n_wedges = 0 THEN 0.0 ELSE 3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(wt.n_wedges AS DOUBLE) END AS clustering_coeff FROM ec, tri, wt""",
+      """WITH active AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS hr FROM events), edges AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id), tri AS (SELECT count(*) AS n_triangles FROM (SELECT e1.a AS wa, e2.b AS wc FROM edges e1 JOIN edges e2 ON e1.b = e2.a) w JOIN edges e3 ON w.wa = e3.a AND w.wc = e3.b), deg AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY 1), wt AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg), ec AS (SELECT count(*) AS n_edges FROM edges) SELECT ec.n_edges, tri.n_triangles, wt.n_wedges, CASE WHEN wt.n_wedges = 0 THEN 0.0 ELSE 3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(wt.n_wedges AS DOUBLE) END AS clustering_coeff FROM ec, tri, wt""",
     "events_burst_users" ->
       s"""WITH bm AS (SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n FROM events GROUP BY 1, 2), pk AS (SELECT user_id, max(n) AS peak_per_minute FROM bm GROUP BY 1), fp AS (SELECT bm.user_id, pk.peak_per_minute, min(bm.minute) AS first_peak FROM bm JOIN pk ON bm.user_id = pk.user_id AND bm.n = pk.peak_per_minute GROUP BY 1, 2) SELECT user_id, peak_per_minute, strftime(first_peak, $TS0) AS first_peak_minute FROM fp WHERE peak_per_minute >= 4 ORDER BY user_id""",
+    "stat_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM lineitem), g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), s AS (SELECT digit, n, CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share FROM g), e AS (SELECT *, CASE digit WHEN '1' THEN 0.3010299956639812 WHEN '2' THEN 0.17609125905568124 WHEN '3' THEN 0.12493873660829992 WHEN '4' THEN 0.09691001300805642 WHEN '5' THEN 0.07918124604762482 WHEN '6' THEN 0.06694678963061322 WHEN '7' THEN 0.05799194697768673 WHEN '8' THEN 0.05115252244738129 WHEN '9' THEN 0.04575749056067514 ELSE 0.0 END AS benford_p FROM s) SELECT digit, n, share, benford_p, share - benford_p AS deviation FROM e ORDER BY digit""",
+    "snapshot_upsert" ->
+      s"""WITH b AS (SELECT user_id, value AS base_value, ts AS base_ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1), d AS (SELECT user_id, value AS delta_value, ts AS delta_ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1) SELECT COALESCE(b.user_id, d.user_id) AS user_id, CASE WHEN b.base_ts IS NULL THEN 'inserted' WHEN d.delta_ts IS NULL THEN 'kept' ELSE 'updated' END AS action, COALESCE(d.delta_value, b.base_value) AS value, strftime(COALESCE(d.delta_ts, b.base_ts), $TS6) AS state_ts_s, b.base_value AS prev_value FROM b FULL OUTER JOIN d ON b.user_id = d.user_id ORDER BY user_id""",
+    "ts_downsample_ltob" ->
+      s"""WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS x, value AS y, epoch_us(ts) // 3600000000 AS bucket FROM events), c AS (SELECT user_id, bucket, CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS cx, CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS cy FROM pts GROUP BY 1, 2), nb AS (SELECT user_id, bucket, lag(cx) OVER w AS lx, lag(cy) OVER w AS ly, lead(cx) OVER w AS rx, lead(cy) OVER w AS ry FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket)), j AS (SELECT p.user_id, p.bucket, p.event_id, p.x, p.y, nb.lx, nb.rx, abs((nb.lx - nb.rx) * (p.y - nb.ly) - (nb.lx - CAST(p.x AS DOUBLE)) * (nb.ry - nb.ly)) AS area FROM pts p JOIN nb USING (user_id, bucket)), r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket ORDER BY area DESC, x, event_id) AS rn_area, row_number() OVER (PARTITION BY user_id, bucket ORDER BY x, event_id) AS rn_first, row_number() OVER (PARTITION BY user_id, bucket ORDER BY x DESC, event_id DESC) AS rn_last FROM j) SELECT user_id, bucket, event_id, strftime(make_timestamp(x), $TS6) AS ts_s, y AS value, area FROM r WHERE CASE WHEN lx IS NULL THEN rn_first = 1 WHEN rx IS NULL THEN rn_last = 1 ELSE rn_area = 1 END ORDER BY user_id, bucket""",
+    "emb_binarize_sign" ->
+      """WITH s AS (SELECT vec_id, label, CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_lo, CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_hi FROM embeddings) SELECT vec_id, label, sig_lo, sig_hi, CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos FROM s ORDER BY vec_id""",
+    "sim_search_hamming_topk" ->
+      """WITH s AS (SELECT vec_id, CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_lo, CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_hi FROM embeddings), q AS (SELECT vec_id AS query_id, sig_lo AS qlo, sig_hi AS qhi FROM s WHERE vec_id < 10), p AS (SELECT q.query_id, s.vec_id, CAST(bit_count(xor(s.sig_lo, q.qlo)) + bit_count(xor(s.sig_hi, q.qhi)) AS BIGINT) AS hamming FROM s, q WHERE s.vec_id <> q.query_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM p) SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, hamming FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     "dedup_normalized" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[\t\n\r]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), '  *', ' ', 'g')) AS norm FROM documents) SELECT min(doc_id) AS keep_doc_id, count(*) AS n_equivalent, md5(norm) AS norm_md5 FROM n GROUP BY md5(norm) ORDER BY keep_doc_id""",
     "multimodal_audio_fingerprint" ->

@@ -560,4 +560,55 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("vec_id"), col("adc_dist2"))
       .orderBy("query_id", "rn")
   }
+
+  /** Sign bits of all 64 dimensions packed into two positive int64 halves
+    * (32 bits each — a single 64-bit pack would need the sign bit, whose
+    * shift overflows DuckDB's checked `<<`). */
+  private def signBits(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + IF(element_at(embedding, i + 1) > 0.0D, shiftleft(1L, i), 0L))")
+        .as("sig_lo"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + IF(element_at(embedding, i + 33) > 0.0D, shiftleft(1L, i), 0L))")
+        .as("sig_hi"))
+
+  /** r5c2: 1-bit (sign) embedding quantization — the last rung of the
+    * compression ladder below [[embQuantizeInt8]] and [[embPqCodes]]:
+    * 64 float dims → 64 bits (32× smaller than float32, 8× smaller than
+    * int8), the representation binary-embedding search engines store.
+    * Pure selections (x > 0) and integer packing ⇒ the signatures
+    * themselves hash-match; n_pos is the popcount audit column. */
+  def embBinarizeSign(embeddings: DataFrame): DataFrame =
+    signBits(embeddings)
+      .withColumn("n_pos",
+        (bit_count(col("sig_lo")) + bit_count(col("sig_hi"))).cast("long"))
+      .orderBy("vec_id")
+
+  /** r5c2: Hamming top-k over the sign signatures — the search path that
+    * pairs with [[embBinarizeSign]]: distance = popcount(xor), two
+    * codegen'd integer ops per candidate against 16 bytes of signature
+    * (vs 256 float multiplies for exact cosine) — the first-pass filter
+    * binary-embedding deployments run before exact re-ranking. Same
+    * query-broadcast + per-query rank shape as [[simSearchCosineTopk]]
+    * (the probe side streams once, never shuffles); ties broken by
+    * vec_id, all-integer output ⇒ hash-match. */
+  def simSearchHammingTopk(embeddings: DataFrame, nQueries: Int = 10,
+                           k: Int = 10): DataFrame = {
+    val sig = signBits(embeddings)
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sig_lo").as("qlo"),
+        col("sig_hi").as("qhi"))
+    val pairs = sig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("sig_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("qhi")))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("hamming"), col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("hamming"))
+      .orderBy("query_id", "rn")
+  }
 }

@@ -1079,6 +1079,39 @@ object Aggs {
             col("n_customers").cast("double")).as("gini"))
   }
 
+  /** r5c2: Benford first-digit audit — the fraud/synthetic-data screen:
+    * organically-grown monetary amounts follow log₁₀(1+1/d) first-digit
+    * frequencies; fabricated or clipped data doesn't. Digits come from the
+    * INTEGER cents rendering (decimal cast recovers the exact 2-dp value,
+    * integer→string is byte-identical in any engine — never substring a
+    * formatted DOUBLE, whose rendering is engine-specific); the share is
+    * one long/long divide, the expected p a shared 17-digit literal (both
+    * engines parse it to the same double — computing log₁₀ in-engine
+    * would hand the comparison to two different libms). One partial/final
+    * hash agg to 9 rows; the total rides a window over them. */
+  def statBenford(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benford = Map(
+      "1" -> 0.3010299956639812, "2" -> 0.17609125905568124,
+      "3" -> 0.12493873660829992, "4" -> 0.09691001300805642,
+      "5" -> 0.07918124604762482, "6" -> 0.06694678963061322,
+      "7" -> 0.05799194697768673, "8" -> 0.05115252244738129,
+      "9" -> 0.04575749056067514)
+    val cents = (col("l_extendedprice").cast(DecimalType(28, 2)) * lit(100))
+      .cast(DecimalType(38, 0)).cast("long")
+    val expected = benford.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    lineitem
+      .select(substring(cents.cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .withColumn("benford_p", expected)
+      .withColumn("deviation", col("share") - col("benford_p"))
+      .orderBy("digit")
+  }
+
   /** r5c: theta-sketch distinct UNION — |clickers ∪ purchasers| from the
     * same two KMV sketches [[aggDistinctIntersectKmv]] intersects: clip
     * both samples to the shared θ = min(θ_a, θ_b), count DISTINCT members

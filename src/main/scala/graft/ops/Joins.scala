@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Det._
 
 /** Join operators (SURVEY.md §2.4, J1–J6).
@@ -454,6 +455,91 @@ object Joins {
           .when(col("n_before") === col("n_after"), "same")
           .otherwise("changed").as("status"))
       .orderBy("user_id")
+  }
+
+  /** r5c2: snapshot upsert — the lakehouse MERGE INTO, batch form: apply a
+    * changeset (latest post-cutoff state per key) onto a base snapshot
+    * (latest pre-cutoff state), emitting the MERGED table with per-row
+    * actions. [[snapshotDiff]] reports what differs; this produces the new
+    * snapshot — the operation every SCD-1 dimension refresh runs. One
+    * window per side collapses events to per-key state (both on the
+    * user_id shuffle), then the library's FULL OUTER equi-join pattern +
+    * null-pattern CASE: inserted (no base) / updated (both) / kept (no
+    * change row). Values ride untouched (selections only) ⇒ hash-match. */
+  def snapshotUpsert(events: DataFrame): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    def latest(df: DataFrame, vName: String, tName: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as(vName), col("ts").as(tName))
+    }
+    val base = latest(events.filter(col("ts") < cut), "base_value", "base_ts")
+    val delta = latest(events.filter(col("ts") >= cut), "delta_value", "delta_ts")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("base_ts").isNull, "inserted")
+          .when(col("delta_ts").isNull, "kept")
+          .otherwise("updated").as("action"),
+        coalesce(col("delta_value"), col("base_value")).as("value"),
+        fmtTs(coalesce(col("delta_ts"), col("base_ts"))).as("state_ts_s"),
+        col("base_value").as("prev_value"))
+      .orderBy("user_id")
+  }
+
+  /** r5c2: largest-triangle-one-bucket plot downsampling — keep, per
+    * (user, hour), the point forming the largest triangle with its
+    * neighbor buckets' centroids: what the reference's matplotlib charts
+    * do implicitly when they rasterize 60 k points into 800 pixels
+    * (`graphdata.py:98-192`), made an explicit operator so dashboards pull
+    * ~n_buckets rows instead of the raw series. The ONE-bucket variant
+    * (fixed neighbor centroids) is used deliberately: canonical LTTB
+    * chains each choice into the next bucket — inherently sequential —
+    * while LTOB ranks every point independently ⇒ embarrassingly
+    * parallel AND engine-portable. Exactness: centroids from exact
+    * integer sums (micros, 2-dp-value cents) divided once; the area is a
+    * fixed 7-op double chain off those; ranks total-ordered (area desc,
+    * ts, event_id). Edge buckets (no prev/next centroid) keep their
+    * first/last point — the LTTB endpoint convention. Plan: one hash agg
+    * + neighbor lag/lead on the tiny bucket frame (broadcast back), three
+    * same-partition windows on the (user, bucket) key. */
+  def tsDownsampleLtob(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val pts = events.select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("x"), col("value").as("y"),
+      expr(s"unix_micros(ts) div $hourUs").as("bucket"))
+    val cents = pts.groupBy(col("user_id"), col("bucket"))
+      .agg((sum(col("x").cast(DecimalType(38, 0))).cast("double") /
+        count(lit(1))).as("cx"), davg(col("y")).as("cy"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+    val nbr = cents
+      .withColumn("lx", lag(col("cx"), 1).over(wB))
+      .withColumn("ly", lag(col("cy"), 1).over(wB))
+      .withColumn("rx", lead(col("cx"), 1).over(wB))
+      .withColumn("ry", lead(col("cy"), 1).over(wB))
+      .select(col("user_id"), col("bucket"), col("lx"), col("ly"),
+        col("rx"), col("ry"))
+    val area = abs((col("lx") - col("rx")) * (col("y") - col("ly")) -
+      (col("lx") - col("x").cast("double")) * (col("ry") - col("ly")))
+    val wP = Window.partitionBy(col("user_id"), col("bucket"))
+    val picked = pts.join(nbr, Seq("user_id", "bucket"))
+      .withColumn("area", area)
+      .withColumn("rn_area", row_number().over(
+        wP.orderBy(col("area").desc, col("x"), col("event_id"))))
+      .withColumn("rn_first", row_number().over(
+        wP.orderBy(col("x"), col("event_id"))))
+      .withColumn("rn_last", row_number().over(
+        wP.orderBy(col("x").desc, col("event_id").desc)))
+      .filter(
+        when(col("lx").isNull, col("rn_first") === 1)
+          .when(col("rx").isNull, col("rn_last") === 1)
+          .otherwise(col("rn_area") === 1))
+    picked
+      .select(col("user_id"), col("bucket"), col("event_id"),
+        fmtTs(timestamp_micros(col("x"))).as("ts_s"), col("y").as("value"),
+        col("area"))
+      .orderBy("user_id", "bucket")
   }
 
   /** r5c: interval union — merge each user's overlapping presence

@@ -62,5 +62,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(chi.length == 1 && chi(0).getAs[Long]("n_cells") == 0L &&
       chi(0).getAs[Long]("n_events") == 0L &&
       chi(0).getAs[Double]("chi2") == 0.0)
+    // r5c2 batch
+    assert(ops.Aggs.statBenford(Tables.lineitem(spark, sf).limit(0)).count() == 0)
+    assert(ops.Joins.snapshotUpsert(emptyEvents).count() == 0)
+    assert(ops.Joins.tsDownsampleLtob(emptyEvents).count() == 0)
+    assert(Similarity.embBinarizeSign(emptyEmb).count() == 0)
+    assert(Similarity.simSearchHammingTopk(emptyEmb).count() == 0)
   }
 }

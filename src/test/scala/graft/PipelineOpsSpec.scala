@@ -236,13 +236,13 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("triangles: node-ordering count finds each triangle once") {
-    // users 1,2,3 co-active in hour A (one triangle); 4 touches only 1 in hour B
+    // users 1,2,3 co-active in minute A (one triangle); 4 touches only 1 in minute B
     val events = ev(
-      (1L, "click", "2024-01-01 10:00:00", 0.0),
-      (2L, "click", "2024-01-01 10:10:00", 0.0),
-      (3L, "click", "2024-01-01 10:20:00", 0.0),
-      (1L, "click", "2024-01-01 12:00:00", 0.0),
-      (4L, "click", "2024-01-01 12:30:00", 0.0))
+      (1L, "click", "2024-01-01 10:00:05", 0.0),
+      (2L, "click", "2024-01-01 10:00:15", 0.0),
+      (3L, "click", "2024-01-01 10:00:30", 0.0),
+      (1L, "click", "2024-01-01 12:30:00", 0.0),
+      (4L, "click", "2024-01-01 12:30:45", 0.0))
     val out = Sessions.graphTriangles(events).collect()(0)
     assert(out.getAs[Long]("n_edges") == 4L)
     assert(out.getAs[Long]("n_triangles") == 1L)
@@ -272,6 +272,70 @@ class PipelineOpsSpec extends SparkSpec {
     val out = Dedup.dedupNormalized(docs).collect()
     assert(out.map(r => (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_equivalent"))).toSeq
       == Seq((1L, 3L), (4L, 1L)))
+  }
+
+  test("benford: digits from integer cents, shares and literal expectations") {
+    val li = Seq((1L, 100.0), (2L, 250.5), (3L, 999.99), (4L, 12.34))
+      .toDF("l_orderkey", "l_extendedprice")
+    val out = graft.ops.Aggs.statBenford(li).collect()
+    val byDigit = out.map(r => r.getAs[String]("digit") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(byDigit == Map("1" -> ((2L, 0.5)), "2" -> ((1L, 0.25)), "9" -> ((1L, 0.25))))
+    val d1 = out.find(_.getAs[String]("digit") == "1").get
+    assert(d1.getAs[Double]("benford_p") == 0.3010299956639812)
+    assert(d1.getAs[Double]("deviation") == 0.5 - 0.3010299956639812)
+  }
+
+  test("snapshot upsert: inserted / updated / kept actions with prev values") {
+    val events = ev(
+      (1L, "click", "2024-01-10 00:00:00", 10.0),  // base only -> kept
+      (2L, "click", "2024-01-10 00:00:00", 20.0),  // base...
+      (2L, "click", "2024-01-20 00:00:00", 25.0),  // ...updated by delta
+      (3L, "click", "2024-01-20 00:00:00", 30.0))  // delta only -> inserted
+    val out = graft.ops.Joins.snapshotUpsert(events).collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("action"),
+      r.getAs[Double]("value"))).toSeq
+      == Seq((1L, "kept", 10.0), (2L, "updated", 25.0), (3L, "inserted", 30.0)))
+    assert(out(1).getAs[Double]("prev_value") == 20.0)
+    assert(out(2).getAs[Double]("prev_value") == null.asInstanceOf[Double]) // 0.0 for null Double
+  }
+
+  test("LTOB downsample: spike wins interior buckets, endpoints keep edges") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (1L, "click", "2024-01-01 11:00:00", 0.0),
+      (1L, "click", "2024-01-01 11:15:00", 1000.0), // the spike a mean would erase
+      (1L, "click", "2024-01-01 11:30:00", 0.0),
+      (1L, "click", "2024-01-01 12:00:00", 0.0))
+    val out = graft.ops.Joins.tsDownsampleLtob(events).collect()
+    assert(out.map(r => (r.getAs[String]("ts_s"), r.getAs[Double]("value"))).toSeq
+      == Seq(("2024-01-01 10:00:00.000000", 0.0),
+             ("2024-01-01 11:15:00.000000", 1000.0),
+             ("2024-01-01 12:00:00.000000", 0.0)))
+  }
+
+  private def emb64(pos: Int*) =
+    Array.tabulate(64)(i => if (pos.contains(i + 1)) 1.0f else -1.0f)
+
+  test("sign binarization: 32-bit halves, popcount audit") {
+    val e = Seq((0L, emb64(1), 1), (1L, emb64(1, 2), 1), (2L, emb64(33), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.embBinarizeSign(e).collect()
+    assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sig_lo"),
+      r.getAs[Long]("sig_hi"), r.getAs[Long]("n_pos"))).toSeq
+      == Seq((0L, 1L, 0L, 1L), (1L, 3L, 0L, 2L), (2L, 0L, 1L, 1L)))
+  }
+
+  test("hamming top-k: popcount(xor) distances rank nearest first") {
+    val e = Seq((0L, emb64(1), 1), (1L, emb64(1, 2), 1), (2L, emb64(33), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.simSearchHammingTopk(e).collect()
+    val q0 = out.filter(_.getAs[Long]("query_id") == 0L)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("hamming"))).toSeq
+    assert(q0 == Seq((1L, 1L), (2L, 2L)))
+    val q2 = out.filter(_.getAs[Long]("query_id") == 2L)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("hamming"))).toSeq
+    assert(q2 == Seq((0L, 2L), (1L, 3L)))
   }
 
   test("audio fingerprint: delta signs pack LSB-first; short docs fp 0") {

@@ -24,6 +24,7 @@ class PlanLintSpec extends SparkSpec {
     "agg_quantiles_sampled",                             // 1-row sample-size frame
     "filter_time_threshold",                             // 1-row max-ts frame
     "sim_search_cosine_topk",                            // ≤nQueries-row query side
+    "sim_search_hamming_topk",                           // ≤nQueries-row query side
     "events_dau_mau",                                    // bounded days×(domain/32) grid
     "tpch_idle_customer_balance",                        // 1-row avg-balance frame
     "tpch_part_value_concentration",                     // 1-row grand-total frame
