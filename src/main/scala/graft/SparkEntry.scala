@@ -136,6 +136,9 @@ object SparkEntry {
     "stat_gini_revenue"     -> ((s, d) => Aggs.statGiniRevenue(orders(s, d))),
     "ts_interval_union"     -> ((s, d) => Joins.tsIntervalUnion(events(s, d))),
     "graph_triangles"       -> ((s, d) => ext.Sessions.graphTriangles(events(s, d))),
+    "graph_link_jaccard"    -> ((s, d) => ext.Sessions.graphLinkJaccard(events(s, d))),
+    "stat_ks_drift"         -> ((s, d) => Aggs.statKsDrift(events(s, d))),
+    "stat_mann_kendall"     -> ((s, d) => Aggs.statMannKendall(events(s, d))),
     "events_burst_users"    -> ((s, d) => ext.Sessions.eventsBurstUsers(events(s, d))),
     "dedup_normalized"      -> ((s, d) => ext.Dedup.dedupNormalized(documents(s, d))),
     "stat_benford"          -> ((s, d) => Aggs.statBenford(lineitem(s, d))),
@@ -615,6 +618,12 @@ object SparkEntry {
       """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us, epoch_us(ts) + 1800000000 AS e_us FROM events), w AS (SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv), f AS (SELECT *, CASE WHEN pme IS NULL OR s_us > pme THEN 1 ELSE 0 END AS is_new FROM w), g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f) SELECT user_id, island, min(s_us) AS start_us, max(e_us) AS end_us, (max(e_us) - min(s_us)) // 1000000 AS duration_s, count(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY user_id, island""",
     "graph_triangles" ->
       """WITH active AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS hr FROM events), edges AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id), tri AS (SELECT count(*) AS n_triangles FROM (SELECT e1.a AS wa, e2.b AS wc FROM edges e1 JOIN edges e2 ON e1.b = e2.a) w JOIN edges e3 ON w.wa = e3.a AND w.wc = e3.b), deg AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY 1), wt AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg), ec AS (SELECT count(*) AS n_edges FROM edges) SELECT ec.n_edges, tri.n_triangles, wt.n_wedges, CASE WHEN wt.n_wedges = 0 THEN 0.0 ELSE 3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(wt.n_wedges AS DOUBLE) END AS clustering_coeff FROM ec, tri, wt""",
+    "graph_link_jaccard" ->
+      """WITH active AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS hr FROM events), edges AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id), nbrs AS (SELECT a AS v, b AS w FROM edges UNION ALL SELECT b AS v, a AS w FROM edges), deg AS (SELECT v, count(*) AS deg FROM nbrs GROUP BY 1), cmn AS (SELECT n1.v AS a, n2.v AS b, count(*) AS common FROM nbrs n1 JOIN nbrs n2 ON n1.w = n2.w AND n1.v < n2.v GROUP BY 1, 2), cand AS (SELECT c.* FROM cmn c LEFT JOIN edges e ON c.a = e.a AND c.b = e.b WHERE e.a IS NULL), sc AS (SELECT cand.a, cand.b, common, da.deg + db.deg - common AS union_n, CAST(common AS DOUBLE) / CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard FROM cand JOIN deg da ON cand.a = da.v JOIN deg db ON cand.b = db.v), r AS (SELECT *, row_number() OVER (ORDER BY jaccard DESC, a, b) AS rn FROM sc) SELECT CAST(rn AS BIGINT) AS rn, a, b, common, union_n, jaccard FROM r WHERE rn <= 20 ORDER BY rn""",
+    "stat_ks_drift" ->
+      """WITH cells AS (SELECT event_type, value, CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS d1, CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS d2 FROM events WHERE value IS NOT NULL GROUP BY 1, 2), cdf AS (SELECT *, CAST(sum(d1) OVER (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1, CAST(sum(d2) OVER (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2, CAST(sum(d1) OVER (PARTITION BY event_type) AS BIGINT) AS n1, CAST(sum(d2) OVER (PARTITION BY event_type) AS BIGINT) AS n2 FROM cells), g AS (SELECT *, abs(c1 * n2 - c2 * n1) AS gap FROM cdf), r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gap DESC, value) AS rn FROM g) SELECT event_type, n1, n2, gap AS ks_num, CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE CAST(gap AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) END AS ks_d, value AS at_value FROM r WHERE rn = 1 ORDER BY event_type""",
+    "stat_mann_kendall" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS v FROM events WHERE value IS NOT NULL GROUP BY 1, 2), sp AS (SELECT l.user_id, CAST(SUM(CASE WHEN r.v > l.v THEN 1 WHEN r.v < l.v THEN -1 ELSE 0 END) AS BIGINT) AS s FROM daily l JOIN daily r ON l.user_id = r.user_id AND l.day < r.day GROUP BY 1), tg AS (SELECT user_id, v, count(*) AS t FROM daily GROUP BY 1, 2), ties AS (SELECT user_id, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18, CAST(SUM(t) AS BIGINT) AS n_days FROM tg GROUP BY 1), m AS (SELECT ties.user_id, n_days, COALESCE(sp.s, 0) AS s, n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18 FROM ties LEFT JOIN sp ON ties.user_id = sp.user_id), zc AS (SELECT *, CASE WHEN var18 = 0 THEN NULL WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0) WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0) ELSE 0.0 END AS z FROM m) SELECT user_id, n_days, s, var18, z, CASE WHEN z IS NULL OR abs(z) < 1.96 THEN 'no_trend' WHEN z > 0 THEN 'increasing' ELSE 'decreasing' END AS trend FROM zc ORDER BY user_id""",
     "events_burst_users" ->
       s"""WITH bm AS (SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n FROM events GROUP BY 1, 2), pk AS (SELECT user_id, max(n) AS peak_per_minute FROM bm GROUP BY 1), fp AS (SELECT bm.user_id, pk.peak_per_minute, min(bm.minute) AS first_peak FROM bm JOIN pk ON bm.user_id = pk.user_id AND bm.n = pk.peak_per_minute GROUP BY 1, 2) SELECT user_id, peak_per_minute, strftime(first_peak, $TS0) AS first_peak_minute FROM fp WHERE peak_per_minute >= 4 ORDER BY user_id""",
     "stat_benford" ->

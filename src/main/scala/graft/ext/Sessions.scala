@@ -362,21 +362,27 @@ object Sessions {
     * provably ≤ √(2·|E|) after the orientation — THE reason node-ordering
     * scales where naive wedge counting doesn't. All counts integer; the
     * global clustering coefficient is one long/long double divide. */
-  def graphTriangles(events: DataFrame): DataFrame = {
-    val active = events
-      .select(col("user_id"), date_trunc("minute", col("ts")).as("hr"))
-      .distinct()
-    // one computation, four consumers (both wedge legs, the closing-edge
-    // probe, the degree census) — memoized+persisted via the Dedup shared
-    // cache (same lifecycle: clearSharedCache / application end); without
-    // it Spark re-derives the distinct-pair build per consumer
-    val edges = Dedup.memo(events, "triangle-edges") {
+  /** The co-activity edge frame shared by [[graphTriangles]] and
+    * [[graphLinkJaccard]]: DISTINCT ordered user pairs (a < b) active in
+    * the same minute. One computation, many consumers (wedge legs,
+    * closing-edge probe, degree census, neighbor lists) — memoized +
+    * persisted via the Dedup shared cache (same lifecycle:
+    * clearSharedCache / application end); without it Spark re-derives
+    * the distinct-pair build per consumer. */
+  private def coActivityEdges(events: DataFrame): DataFrame =
+    Dedup.memo(events, "triangle-edges") {
+      val active = events
+        .select(col("user_id"), date_trunc("minute", col("ts")).as("hr"))
+        .distinct()
       active.as("x")
         .join(active.as("y"), col("x.hr") === col("y.hr") &&
           col("x.user_id") < col("y.user_id"))
         .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
         .distinct()
     }
+
+  def graphTriangles(events: DataFrame): DataFrame = {
+    val edges = coActivityEdges(events)
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
@@ -395,6 +401,49 @@ object Sessions {
         when(col("n_wedges") === 0L, lit(0.0))
           .otherwise(lit(3.0) * col("n_triangles").cast("double") /
             col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
+
+  /** r5c3: common-neighbor link prediction over the co-activity graph —
+    * the "who should be connected but isn't" query next to
+    * [[graphTriangles]]'s "how connected is it": rank NON-adjacent user
+    * pairs by the Jaccard similarity of their neighborhoods,
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — the classic link-prediction baseline
+    * (Liben-Nowell & Kleinberg 2003) and the candidate generator for
+    * account-linking / sockpuppet review queues.
+    *
+    * Plan: common-neighbor counts come from the wedge equi-join on the
+    * shared-neighbor key (each co-neighbor w contributes one (a,b) hit;
+    * work = Σ deg(w)² — bounded by the SAME density knob as the triangle
+    * census: bucket width / per-bucket occupancy cap; never all-pairs
+    * over users), existing edges drop out via LEFT ANTI on the ordered
+    * pair, degrees broadcast back, and |union| = deg(a)+deg(b)−common by
+    * inclusion-exclusion (pure integers). The one divide per candidate
+    * is correctly rounded in both engines ⇒ hash-match. Top-k via
+    * TakeOrderedAndProject (sort+limit — no global window on the
+    * unbounded candidate frame); the rank column rides a window over the
+    * ≤k surviving rows. */
+  def graphLinkJaccard(events: DataFrame, k: Int = 20): DataFrame = {
+    val edges = coActivityEdges(events)
+    val nbrs = edges.select(col("a").as("v"), col("b").as("w"))
+      .union(edges.select(col("b").as("v"), col("a").as("w")))
+    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val common = nbrs.as("n1")
+      .join(nbrs.as("n2"), col("n1.w") === col("n2.w") &&
+        col("n1.v") < col("n2.v"))
+      .groupBy(col("n1.v").as("a"), col("n2.v").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val scored = common.join(edges, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("union_n", col("deg_a") + col("deg_b") - col("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / col("union_n").cast("double"))
+    val top = scored.orderBy(col("jaccard").desc, col("a"), col("b")).limit(k)
+    val rank = Window.orderBy(col("jaccard").desc, col("a"), col("b"))
+    top.withColumn("rn", row_number().over(rank).cast("long"))
+      .select(col("rn"), col("a"), col("b"), col("common"), col("union_n"),
+        col("jaccard"))
+      .orderBy("rn")
   }
 
   /** r5c: burst (bot-candidate) detection — users whose peak per-minute

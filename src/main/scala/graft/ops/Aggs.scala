@@ -1112,6 +1112,97 @@ object Aggs {
       .orderBy("digit")
   }
 
+  /** r5c3: two-sample Kolmogorov–Smirnov drift test per event class —
+    * "did the value distribution shift between the first and second half
+    * of the window?", the distribution-level screen next to
+    * [[statChiSquare]]'s categorical one. D = max over x of
+    * |F₁(x) − F₂(x)|, computed EXACTLY: at each distinct value the CDF
+    * gap rides ONE integer cross-multiply |c₁·N₂ − c₂·N₁| (two
+    * engine-rounded divides would make the argmax fragile); max and its
+    * argmax are selections; the single final divide by N₁·N₂ yields the
+    * double statistic. Plan: one (class, value) hash agg collapses the
+    * scan, then running CDFs + the max-gap pick as windows on the SAME
+    * event_type partition — no global window, scales with classes ×
+    * distinct values. Longs bound the cross-multiply to N₁·N₂ < 2⁶³
+    * (per-class N up to ~3·10⁹); widen c·N through DECIMAL(38,0) past
+    * that. Classes present on only one side report NULL (the statistic
+    * is undefined, not 1.0 — an absent class is a schema drift, not a
+    * distribution drift). */
+  def statKsDrift(events: DataFrame,
+                  cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = lit(cutoff).cast("timestamp")
+    val cells = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("d2"))
+    val wCdf = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap").desc, col("value"))
+    cells
+      .withColumn("c1", sum(col("d1")).over(wCdf))
+      .withColumn("c2", sum(col("d2")).over(wCdf))
+      .withColumn("n1", sum(col("d1")).over(wAll))
+      .withColumn("n2", sum(col("d2")).over(wAll))
+      .withColumn("gap", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n1"), col("n2"), col("gap").as("ks_num"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("double"))
+          .otherwise(col("gap").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("ks_d"),
+        col("value").as("at_value"))
+      .orderBy("event_type")
+  }
+
+  /** r5c3: Mann–Kendall trend test per user over daily means — the
+    * nonparametric "is this series trending?" screen (sensor drift,
+    * engagement decay) that [[statRegressionHourly]]'s least-squares
+    * slope assumes linearity for; MK only assumes monotonicity.
+    * S = Σ_{i<j} sign(xⱼ − xᵢ) over day pairs — a PURE INTEGER sum of
+    * comparisons (no subtraction of doubles), with the tie-corrected
+    * variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) also integer.
+    * The normal-approximation z is a 4-op correctly-rounded double chain
+    * ((S∓1), /18, sqrt, divide — sqrt is IEEE-exact in both engines).
+    * Plan: daily means collapse the scan first (one hash agg, davg
+    * decimal-exact), so the pairwise self-join runs on USER×DAYS
+    * cardinality — ≤ C(31,2) = 465 pairs/user/month, work LINEAR in
+    * users, all on the user_id shuffle key. Never pairs raw events. */
+  def statMannKendall(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(davg(col("value")).as("v"))
+    val s = daily.as("l")
+      .join(daily.as("r"), col("l.user_id") === col("r.user_id") &&
+        col("l.day") < col("r.day"))
+      .groupBy(col("l.user_id").as("user_id"))
+      .agg(sum(when(col("r.v") > col("l.v"), 1L)
+        .when(col("r.v") < col("l.v"), -1L).otherwise(0L)).as("s"))
+    val ties = daily.groupBy(col("user_id"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("user_id"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"),
+        sum(col("t")).as("n_days"))
+    val z = sqrt(col("var18").cast("double") / lit(18.0))
+    ties.join(s, Seq("user_id"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5)") - col("tie18"))
+      .withColumn("z",
+        when(col("var18") === 0L, lit(null).cast("double"))
+          .when(col("s") > 0L, (col("s") - lit(1L)).cast("double") / z)
+          .when(col("s") < 0L, (col("s") + lit(1L)).cast("double") / z)
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("z").isNull || abs(col("z")) < 1.96, "no_trend")
+          .when(col("z") > 0, "increasing").otherwise("decreasing"))
+      .select(col("user_id"), col("n_days"), col("s"), col("var18"),
+        col("z"), col("trend"))
+      .orderBy("user_id")
+  }
+
   /** r5c: theta-sketch distinct UNION — |clickers ∪ purchasers| from the
     * same two KMV sketches [[aggDistinctIntersectKmv]] intersects: clip
     * both samples to the shared θ = min(θ_a, θ_b), count DISTINCT members

@@ -68,5 +68,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(ops.Joins.tsDownsampleLtob(emptyEvents).count() == 0)
     assert(Similarity.embBinarizeSign(emptyEmb).count() == 0)
     assert(Similarity.simSearchHammingTopk(emptyEmb).count() == 0)
+    // r5c3 batch
+    assert(Sessions.graphLinkJaccard(emptyEvents).count() == 0)
+    assert(ops.Aggs.statKsDrift(emptyEvents).count() == 0)
+    assert(ops.Aggs.statMannKendall(emptyEvents).count() == 0)
   }
 }

@@ -338,6 +338,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(q2 == Seq((0L, 2L), (1L, 3L)))
   }
 
+  test("link jaccard: non-adjacent pairs ranked by neighborhood overlap") {
+    // minutes: {1,2}, {1,3}, {2,4} -> edges (1,2),(1,3),(2,4)
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:10", 0.0),
+      (2L, "click", "2024-01-01 10:00:20", 0.0),
+      (1L, "click", "2024-01-01 10:01:05", 0.0),
+      (3L, "click", "2024-01-01 10:01:30", 0.0),
+      (2L, "click", "2024-01-01 10:02:00", 0.0),
+      (4L, "click", "2024-01-01 10:02:40", 0.0))
+    val out = Sessions.graphLinkJaccard(events).collect()
+    // candidates share a neighbor but are NOT edges: (1,4) via 2, (2,3) via 1
+    assert(out.map(r => (r.getAs[Long]("rn"), r.getAs[Long]("a"),
+      r.getAs[Long]("b"), r.getAs[Long]("common"), r.getAs[Long]("union_n"),
+      r.getAs[Double]("jaccard"))).toSeq
+      == Seq((1L, 1L, 4L, 1L, 2L, 0.5), (2L, 2L, 3L, 1L, 2L, 0.5)))
+  }
+
+  test("KS drift: max CDF gap via integer cross-multiply; one-sided class null") {
+    val events = ev(
+      (1L, "a", "2024-01-10 00:00:00", 1.0),
+      (2L, "a", "2024-01-10 01:00:00", 1.0),
+      (3L, "a", "2024-01-10 02:00:00", 2.0),
+      (4L, "a", "2024-01-20 00:00:00", 3.0),
+      (5L, "a", "2024-01-20 01:00:00", 3.0),
+      (6L, "b", "2024-01-10 00:00:00", 9.0),
+      (7L, "b", "2024-01-10 01:00:00", 9.0))
+    val out = Aggs.statKsDrift(events).collect()
+    val a = out.find(_.getAs[String]("event_type") == "a").get
+    // CDFs: at 1 -> (2/3, 0/2) gap 4; at 2 -> (3/3, 0/2) gap 6; at 3 -> 0
+    assert((a.getAs[Long]("n1"), a.getAs[Long]("n2"), a.getAs[Long]("ks_num"),
+      a.getAs[Double]("ks_d"), a.getAs[Double]("at_value"))
+      == ((3L, 2L, 6L, 1.0, 2.0)))
+    val b = out.find(_.getAs[String]("event_type") == "b").get
+    assert(b.getAs[Long]("n2") == 0L && b.isNullAt(b.fieldIndex("ks_d")))
+  }
+
+  test("Mann-Kendall: monotone series trends, all-tied series degenerates") {
+    val events = ev(
+      (1L, "m", "2024-01-01 12:00:00", 1.0),
+      (1L, "m", "2024-01-02 12:00:00", 2.0),
+      (1L, "m", "2024-01-03 12:00:00", 3.0),
+      (1L, "m", "2024-01-04 12:00:00", 4.0),
+      (1L, "m", "2024-01-05 12:00:00", 5.0),
+      (2L, "m", "2024-01-01 12:00:00", 7.0),
+      (2L, "m", "2024-01-02 12:00:00", 7.0),
+      (2L, "m", "2024-01-03 12:00:00", 7.0))
+    val out = Aggs.statMannKendall(events).collect()
+    val u1 = out.find(_.getAs[Long]("user_id") == 1L).get
+    assert((u1.getAs[Long]("n_days"), u1.getAs[Long]("s"),
+      u1.getAs[Long]("var18"), u1.getAs[String]("trend"))
+      == ((5L, 10L, 300L, "increasing")))
+    assert(u1.getAs[Double]("z") == 9.0 / math.sqrt(300.0 / 18.0))
+    val u2 = out.find(_.getAs[Long]("user_id") == 2L).get
+    assert((u2.getAs[Long]("s"), u2.getAs[Long]("var18"),
+      u2.getAs[String]("trend")) == ((0L, 0L, "no_trend")))
+    assert(u2.isNullAt(u2.fieldIndex("z")))
+  }
+
   test("audio fingerprint: delta signs pack LSB-first; short docs fp 0") {
     val docs = Seq(
       (1L, "a" * 32 + "b" * 32 + "a" * 32), // up, down -> bits 1,0 -> fp 1
