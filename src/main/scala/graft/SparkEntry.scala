@@ -139,6 +139,12 @@ object SparkEntry {
     "graph_link_jaccard"    -> ((s, d) => ext.Sessions.graphLinkJaccard(events(s, d))),
     "stat_ks_drift"         -> ((s, d) => Aggs.statKsDrift(events(s, d))),
     "stat_mann_kendall"     -> ((s, d) => Aggs.statMannKendall(events(s, d))),
+    "agg_rolling_distinct"  -> ((s, d) => Aggs.aggRollingDistinct(events(s, d))),
+    "union_schema_evolve"   -> ((s, d) => SetSort.unionSchemaEvolve(events(s, d))),
+    "window_position_profile" -> ((s, d) =>
+      Windows.windowPositionProfile(events(s, d))),
+    "text_rules_filter"     -> ((s, d) => ext.Text.textRulesFilter(documents(s, d))),
+    "agg_distinct_kmv_native" -> ((s, d) => Aggs.aggDistinctKmvNative(events(s, d))),
     "events_burst_users"    -> ((s, d) => ext.Sessions.eventsBurstUsers(events(s, d))),
     "dedup_normalized"      -> ((s, d) => ext.Dedup.dedupNormalized(documents(s, d))),
     "stat_benford"          -> ((s, d) => Aggs.statBenford(lineitem(s, d))),
@@ -380,6 +386,8 @@ object SparkEntry {
       "SELECT count(DISTINCT user_id) AS n_nodes, count(*) AS n_events FROM events",
     "agg_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events), tk AS (SELECT h FROM h ORDER BY h LIMIT 64) SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_distinct_hashed, CASE WHEN (SELECT count(*) FROM tk) < 64 THEN CAST((SELECT count(*) FROM h) AS DOUBLE) ELSE 63.0 / (SELECT max(h) FROM tk) END AS est_distinct""",
+    "agg_distinct_kmv_native" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events), tk AS (SELECT h FROM h ORDER BY h LIMIT 64), a AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS hk FROM tk) SELECT m, CASE WHEN m < 64 THEN 1.0 ELSE hk END AS theta, CASE WHEN m < 64 THEN CAST(m AS DOUBLE) ELSE 63.0 / hk END AS est_distinct FROM a""",
     "agg_salted_skew" ->
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_quantiles" ->
@@ -624,6 +632,14 @@ object SparkEntry {
       """WITH cells AS (SELECT event_type, value, CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS d1, CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS d2 FROM events WHERE value IS NOT NULL GROUP BY 1, 2), cdf AS (SELECT *, CAST(sum(d1) OVER (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1, CAST(sum(d2) OVER (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2, CAST(sum(d1) OVER (PARTITION BY event_type) AS BIGINT) AS n1, CAST(sum(d2) OVER (PARTITION BY event_type) AS BIGINT) AS n2 FROM cells), g AS (SELECT *, abs(c1 * n2 - c2 * n1) AS gap FROM cdf), r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gap DESC, value) AS rn FROM g) SELECT event_type, n1, n2, gap AS ks_num, CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE CAST(gap AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) END AS ks_d, value AS at_value FROM r WHERE rn = 1 ORDER BY event_type""",
     "stat_mann_kendall" ->
       """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS v FROM events WHERE value IS NOT NULL GROUP BY 1, 2), sp AS (SELECT l.user_id, CAST(SUM(CASE WHEN r.v > l.v THEN 1 WHEN r.v < l.v THEN -1 ELSE 0 END) AS BIGINT) AS s FROM daily l JOIN daily r ON l.user_id = r.user_id AND l.day < r.day GROUP BY 1), tg AS (SELECT user_id, v, count(*) AS t FROM daily GROUP BY 1, 2), ties AS (SELECT user_id, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18, CAST(SUM(t) AS BIGINT) AS n_days FROM tg GROUP BY 1), m AS (SELECT ties.user_id, n_days, COALESCE(sp.s, 0) AS s, n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18 FROM ties LEFT JOIN sp ON ties.user_id = sp.user_id), zc AS (SELECT *, CASE WHEN var18 = 0 THEN NULL WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0) WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0) ELSE 0.0 END AS z FROM m) SELECT user_id, n_days, s, var18, z, CASE WHEN z IS NULL OR abs(z) < 1.96 THEN 'no_trend' WHEN z > 0 THEN 'increasing' ELSE 'decreasing' END AS trend FROM zc ORDER BY user_id""",
+    "agg_rolling_distinct" ->
+      """WITH activity AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events), days AS (SELECT DISTINCT d AS obs FROM activity), fan AS (SELECT a.user_id, t.i, CAST(a.d + t.i * INTERVAL 1 DAY AS DATE) AS obs FROM activity a, (SELECT unnest(range(7)) AS i) t), j AS (SELECT f.user_id, f.i, f.obs FROM fan f JOIN days dd ON f.obs = dd.obs) SELECT strftime(obs, '%Y-%m-%d') AS day, CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS BIGINT) AS n_active_1d, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d, CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS DOUBLE) / CAST(count(DISTINCT user_id) AS DOUBLE) AS stickiness FROM j GROUP BY obs ORDER BY day""",
+    "union_schema_evolve" ->
+      """WITH u AS (SELECT event_id, ts, user_id, event_type, value FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' UNION ALL BY NAME SELECT event_id, ts, user_id, event_type, 2::BIGINT AS schema_ver FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') SELECT COALESCE(schema_ver, 1) AS schema_ver, count(*) AS n_rows, count(value) AS n_value_present, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM u GROUP BY 1 ORDER BY schema_ver""",
+    "window_position_profile" ->
+      """SELECT user_id, event_id, value, cume_dist() OVER w AS cume, nth_value(value, 2) OVER w AS second_value, lead(value, 2, -1.0) OVER w AS lead2_or_sentinel FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY user_id, event_id""",
+    "text_rules_filter" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), stats AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words, COALESCE(CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT), 0) AS sum_len FROM tok), topn AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_n FROM (SELECT doc_id, w, count(*) AS n FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2) GROUP BY 1), m AS (SELECT s.doc_id, s.n_words, s.sum_len, COALESCE(t2.top_n, 0) AS top_n FROM stats s LEFT JOIN topn t2 ON s.doc_id = t2.doc_id) SELECT doc_id, n_words, sum_len, top_n, CASE WHEN n_words < 5 THEN 'too_short' WHEN n_words > 5000 THEN 'too_long' WHEN sum_len < n_words * 3 THEN 'word_len_low' WHEN sum_len > n_words * 12 THEN 'word_len_high' WHEN top_n * 5 > n_words THEN 'repetitive' ELSE 'pass' END AS verdict FROM m ORDER BY doc_id""",
     "events_burst_users" ->
       s"""WITH bm AS (SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n FROM events GROUP BY 1, 2), pk AS (SELECT user_id, max(n) AS peak_per_minute FROM bm GROUP BY 1), fp AS (SELECT bm.user_id, pk.peak_per_minute, min(bm.minute) AS first_peak FROM bm JOIN pk ON bm.user_id = pk.user_id AND bm.n = pk.peak_per_minute GROUP BY 1, 2) SELECT user_id, peak_per_minute, strftime(first_peak, $TS0) AS first_peak_minute FROM fp WHERE peak_per_minute >= 4 ORDER BY user_id""",
     "stat_benford" ->

@@ -410,4 +410,43 @@ object Text {
           .as("cum_share_ppb"))
       .orderBy("rank")
   }
+
+  /** r5c4: Gopher-style rules filter with REASON CODES — the go/no-go
+    * gate every pretraining pipeline runs (C4 / Gopher / RefinedWeb
+    * heuristics), distinct from [[textQualityScore]]'s soft score: a
+    * document either passes or is dropped with its first failing rule
+    * named, because reject-reason histograms are how filter thresholds
+    * get tuned. Rules here are the length / mean-word-length /
+    * single-word-domination trio, each an INTEGER comparison
+    * (mean-word-length bounds ride cross-multiplies — `sum_len < 3·n`,
+    * never a rounded divide; domination is `5·top > n`, i.e. one token
+    * over 20 % of the doc). Plan: the per-doc length stats are map-side
+    * higher-order aggregates over the token array (no explode); only the
+    * top-token count needs the (doc, token) hash agg — the same shape as
+    * [[textTokenizeStats]] — and joins back LEFT so token-free docs
+    * still report (as too_short). All integers ⇒ hash-match. */
+  def textRulesFilter(documents: DataFrame): DataFrame = {
+    val stats = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_words"),
+        expr("aggregate(t, 0L, (a, w) -> a + length(w))").as("sum_len"),
+        col("t"))
+    val top = stats
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
+    stats.drop("t")
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("top_n", coalesce(col("top_n"), lit(0L)))
+      .withColumn("verdict",
+        when(col("n_words") < 5L, "too_short")
+          .when(col("n_words") > 5000L, "too_long")
+          .when(col("sum_len") < col("n_words") * 3L, "word_len_low")
+          .when(col("sum_len") > col("n_words") * 12L, "word_len_high")
+          .when(col("top_n") * 5L > col("n_words"), "repetitive")
+          .otherwise("pass"))
+      .select(col("doc_id"), col("n_words"), col("sum_len"), col("top_n"),
+        col("verdict"))
+      .orderBy("doc_id")
+  }
 }

@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vector_dot"), VectorDot.info, VectorDot.builder))
+    ext.injectFunction((FunctionIdentifier("kmv_distinct"), KmvDistinct.info, KmvDistinct.builder))
     // rewrite interpreted self-HOF dots (norms) into the codegen'd kernel
     ext.injectOptimizerRule(_ => graft.plans.RewriteSelfHofDot)
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Det._
@@ -60,10 +60,20 @@ object Aggs {
     * verifiable form; [[aggDistinctNodesApprox]] (HLL) remains the
     * shuffle-free scale path. Falls back to the exact count when fewer
     * than k distinct hashes exist. */
-  def aggDistinctKmv(events: DataFrame, k: Int = 64): DataFrame = {
-    val u64 = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 16), 16, 10)
+  /** The library's portable uniform-[0,1) hash: first 16 md5 hex digits
+    * as u64, scaled — exact deterministic arithmetic both engines
+    * reproduce (DuckDB: `('0x' || substr(md5(x), 1, 16))::UBIGINT::DOUBLE
+    * / 2^64`). Shared by the KMV query forms and the native
+    * [[graft.functions.KmvDistinct]] aggregate so their estimates are
+    * comparable sketch-for-sketch. */
+  private[graft] def kmvHash(c: Column): Column = {
+    val u64 = conv(substring(md5(c.cast("string").cast("binary")), 1, 16), 16, 10)
       .cast("decimal(38,0)").cast("double")
-    val h = events.select((u64 / lit(math.pow(2, 64))).as("h")).distinct()
+    u64 / lit(math.pow(2, 64))
+  }
+
+  def aggDistinctKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    val h = events.select(kmvHash(col("user_id")).as("h")).distinct()
     val topk = h.orderBy(col("h")).limit(k)
       .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
     val exact = h.agg(count(lit(1)).cast("long").as("n_distinct_hashed"))
@@ -72,6 +82,21 @@ object Aggs {
         when(col("m") < k, col("n_distinct_hashed").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("hk")).as("est_distinct"))
   }
+
+  /** A4, native-aggregate form: the same KMV estimator as
+    * [[aggDistinctKmv]] through the custom
+    * [[graft.functions.KmvDistinct]] TypedImperativeAggregate — ONE
+    * partial/final aggregation whose exchange carries ≤ k doubles per
+    * map task, where the query spelling shuffles every distinct hash to
+    * a single partition to sort it. This is the form that survives 100 TB
+    * (identical contract to `approx_count_distinct`, but with a portable
+    * estimator a DuckDB oracle rebuilds bit-for-bit — estimates agree
+    * with the query form sketch-for-sketch, proven in `KmvSketchSpec`). */
+  def aggDistinctKmvNative(events: DataFrame, k: Int = 64): DataFrame =
+    events.select(kmvHash(col("user_id")).as("h"))
+      .agg(graft.functions.KmvDistinct.kmv_distinct(col("h"), k).as("sk"))
+      .select(col("sk.m").as("m"), col("sk.theta").as("theta"),
+        col("sk.est_distinct").as("est_distinct"))
 
   /** Theta-sketch-style KMV INTERSECTION — approximate |clickers ∩
     * purchasers| from two k-minimum-values sketches, the set-operation
@@ -87,14 +112,12 @@ object Aggs {
     * Sketch frames are k rows per class; the sample join is bounded by k. */
   def aggDistinctIntersectKmv(events: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u64 = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 16), 16, 10)
-      .cast("decimal(38,0)").cast("double")
     val classes = Seq("click", "purchase")
     val hashed = events
       .filter(col("event_type").isin(classes: _*))
       .select(col("event_type"), col("user_id"))
       .distinct()
-      .select(col("event_type"), col("user_id"), (u64 / lit(math.pow(2, 64))).as("h"))
+      .select(col("event_type"), col("user_id"), kmvHash(col("user_id")).as("h"))
     val rn = row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h")))
     val ranked = hashed.withColumn("rn", rn)
     // per-class θ: the k-th smallest hash, or 1.0 when the class has
@@ -364,9 +387,7 @@ object Aggs {
     * oracle-checked — the sketch-with-a-hard-oracle pattern, vs
     * engine-specific approx_percentile which could only be rows-only. */
   def aggQuantilesSampled(events: DataFrame, fraction: Double = 0.1): DataFrame = {
-    val u64 = conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 16), 16, 10)
-      .cast("decimal(38,0)").cast("double")
-    discreteQuantiles(events.filter((u64 / lit(math.pow(2, 64))) < fraction),
+    discreteQuantiles(events.filter(kmvHash(col("event_id")) < fraction),
       "n_sample", "_est")
   }
 
@@ -1112,6 +1133,37 @@ object Aggs {
       .orderBy("digit")
   }
 
+  /** r5c4: trailing 7-day distinct users per day (rolling MAU) with the
+    * DAU/rolling-MAU stickiness ratio — the retention headline metric.
+    * Rolling COUNT DISTINCT can't slide like a sum (distinct doesn't
+    * subtract), so the scalable form is the fan-out: each (user, day)
+    * activity fact contributes to the 7 observation days it covers —
+    * a map-side ×7 Generate on the ALREADY-COLLAPSED per-day activity
+    * frame (≤ users × days rows, tiny vs the event scan), then ONE
+    * distinct agg per observation day. Work is 7× activity, not 7× the
+    * fact table, and each day is computed exactly — no sketch error, no
+    * window-state blowup. Observation days are inner-joined to real
+    * activity days (the broadcast dim) so the fan-out past the data's
+    * edge never fabricates trailing days. All integers + one divide. */
+  def aggRollingDistinct(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val days = activity.select(col("d").as("obs")).distinct()
+    activity
+      .withColumn("i", explode(sequence(lit(0), lit(windowDays - 1))))
+      .withColumn("obs", date_add(col("d"), col("i")))
+      .join(broadcast(days), Seq("obs"))
+      .groupBy(col("obs"))
+      .agg(countDistinct(col("user_id")).as("n_active_7d"),
+        countDistinct(when(col("i") === 0, col("user_id"))).as("n_active_1d"))
+      .select(date_format(col("obs"), "yyyy-MM-dd").as("day"),
+        col("n_active_1d"), col("n_active_7d"),
+        (col("n_active_1d").cast("double") /
+          col("n_active_7d").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** r5c3: two-sample Kolmogorov–Smirnov drift test per event class —
     * "did the value distribution shift between the first and second half
     * of the window?", the distribution-level screen next to
@@ -1213,14 +1265,12 @@ object Aggs {
     * Sketch frames are k rows per class — driver-safe at any scale. */
   def aggDistinctUnionKmv(events: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u64 = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 16), 16, 10)
-      .cast("decimal(38,0)").cast("double")
     val classes = Seq("click", "purchase")
     val hashed = events
       .filter(col("event_type").isin(classes: _*))
       .select(col("event_type"), col("user_id"))
       .distinct()
-      .select(col("event_type"), col("user_id"), (u64 / lit(math.pow(2, 64))).as("h"))
+      .select(col("event_type"), col("user_id"), kmvHash(col("user_id")).as("h"))
     val rn = row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h")))
     val ranked = hashed.withColumn("rn", rn)
     val thetas = ranked.groupBy(col("event_type"))

@@ -86,4 +86,32 @@ object SetSort {
   def intersectAllClickPurchaseHours(events: DataFrame): DataFrame =
     userHours(events, "click").intersectAll(userHours(events, "purchase"))
       .orderBy("user_id", "hour_s")
+
+  /** r5c4: schema-evolution union — the read path every long-lived lake
+    * table needs: file generations written before a column existed (or
+    * after one was dropped) must union with current ones, nulls filling
+    * the gaps BY NAME, never by position (positional union silently
+    * misaligns when a middle column appears). Simulated here with two
+    * generations split at a cutoff: gen-1 carries `value` but predates
+    * `schema_ver`; gen-2 dropped `value` and added `schema_ver`.
+    * `unionByName(allowMissingColumns = true)` is the Spark spelling
+    * (DuckDB: UNION ALL BY NAME); the per-generation census proves which
+    * columns each generation actually populated. Pure counts ⇒
+    * hash-match; the union adds no shuffle (both legs stay partition-
+    * local under the same scan). */
+  def unionSchemaEvolve(events: DataFrame,
+                        cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val gen1 = events.filter(col("ts") < cut)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val gen2 = events.filter(col("ts") >= cut)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("schema_ver", lit(2L))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy(coalesce(col("schema_ver"), lit(1L)).as("schema_ver"))
+      .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value_present"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("schema_ver")
+  }
 }

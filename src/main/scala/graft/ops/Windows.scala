@@ -309,4 +309,23 @@ object Windows {
           .as("pct_change"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** r5c4: positional window profile — the remaining ANSI window catalogue
+    * in one declared query: `cume_dist` (fraction of the partition at or
+    * before this row), `nth_value` (the partition's 2nd value, null until
+    * it enters the frame), and `lead` with an explicit default (the
+    * sentinel form — the other lag/lead queries use the null form). The
+    * ordering key (ts, event_id) is a total order, so the default
+    * RANGE-to-current frame equals ROWS-to-current in both engines and
+    * cume_dist is exactly rank/n — one correctly-rounded divide. One
+    * shuffle on user_id; all three functions share the single sort. */
+  def windowPositionProfile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("value"), 2).over(w).as("second_value"),
+        lead(col("value"), 2, -1.0).over(w).as("lead2_or_sentinel"))
+      .orderBy("user_id", "event_id")
+  }
 }

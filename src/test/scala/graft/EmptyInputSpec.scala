@@ -72,5 +72,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sessions.graphLinkJaccard(emptyEvents).count() == 0)
     assert(ops.Aggs.statKsDrift(emptyEvents).count() == 0)
     assert(ops.Aggs.statMannKendall(emptyEvents).count() == 0)
+    // r5c4 batch
+    assert(ops.Aggs.aggRollingDistinct(emptyEvents).count() == 0)
+    assert(ops.SetSort.unionSchemaEvolve(emptyEvents).count() == 0)
+    assert(ops.Windows.windowPositionProfile(emptyEvents).count() == 0)
+    assert(Text.textRulesFilter(emptyDocs).count() == 0)
+    // empty-input sketch reports zero exactly (global agg emits one row)
+    val kmv = ops.Aggs.aggDistinctKmvNative(emptyEvents).collect()
+    assert(kmv.length == 1 && kmv(0).getAs[Long]("m") == 0L &&
+      kmv(0).getAs[Double]("theta") == 1.0 &&
+      kmv(0).getAs[Double]("est_distinct") == 0.0)
   }
 }

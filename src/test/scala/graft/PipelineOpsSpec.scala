@@ -396,6 +396,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(u2.isNullAt(u2.fieldIndex("z")))
   }
 
+  test("rolling distinct: fan-out credits each activity to 7 trailing days") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, "click", "2024-01-01 11:00:00", 0.0),
+      (2L, "click", "2024-01-02 10:00:00", 0.0),
+      (3L, "click", "2024-01-09 10:00:00", 0.0)) // outside day-1/2 windows
+    val out = Aggs.aggRollingDistinct(events).collect()
+    assert(out.map(r => (r.getAs[String]("day"), r.getAs[Long]("n_active_1d"),
+      r.getAs[Long]("n_active_7d"))).toSeq
+      == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 2L),
+             ("2024-01-09", 1L, 1L)))
+  }
+
+  test("schema-evolution union aligns by name and fills nulls") {
+    val events = ev(
+      (1L, "click", "2024-01-10 00:00:00", 1.0),
+      (2L, "click", "2024-01-10 01:00:00", 2.0),
+      (1L, "click", "2024-01-20 00:00:00", 3.0),
+      (3L, "click", "2024-01-20 01:00:00", 4.0),
+      (3L, "click", "2024-01-20 02:00:00", 5.0))
+    val out = graft.ops.SetSort.unionSchemaEvolve(events).collect()
+    assert(out.map(r => (r.getAs[Long]("schema_ver"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("n_value_present"), r.getAs[Long]("n_users"))).toSeq
+      == Seq((1L, 2L, 2L, 2L), (2L, 3L, 0L, 2L)))
+  }
+
+  test("position profile: cume_dist, nth_value frame entry, lead sentinel") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 10.0),
+      (1L, "click", "2024-01-01 11:00:00", 20.0),
+      (1L, "click", "2024-01-01 12:00:00", 30.0))
+    val out = graft.ops.Windows.windowPositionProfile(events).collect()
+    assert(out.map(_.getAs[Double]("cume")).toSeq == Seq(1.0 / 3, 2.0 / 3, 1.0))
+    assert(out(0).isNullAt(out(0).fieldIndex("second_value")))
+    assert(out(1).getAs[Double]("second_value") == 20.0 &&
+      out(2).getAs[Double]("second_value") == 20.0)
+    assert(out.map(_.getAs[Double]("lead2_or_sentinel")).toSeq
+      == Seq(30.0, -1.0, -1.0))
+  }
+
+  test("rules filter: first failing rule names the reject reason") {
+    val docs = Seq(
+      (1L, "a b"),                                    // 2 words -> too_short
+      (2L, "alpha beta gamma delta epsilon zeta"),    // clean -> pass
+      (3L, "spam spam spam spam words here now ok"),  // 4/8 -> repetitive
+      (4L, "a b c d e f g h i j"),                    // mean len 1 -> word_len_low
+      (5L, "extraordinarily incomprehensibilities " +
+        "uncharacteristically institutionalization " +
+        "countercountermeasure")                      // mean len > 12 -> high
+    ).toDF("doc_id", "text")
+    val out = Text.textRulesFilter(docs).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"))).toSeq
+      == Seq((1L, "too_short"), (2L, "pass"), (3L, "repetitive"),
+             (4L, "word_len_low"), (5L, "word_len_high")))
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_words") == 8L && d3.getAs[Long]("top_n") == 4L)
+  }
+
   test("audio fingerprint: delta signs pack LSB-first; short docs fp 0") {
     val docs = Seq(
       (1L, "a" * 32 + "b" * 32 + "a" * 32), // up, down -> bits 1,0 -> fp 1
