@@ -59,6 +59,33 @@ class KmvSketchSpec extends SparkSpec {
     assert(!plan.contains("Sort"), "no global hash sort in the native form")
   }
 
+  test("sketch aggregates incrementally under streaming state, batch-equal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val spark2 = spark
+    import spark2.implicits._
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.select(graft.ops.Aggs.kmvHash(col("value")).as("h"))
+        .agg(kmv_distinct(col("h"), 16).as("sk"))
+        .select(col("sk.m").as("m"), col("sk.est_distinct").as("est"))
+    val input = MemoryStream[Long]
+    val q = sketch(input.toDF()).writeStream.format("memory")
+      .queryName("kmv_stream").outputMode("complete").start()
+    try {
+      input.addData(1L to 10L: _*)
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT * FROM kmv_stream").collect()(0)
+      assert(r1.getAs[Long]("m") == 10L && r1.getAs[Double]("est") == 10.0)
+      // second batch overlaps the first: the STATE must dedup and re-trim
+      input.addData(5L to 30L: _*)
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT * FROM kmv_stream").collect()(0)
+      val batch = sketch((1L to 30L).toDF("value")).collect()(0)
+      assert(r2.getAs[Long]("m") == batch.getAs[Long]("m") &&
+        r2.getAs[Double]("est") == batch.getAs[Double]("est"))
+    } finally q.stop()
+  }
+
   test("SQL registration: kmv_distinct callable from spark.sql") {
     graft.functions.VectorDot.register(spark) // same session-injection path
     spark.sessionState.functionRegistry.registerFunction(
