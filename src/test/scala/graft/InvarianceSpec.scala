@@ -309,4 +309,40 @@ class InvarianceSpec extends SparkSpec {
     val t13 = rows(graft.ext.Sessions.graphTriangles(events.repartition(13)))
     assert(t1 == t13)
   }
+
+  test("r5c2-c4 batch is partitioning-independent") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // benford digits / KS gaps / MK sign sums: pure integer aggregation
+    assert(rows(Aggs.statBenford(li.coalesce(1))) ==
+      rows(Aggs.statBenford(li.repartition(13))))
+    assert(rows(Aggs.statKsDrift(events.coalesce(1))) ==
+      rows(Aggs.statKsDrift(events.repartition(13))))
+    assert(rows(Aggs.statMannKendall(events.coalesce(1))) ==
+      rows(Aggs.statMannKendall(events.repartition(13))))
+    // LTOB: exact integer centroids, total-order area ranks
+    assert(rows(graft.ops.Joins.tsDownsampleLtob(events.coalesce(1))) ==
+      rows(graft.ops.Joins.tsDownsampleLtob(events.repartition(13))))
+    assert(rows(graft.ops.Joins.snapshotUpsert(events.coalesce(1))) ==
+      rows(graft.ops.Joins.snapshotUpsert(events.repartition(13))))
+    // sign signatures + integer hamming ranks
+    assert(rows(graft.ext.Similarity.simSearchHammingTopk(emb.coalesce(1))) ==
+      rows(graft.ext.Similarity.simSearchHammingTopk(emb.repartition(13))))
+    // link prediction: integer common/union counts; memoized edges cleared
+    Dedup.clearSharedCache(spark)
+    val j1 = rows(graft.ext.Sessions.graphLinkJaccard(events.coalesce(1)))
+    Dedup.clearSharedCache(spark)
+    val j13 = rows(graft.ext.Sessions.graphLinkJaccard(events.repartition(13)))
+    assert(j1 == j13)
+    // rolling distinct, schema union, position profile, rules filter
+    assert(rows(Aggs.aggRollingDistinct(events.coalesce(1))) ==
+      rows(Aggs.aggRollingDistinct(events.repartition(13))))
+    assert(rows(graft.ops.SetSort.unionSchemaEvolve(events.coalesce(1))) ==
+      rows(graft.ops.SetSort.unionSchemaEvolve(events.repartition(13))))
+    assert(rows(graft.ops.Windows.windowPositionProfile(events.coalesce(1))) ==
+      rows(graft.ops.Windows.windowPositionProfile(events.repartition(13))))
+    val d = docs
+    assert(rows(Text.textRulesFilter(d.coalesce(1))) ==
+      rows(Text.textRulesFilter(d.repartition(13))))
+  }
 }
