@@ -145,6 +145,7 @@ object SparkEntry {
       Windows.windowPositionProfile(events(s, d))),
     "text_rules_filter"     -> ((s, d) => ext.Text.textRulesFilter(documents(s, d))),
     "agg_distinct_kmv_native" -> ((s, d) => Aggs.aggDistinctKmvNative(events(s, d))),
+    "stat_tukey_outliers"   -> ((s, d) => Aggs.statTukeyOutliers(events(s, d))),
     "events_burst_users"    -> ((s, d) => ext.Sessions.eventsBurstUsers(events(s, d))),
     "dedup_normalized"      -> ((s, d) => ext.Dedup.dedupNormalized(documents(s, d))),
     "stat_benford"          -> ((s, d) => Aggs.statBenford(lineitem(s, d))),
@@ -386,6 +387,8 @@ object SparkEntry {
       "SELECT count(DISTINCT user_id) AS n_nodes, count(*) AS n_events FROM events",
     "agg_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events), tk AS (SELECT h FROM h ORDER BY h LIMIT 64) SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_distinct_hashed, CASE WHEN (SELECT count(*) FROM tk) < 64 THEN CAST((SELECT count(*) FROM h) AS DOUBLE) ELSE 63.0 / (SELECT max(h) FROM tk) END AS est_distinct""",
+    "stat_tukey_outliers" ->
+      """WITH b AS (SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL), c AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM b), f0 AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n, max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS q1, max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN value END) AS q3 FROM c GROUP BY 1), f AS (SELECT event_type, n, q1, q3, q1 - 1.5 * (q3 - q1) AS lo_fence, q3 + 1.5 * (q3 - q1) AS hi_fence FROM f0) SELECT b.event_type, max(f.n) AS n, max(f.q1) AS q1, max(f.q3) AS q3, max(f.lo_fence) AS lo_fence, max(f.hi_fence) AS hi_fence, CAST(SUM(CASE WHEN b.value < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low, CAST(SUM(CASE WHEN b.value > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high, CAST(CAST(SUM(CASE WHEN b.value < f.lo_fence OR b.value > f.hi_fence THEN 1 ELSE 0 END) AS HUGEINT) * 1000000000 // CAST(max(f.n) AS HUGEINT) AS BIGINT) AS outlier_ppb FROM b JOIN f ON b.event_type = f.event_type GROUP BY 1 ORDER BY 1""",
     "agg_distinct_kmv_native" ->
       """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events), tk AS (SELECT h FROM h ORDER BY h LIMIT 64), a AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS hk FROM tk) SELECT m, CASE WHEN m < 64 THEN 1.0 ELSE hk END AS theta, CASE WHEN m < 64 THEN CAST(m AS DOUBLE) ELSE 63.0 / hk END AS est_distinct FROM a""",
     "agg_salted_skew" ->

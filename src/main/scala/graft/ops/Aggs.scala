@@ -1133,6 +1133,42 @@ object Aggs {
       .orderBy("digit")
   }
 
+  /** r5c5: Tukey IQR-fence outlier census per event class — the
+    * box-plot rule (outside q1 − 1.5·IQR / q3 + 1.5·IQR), completing the
+    * robust-outlier family: [[graft.ops.Windows.windowMadHours]] flags
+    * rows, `clean_winsorize` clips them, this one REPORTS per-class
+    * counts — the data-quality summary a pipeline alerts on. Quartiles
+    * are exact order statistics (the [[aggQuantiles]] contract: rank
+    * window + selection, no interpolation ambiguity); fences are a fixed
+    * 3-op correctly-rounded double chain mirrored verbatim in the
+    * oracle; the census is conditional integer sums after broadcasting
+    * the classes×7 fence frame back over the scan. Outlier rate rides as
+    * integer parts-per-billion (the `corpus_mix_report` lesson: never
+    * ship an engine-rendered derived double when integer division
+    * exists). */
+  def statTukeyOutliers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.filter(col("value").isNotNull)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val counted = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def at(q: Double) = max(when(col("rn") === ceil(col("n") * q), col("value")))
+    val fences = counted.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), at(0.25).as("q1"), at(0.75).as("q3"))
+      .withColumn("lo_fence", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi_fence", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    base.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("lo_fence")).as("lo_fence"), max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("value") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+      .withColumn("outlier_ppb",
+        expr("CAST((n_low + n_high) AS DECIMAL(38,0)) * 1000000000 DIV n").cast("long"))
+      .orderBy("event_type")
+  }
+
   /** r5c4: trailing 7-day distinct users per day (rolling MAU) with the
     * DAU/rolling-MAU stickiness ratio — the retention headline metric.
     * Rolling COUNT DISTINCT can't slide like a sum (distinct doesn't

@@ -77,6 +77,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(ops.SetSort.unionSchemaEvolve(emptyEvents).count() == 0)
     assert(ops.Windows.windowPositionProfile(emptyEvents).count() == 0)
     assert(Text.textRulesFilter(emptyDocs).count() == 0)
+    assert(ops.Aggs.statTukeyOutliers(emptyEvents).count() == 0)
     // empty-input sketch reports zero exactly (global agg emits one row)
     val kmv = ops.Aggs.aggDistinctKmvNative(emptyEvents).collect()
     assert(kmv.length == 1 && kmv(0).getAs[Long]("m") == 0L &&

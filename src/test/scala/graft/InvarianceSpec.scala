@@ -344,5 +344,7 @@ class InvarianceSpec extends SparkSpec {
     val d = docs
     assert(rows(Text.textRulesFilter(d.coalesce(1))) ==
       rows(Text.textRulesFilter(d.repartition(13))))
+    assert(rows(Aggs.statTukeyOutliers(events.coalesce(1))) ==
+      rows(Aggs.statTukeyOutliers(events.repartition(13))))
   }
 }

@@ -454,6 +454,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d3.getAs[Long]("n_words") == 8L && d3.getAs[Long]("top_n") == 4L)
   }
 
+  test("tukey fences: exact quartiles, spike counted, ppb rate") {
+    val rows = (1 to 20).map(i => (1L, "a", f"2024-01-01 10:${i}%02d:00", i.toDouble)) :+
+      ((1L, "a", "2024-01-01 11:00:00", 100.0))
+    val out = graft.ops.Aggs.statTukeyOutliers(ev(rows: _*)).collect()(0)
+    // n=21: q1 = 6th value = 6, q3 = 16th = 16, fences -9 / 31
+    assert((out.getAs[Long]("n"), out.getAs[Double]("q1"), out.getAs[Double]("q3"),
+      out.getAs[Double]("lo_fence"), out.getAs[Double]("hi_fence"),
+      out.getAs[Long]("n_low"), out.getAs[Long]("n_high"))
+      == ((21L, 6.0, 16.0, -9.0, 31.0, 0L, 1L)))
+    assert(out.getAs[Long]("outlier_ppb") == 1000000000L / 21L)
+  }
+
   test("audio fingerprint: delta signs pack LSB-first; short docs fp 0") {
     val docs = Seq(
       (1L, "a" * 32 + "b" * 32 + "a" * 32), // up, down -> bits 1,0 -> fp 1
