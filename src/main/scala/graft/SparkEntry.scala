@@ -146,6 +146,14 @@ object SparkEntry {
     "text_rules_filter"     -> ((s, d) => ext.Text.textRulesFilter(documents(s, d))),
     "agg_distinct_kmv_native" -> ((s, d) => Aggs.aggDistinctKmvNative(events(s, d))),
     "stat_tukey_outliers"   -> ((s, d) => Aggs.statTukeyOutliers(events(s, d))),
+    "text_hashed_features"  -> ((s, d) => ext.Text.textHashedFeatures(documents(s, d))),
+    "text_readability"      -> ((s, d) => ext.Text.textReadability(documents(s, d))),
+    "corpus_temperature_mix" -> ((s, d) =>
+      ext.CorpusPrep.corpusTemperatureMix(documents(s, d))),
+    "events_attribution_linear" -> ((s, d) =>
+      ext.Sessions.eventsAttributionLinear(events(s, d))),
+    "multimodal_keyframe_select" -> ((s, d) =>
+      ext.Multimodal.multimodalKeyframeSelect(documents(s, d))),
     "events_burst_users"    -> ((s, d) => ext.Sessions.eventsBurstUsers(events(s, d))),
     "dedup_normalized"      -> ((s, d) => ext.Dedup.dedupNormalized(documents(s, d))),
     "stat_benford"          -> ((s, d) => Aggs.statBenford(lineitem(s, d))),
@@ -391,6 +399,16 @@ object SparkEntry {
       """WITH b AS (SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL), c AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM b), f0 AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n, max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS q1, max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN value END) AS q3 FROM c GROUP BY 1), f AS (SELECT event_type, n, q1, q3, q1 - 1.5 * (q3 - q1) AS lo_fence, q3 + 1.5 * (q3 - q1) AS hi_fence FROM f0) SELECT b.event_type, max(f.n) AS n, max(f.q1) AS q1, max(f.q3) AS q3, max(f.lo_fence) AS lo_fence, max(f.hi_fence) AS hi_fence, CAST(SUM(CASE WHEN b.value < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low, CAST(SUM(CASE WHEN b.value > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high, CAST(CAST(SUM(CASE WHEN b.value < f.lo_fence OR b.value > f.hi_fence THEN 1 ELSE 0 END) AS HUGEINT) * 1000000000 // CAST(max(f.n) AS HUGEINT) AS BIGINT) AS outlier_ppb FROM b JOIN f ON b.event_type = f.event_type GROUP BY 1 ORDER BY 1""",
     "agg_distinct_kmv_native" ->
       """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events), tk AS (SELECT h FROM h ORDER BY h LIMIT 64), a AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS hk FROM tk) SELECT m, CASE WHEN m < 64 THEN 1.0 ELSE hk END AS theta, CASE WHEN m < 64 THEN CAST(m AS DOUBLE) ELSE 63.0 / hk END AS est_distinct FROM a""",
+    "text_hashed_features" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), b AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 2))::INT AS BIGINT) AS bucket FROM tok), g AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2) SELECT doc_id, bucket, n, CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_tokens, CAST(CAST(n AS HUGEINT) * 1000000000 // CAST(sum(n) OVER (PARTITION BY doc_id) AS HUGEINT) AS BIGINT) AS tf_ppb FROM g ORDER BY doc_id, bucket""",
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id, greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT), 1) AS n_words, greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences, greatest(CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT), 1) AS n_syllables FROM documents) SELECT doc_id, n_words, n_sentences, n_syllables, 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch FROM c ORDER BY doc_id""",
+    "corpus_temperature_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1), w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight FROM s), wt AS (SELECT source, n_docs, weight, CAST(SUM(CAST(weight AS DECIMAL(28,6))) OVER () AS DOUBLE) AS w_total FROM w), q AS (SELECT source, n_docs, weight, w_total, 10000.0 * weight / w_total AS ex, floor(10000.0 * weight / w_total) AS fl FROM wt), r AS (SELECT *, ex - fl AS rem, CAST(sum(CAST(fl AS BIGINT)) OVER () AS BIGINT) AS tot_fl, row_number() OVER (ORDER BY (ex - fl) DESC, source) AS rk FROM q) SELECT source, n_docs, weight, CAST(floor(weight * 1000000000.0 / w_total) AS BIGINT) AS share_ppb, CAST(fl AS BIGINT) + CASE WHEN rk <= 10000 - tot_fl THEN 1 ELSE 0 END AS alloc_docs FROM r ORDER BY source""",
+    "events_attribution_linear" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase'), tch AS (SELECT user_id, ts AS t_ts, event_type AS touch_type FROM events WHERE event_type IN ('click', 'view')), j AS (SELECT p.p_id, p.p_value, t.t_ts, t.touch_type FROM p LEFT JOIN tch t ON p.user_id = t.user_id AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY), c AS (SELECT p_id, p_value, t_ts, touch_type, count(t_ts) OVER (PARTITION BY p_id) AS n_touches FROM j) SELECT coalesce(touch_type, '(unattributed)') AS touch_type, count(*) AS n_credits, CAST(SUM(CAST(CASE WHEN t_ts IS NOT NULL THEN p_value / CAST(n_touches AS DOUBLE) ELSE p_value END AS DECIMAL(28,6))) AS DOUBLE) AS revenue FROM c GROUP BY 1 ORDER BY 1""",
+    "multimodal_keyframe_select" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), f AS (SELECT doc_id, i // 64 AS frame_no, count(*) AS cnt, sum(byte) AS s FROM b GROUP BY 1, 2), act AS (SELECT doc_id, frame_no, CAST(s AS DOUBLE) / 255.0 AS energy FROM f WHERE cnt = 64 AND CAST(s AS DOUBLE) / 255.0 > 23.7), isl AS (SELECT doc_id, frame_no, energy, frame_no - row_number() OVER (PARTITION BY doc_id ORDER BY frame_no) AS island FROM act), k AS (SELECT doc_id, island, frame_no, energy, min(frame_no) OVER (PARTITION BY doc_id, island) AS seg_start, max(frame_no) OVER (PARTITION BY doc_id, island) AS seg_end, row_number() OVER (PARTITION BY doc_id, island ORDER BY energy DESC, frame_no) AS rk FROM isl) SELECT doc_id, CAST(seg_start AS BIGINT) AS seg_start, CAST(seg_end AS BIGINT) AS seg_end, CAST(frame_no AS BIGINT) AS keyframe_no, energy AS key_energy FROM k WHERE rk = 1 ORDER BY doc_id, seg_start""",
     "agg_salted_skew" ->
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "agg_quantiles" ->

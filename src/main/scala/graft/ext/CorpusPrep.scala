@@ -199,4 +199,43 @@ object CorpusPrep {
       .select(col("rank"), col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
       .orderBy("rank")
   }
+
+  /** r5c6: temperature-sampled source mixing — the multinomial
+    * re-weighting every multilingual / multi-source pretraining run uses
+    * (α < 1 upsamples small sources, the "temperature sampling" of the
+    * mBERT/XLM-R lineage): weight_i = n_i^α with α = 1/2, realized as
+    * `sqrt` — IEEE-754 requires sqrt correctly rounded, so the weights
+    * are bit-identical across engines, the one power that is (general
+    * `pow` is libm-dependent and systematically avoided here). The
+    * weight total rides the [[graft.Det.dsum]] decimal contract
+    * (order-independent), divisions are a fixed op chain, and the doc
+    * budget is apportioned by LARGEST REMAINDER (floor quotas, then +1
+    * to the biggest fractional parts, ties by source name) so the
+    * allocations sum to the budget EXACTLY — a data card with quotas
+    * that don't add up is a bug report waiting. Plan: one partial/final
+    * agg over the scan; everything after touches only the
+    * sources-bounded frame (windows over ≤ a handful of rows — the
+    * weight total is an all-partition window on that frame, the
+    * [[corpusMixReport]] pattern, never a join). */
+  def corpusTemperatureMix(documents: DataFrame, budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcW = Window.partitionBy()
+    val quota = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", sqrt(col("n_docs").cast("double")))
+      .withColumn("w_total",
+        sum(col("weight").cast("decimal(28,6)")).over(srcW).cast("double"))
+      .withColumn("exact", lit(budget.toDouble) * col("weight") / col("w_total"))
+      .withColumn("fl", floor(col("exact")).cast("long"))
+      .withColumn("rem", col("exact") - floor(col("exact")))
+    quota
+      .withColumn("deficit", lit(budget) - sum(col("fl")).over(srcW))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("weight"),
+        expr("CAST(floor(weight * 1000000000.0 / w_total) AS BIGINT)").as("share_ppb"),
+        (col("fl") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc_docs"))
+      .orderBy("source")
+  }
 }

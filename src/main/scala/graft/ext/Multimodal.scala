@@ -275,4 +275,45 @@ object Multimodal {
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .orderBy("doc_id")
   }
+
+  /** r5c6: keyframe selection — for each [[multimodalVadSegments]]-style
+    * active shot, keep the single highest-energy frame (ties to the
+    * earliest frame number): the thumbnail/representative-frame pass a
+    * video-training pipeline runs after shot detection so downstream
+    * encoders see one frame per shot instead of every frame. Reuses the
+    * identical segmentation contract (64-byte complete frames, exact
+    * integer byte-sum / 255 energies, threshold compare, gaps-and-
+    * islands) so shots here and segments there can never disagree; the
+    * argmax is one rank over the (doc, island) key — energies are exact
+    * dyadic rationals, so the desc compare lands identically in DuckDB.
+    * A real decoder swaps into the frame kernel; the shot→argmax plan —
+    * the part that must scale — is unchanged. */
+  def multimodalKeyframeSelect(documents: DataFrame, frameBytes: Int = 64,
+                               threshold: Double = 23.7): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val frames = frameSampleStub(asMedia(documents), frameBytes, everyNth = 1)
+      .map { r =>
+        val fno = r.media_type.substring(r.media_type.indexOf("frame=") + 6).toLong
+        var s = 0L
+        r.content.foreach(b => s += (b & 0xFF).toLong)
+        (r.doc_id, fno, s / 255.0, r.content.length)
+      }
+      .toDF("doc_id", "frame_no", "energy", "n_bytes")
+      .filter(col("n_bytes") === frameBytes)
+    val order = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val active = frames
+      .filter(col("energy") > threshold)
+      .withColumn("island", col("frame_no") - row_number().over(order))
+    val shot = Window.partitionBy(col("doc_id"), col("island"))
+    active
+      .withColumn("seg_start", min(col("frame_no")).over(shot))
+      .withColumn("seg_end", max(col("frame_no")).over(shot))
+      .withColumn("rk", row_number().over(
+        shot.orderBy(col("energy").desc, col("frame_no"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("frame_no").as("keyframe_no"), col("energy").as("key_energy"))
+      .orderBy("doc_id", "seg_start")
+  }
 }

@@ -470,4 +470,42 @@ object Sessions {
         fmtTsSec(col("first_peak")).as("first_peak_minute"))
       .orderBy("user_id")
   }
+
+  /** r5c6: linear multi-touch attribution — split each purchase's value
+    * equally across the user's click/view touches in the preceding 7
+    * days (the marketing-analytics dual of the asof family:
+    * `join_asof_nearest` is last-touch, this credits EVERY touch).
+    * Purchases with no preceding touch report whole under
+    * '(unattributed)' so the attributed total always reconciles to
+    * gross revenue — an attribution report that doesn't is unusable.
+    * Plan: purchases×touches is a per-user equi-join with the 7-day
+    * range predicate IN the join condition (non-qualifying pairs die at
+    * the join, and an unmatched purchase surfaces as exactly one
+    * null-touch row — no carrier-row bookkeeping), touch counts ride
+    * one window keyed by the purchase event, credit is one double
+    * divide (deterministic given value and n), and per-type totals go
+    * through the [[graft.Det.dsum]] decimal contract so summation order
+    * can't smear the last ulp. */
+  def eventsAttributionLinear(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val touches = events.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_type").as("touch_type"))
+    val cond = col("p_user") === col("t_user") &&
+      col("t_ts") < col("p_ts") &&
+      col("t_ts") >= col("p_ts") - expr(s"INTERVAL $windowDays DAYS")
+    purchases.join(touches, cond, "left_outer")
+      .withColumn("n_touches",
+        count(col("t_ts")).over(Window.partitionBy(col("p_id"))))
+      .select(
+        coalesce(col("touch_type"), lit("(unattributed)")).as("touch_type"),
+        when(col("t_ts").isNotNull,
+          col("p_value") / col("n_touches").cast("double"))
+          .otherwise(col("p_value")).as("credit"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), dsum(col("credit")).as("revenue"))
+      .orderBy("touch_type")
+  }
 }

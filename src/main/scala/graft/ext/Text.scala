@@ -449,4 +449,62 @@ object Text {
         col("verdict"))
       .orderBy("doc_id")
   }
+
+  /** r5c6: the hashing trick — fixed-width featurization without a
+    * vocabulary. Every token maps to bucket = first md5 byte (256-dim
+    * feature space), so the featurizer needs NO vocabulary broadcast, no
+    * fit pass, and no OOV handling — the property that makes it the
+    * default text featurizer at corpus scale (a vocabulary join would be
+    * a second shuffle and a fit dependency). Output is the sparse
+    * (doc, bucket, count) matrix plus the per-doc term-frequency share
+    * as integer parts-per-billion (never an engine-rendered derived
+    * double). Plan: one map-side Generate fan-out, one (doc, bucket)
+    * hash agg; the per-doc total rides a bounded integer window (≤256
+    * rows per doc), no second scan. */
+  def textHashedFeatures(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("token").cast("binary")), 1, 2), 16, 10)
+          .cast("long").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("doc_tokens",
+        sum(col("n")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("tf_ppb",
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000000 DIV doc_tokens").cast("long"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** r5c6: Flesch-style readability — the classic quality signal a
+    * pretraining filter reads next to [[textQualityScore]]'s heuristics
+    * (readability bands are how "too simple / too dense" corpus slices
+    * get routed to different mixes). All three inputs are INTEGER
+    * counts from character-class regexes that parse identically in Java
+    * regex and DuckDB's RE2: words = `[a-z0-9]+` runs (the shared
+    * [[tokens]] contract), sentences = `[.!?]+` runs, syllables ≈
+    * `[aeiou]+` vowel groups (the standard syllable proxy — bounded
+    * ±1 per word vs dictionary syllabification, and engine-exact where
+    * a dictionary is not). The score is one fixed 5-op double chain
+    * (206.835 − 1.015·W/S − 84.6·Syl/W) mirrored verbatim in the
+    * oracle; zero-word / zero-sentence docs are floored to 1 to keep
+    * the chain total. Pure map-side projection — no shuffle but the
+    * output sort. */
+  def textReadability(documents: DataFrame): DataFrame = {
+    val nWords = greatest(size(tokens(col("text"))).cast("long"), lit(1L))
+    val nSent = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val nSyl = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0))).cast("long"),
+      lit(1L))
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"), nSent.as("n_sentences"), nSyl.as("n_syllables"),
+      (lit(206.835)
+        - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
+        - lit(84.6) * (nSyl.cast("double") / nWords.cast("double"))).as("flesch"))
+      .orderBy("doc_id")
+  }
 }

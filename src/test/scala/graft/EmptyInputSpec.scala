@@ -78,6 +78,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(ops.Windows.windowPositionProfile(emptyEvents).count() == 0)
     assert(Text.textRulesFilter(emptyDocs).count() == 0)
     assert(ops.Aggs.statTukeyOutliers(emptyEvents).count() == 0)
+    assert(Text.textHashedFeatures(emptyDocs).count() == 0)
+    assert(Text.textReadability(emptyDocs).count() == 0)
+    assert(ext.CorpusPrep.corpusTemperatureMix(emptyDocs).count() == 0)
+    assert(ext.Sessions.eventsAttributionLinear(emptyEvents).count() == 0)
+    assert(ext.Multimodal.multimodalKeyframeSelect(emptyDocs).count() == 0)
     // empty-input sketch reports zero exactly (global agg emits one row)
     val kmv = ops.Aggs.aggDistinctKmvNative(emptyEvents).collect()
     assert(kmv.length == 1 && kmv(0).getAs[Long]("m") == 0L &&

@@ -347,4 +347,18 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(Aggs.statTukeyOutliers(events.coalesce(1))) ==
       rows(Aggs.statTukeyOutliers(events.repartition(13))))
   }
+
+  test("r5c6 batch is partitioning-invariant") {
+    val d = docs
+    assert(rows(Text.textHashedFeatures(d.coalesce(1))) ==
+      rows(Text.textHashedFeatures(d.repartition(13))))
+    assert(rows(Text.textReadability(d.coalesce(1))) ==
+      rows(Text.textReadability(d.repartition(13))))
+    assert(rows(ext.CorpusPrep.corpusTemperatureMix(d.coalesce(1))) ==
+      rows(ext.CorpusPrep.corpusTemperatureMix(d.repartition(13))))
+    assert(rows(ext.Sessions.eventsAttributionLinear(events.coalesce(1))) ==
+      rows(ext.Sessions.eventsAttributionLinear(events.repartition(13))))
+    assert(rows(ext.Multimodal.multimodalKeyframeSelect(d.coalesce(1))) ==
+      rows(ext.Multimodal.multimodalKeyframeSelect(d.repartition(13))))
+  }
 }

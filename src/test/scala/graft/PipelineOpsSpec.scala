@@ -479,4 +479,90 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byDoc(2L) == ((3L, 1L, 2L)))
     assert(byDoc(3L) == ((0L, 0L, 1L)))
   }
+
+  test("hashing trick: md5 bucket, counts, tf ppb; no vocabulary anywhere") {
+    val out = Text.textHashedFeatures(
+      Seq((1L, "the the cat")).toDF("doc_id", "text")).collect()
+    def bucketOf(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (d(0) & 0xFF).toLong
+    }
+    val byBucket = out.map(r => r.getAs[Long]("bucket") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("doc_tokens"), r.getAs[Long]("tf_ppb"))).toMap
+    assert(out.length == 2)
+    assert(byBucket(bucketOf("the")) == ((2L, 3L, 666666666L)))
+    assert(byBucket(bucketOf("cat")) == ((1L, 3L, 333333333L)))
+    assert(out.forall(r => r.getAs[Long]("bucket") >= 0L &&
+      r.getAs[Long]("bucket") < 256L))
+  }
+
+  test("readability: word/sentence/vowel-group counts and the flesch chain") {
+    val out = Text.textReadability(
+      Seq((1L, "Hello world. It is good."),
+          (2L, "")).toDF("doc_id", "text")).collect()
+    val r1 = out(0)
+    assert((r1.getAs[Long]("n_words"), r1.getAs[Long]("n_sentences"),
+      r1.getAs[Long]("n_syllables")) == ((5L, 2L, 6L)))
+    assert(r1.getAs[Double]("flesch") ==
+      206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (6.0 / 5.0))
+    // empty doc: all counts floored to 1, chain still total
+    val r2 = out(1)
+    assert((r2.getAs[Long]("n_words"), r2.getAs[Long]("n_sentences"),
+      r2.getAs[Long]("n_syllables")) == ((1L, 1L, 1L)))
+  }
+
+  test("temperature mix: sqrt weights, largest-remainder allocs sum to budget") {
+    val docs = ((1 to 1).map(i => (i.toLong, "s_a")) ++
+      (1 to 4).map(i => (100 + i.toLong, "s_b")) ++
+      (1 to 16).map(i => (200 + i.toLong, "s_c")))
+      .map { case (id, s) => (id, "text", s) }
+      .toDF("doc_id", "text", "source")
+    val out = ext.CorpusPrep.corpusTemperatureMix(docs).collect()
+    val bySrc = out.map(r => r.getAs[String]("source") ->
+      (r.getAs[Double]("weight"), r.getAs[Long]("share_ppb"),
+        r.getAs[Long]("alloc_docs"))).toMap
+    // weights 1,2,4; total 7 (exact in decimal); floors 1428+2857+5714=9999,
+    // the one leftover seat goes to s_a (largest remainder .5714)
+    assert(bySrc("s_a") == ((1.0, 142857142L, 1429L)))
+    assert(bySrc("s_b") == ((2.0, 285714285L, 2857L)))
+    assert(bySrc("s_c") == ((4.0, 571428571L, 5714L)))
+    assert(out.map(_.getAs[Long]("alloc_docs")).sum == 10000L)
+  }
+
+  test("linear attribution: equal split over in-window touches, reconciles") {
+    val events = ev(
+      // user 1: two clicks + one view inside 7d, one view AFTER the
+      // purchase, one click 8 days stale -> 3 credited touches of 30.0
+      (1L, "click", "2023-12-24 09:00:00", 0.0),
+      (1L, "click", "2024-01-01 09:00:00", 0.0),
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (1L, "view", "2024-01-01 11:00:00", 0.0),
+      (1L, "purchase", "2024-01-01 12:00:00", 30.0),
+      (1L, "view", "2024-01-01 13:00:00", 0.0),
+      // user 2: purchase with no touches at all
+      (2L, "purchase", "2024-01-01 12:00:00", 5.0))
+    val out = Sessions.eventsAttributionLinear(events).collect()
+    val byType = out.map(r => r.getAs[String]("touch_type") ->
+      (r.getAs[Long]("n_credits"), r.getAs[Double]("revenue"))).toMap
+    assert(byType("click") == ((2L, 20.0)))
+    assert(byType("view") == ((1L, 10.0)))
+    assert(byType("(unattributed)") == ((1L, 5.0)))
+  }
+
+  test("keyframe select: argmax energy per shot, ties to the earliest frame") {
+    // 64-byte frames; energy = bytesum/255, threshold 23.7 (sum > 6043.5):
+    // 'a'*64=6208 active, 'z'*64=7808 active, ' '*64=2048 inactive
+    val docs = Seq(
+      (1L, "a" * 64 + "z" * 64 + "a" * 64 + " " * 64 + "b" * 64),
+      (2L, "c" * 64 + "c" * 64)) // tie -> earliest frame wins
+      .toDF("doc_id", "text")
+    val out = Multimodal.multimodalKeyframeSelect(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_start")) ->
+        (r.getAs[Long]("seg_end"), r.getAs[Long]("keyframe_no"),
+          r.getAs[Double]("key_energy"))).toMap
+    assert(out((1L, 0L)) == ((2L, 1L, 7808.0 / 255.0)))
+    assert(out((1L, 4L)) == ((4L, 4L, (98L * 64L) / 255.0)))
+    assert(out((2L, 0L)) == ((1L, 0L, (99L * 64L) / 255.0)))
+  }
 }
