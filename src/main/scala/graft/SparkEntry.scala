@@ -154,6 +154,15 @@ object SparkEntry {
       ext.Sessions.eventsAttributionLinear(events(s, d))),
     "multimodal_keyframe_select" -> ((s, d) =>
       ext.Multimodal.multimodalKeyframeSelect(documents(s, d))),
+    "agg_distinct_diff_kmv" -> ((s, d) => Aggs.aggDistinctDiffKmv(events(s, d))),
+    "stat_theil_sen"        -> ((s, d) => Aggs.statTheilSen(events(s, d))),
+    "stat_holt_forecast"    -> ((s, d) => Aggs.statHoltForecast(events(s, d))),
+    "join_interval_overlap" -> ((s, d) =>
+      ext.Sessions.joinIntervalOverlap(events(s, d))),
+    "ml_lag_features"       -> ((s, d) => Windows.mlLagFeatures(events(s, d))),
+    "stat_changepoint_cusum" -> ((s, d) => Aggs.statChangepointCusum(events(s, d))),
+    "stat_trimmed_mean"     -> ((s, d) => Aggs.statTrimmedMean(events(s, d))),
+    "text_ngram_novelty"    -> ((s, d) => ext.Text.textNgramNovelty(documents(s, d))),
     "events_burst_users"    -> ((s, d) => ext.Sessions.eventsBurstUsers(events(s, d))),
     "dedup_normalized"      -> ((s, d) => ext.Dedup.dedupNormalized(documents(s, d))),
     "stat_benford"          -> ((s, d) => Aggs.statBenford(lineitem(s, d))),
@@ -407,6 +416,22 @@ object SparkEntry {
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1), w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight FROM s), wt AS (SELECT source, n_docs, weight, CAST(SUM(CAST(weight AS DECIMAL(28,6))) OVER () AS DOUBLE) AS w_total FROM w), q AS (SELECT source, n_docs, weight, w_total, 10000.0 * weight / w_total AS ex, floor(10000.0 * weight / w_total) AS fl FROM wt), r AS (SELECT *, ex - fl AS rem, CAST(sum(CAST(fl AS BIGINT)) OVER () AS BIGINT) AS tot_fl, row_number() OVER (ORDER BY (ex - fl) DESC, source) AS rk FROM q) SELECT source, n_docs, weight, CAST(floor(weight * 1000000000.0 / w_total) AS BIGINT) AS share_ppb, CAST(fl AS BIGINT) + CASE WHEN rk <= 10000 - tot_fl THEN 1 ELSE 0 END AS alloc_docs FROM r ORDER BY source""",
     "events_attribution_linear" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase'), tch AS (SELECT user_id, ts AS t_ts, event_type AS touch_type FROM events WHERE event_type IN ('click', 'view')), j AS (SELECT p.p_id, p.p_value, t.t_ts, t.touch_type FROM p LEFT JOIN tch t ON p.user_id = t.user_id AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY), c AS (SELECT p_id, p_value, t_ts, touch_type, count(t_ts) OVER (PARTITION BY p_id) AS n_touches FROM j) SELECT coalesce(touch_type, '(unattributed)') AS touch_type, count(*) AS n_credits, CAST(SUM(CAST(CASE WHEN t_ts IS NOT NULL THEN p_value / CAST(n_touches AS DOUBLE) ELSE p_value END AS DECIMAL(28,6))) AS DOUBLE) AS revenue FROM c GROUP BY 1 ORDER BY 1""",
+    "agg_distinct_diff_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type, user_id, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE / 18446744073709551616.0 AS h FROM events WHERE event_type IN ('click', 'purchase')), r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), th AS (SELECT event_type, CASE WHEN count(*) < 64 THEN 1.0 ELSE max(CASE WHEN rn = 64 THEN h END) END AS theta FROM r GROUP BY 1), t AS (SELECT min(theta) AS theta FROM th), sa AS (SELECT user_id, h FROM r WHERE event_type = 'click' AND rn <= 64), sb AS (SELECT user_id FROM r WHERE event_type = 'purchase' AND rn <= 64), df AS (SELECT count(*) AS n_diff_sample FROM sa, t WHERE sa.h < t.theta AND sa.user_id NOT IN (SELECT user_id FROM sb)), ex AS (SELECT count(*) AS n_exact FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a WHERE a.user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) SELECT CAST(64 AS BIGINT) AS k, t.theta, df.n_diff_sample, CAST(df.n_diff_sample AS DOUBLE) / t.theta AS est_diff, ex.n_exact, CAST(df.n_diff_sample AS DOUBLE) / t.theta - CAST(ex.n_exact AS DOUBLE) AS err FROM df, t, ex""",
+    "stat_theil_sen" ->
+      s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, $DAVG AS v FROM events WHERE value IS NOT NULL GROUP BY 1, 2), p AS (SELECT l.user_id, (r.v - l.v) / CAST(date_diff('day', l.day, r.day) AS DOUBLE) AS slope FROM daily l JOIN daily r ON l.user_id = r.user_id AND l.day < r.day), rk AS (SELECT user_id, slope, CAST(row_number() OVER (PARTITION BY user_id ORDER BY slope) AS BIGINT) AS rn, count(*) OVER (PARTITION BY user_id) AS n FROM p), f AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n_pairs, max(CASE WHEN rn = (n + 1) // 2 THEN slope END) AS lo, max(CASE WHEN rn = n // 2 + 1 THEN slope END) AS hi FROM rk GROUP BY 1) SELECT user_id, n_pairs, CASE WHEN n_pairs % 2 = 1 THEN lo ELSE (lo + hi) / 2.0 END AS slope_per_day FROM f ORDER BY user_id""",
+    "stat_holt_forecast" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1, 2), s AS (SELECT event_type, list([CAST(n AS DOUBLE), 0.0] ORDER BY hr) AS xs FROM h GROUP BY 1), r AS (SELECT event_type, CAST(len(xs) AS BIGINT) AS n_hours, list_reduce(xs, (acc, x) -> [(x[1] + (acc[1] + acc[2])) / 2.0, (((x[1] + (acc[1] + acc[2])) / 2.0 - acc[1]) + acc[2]) / 2.0]) AS lb FROM s) SELECT event_type, n_hours, lb[1] AS level, lb[2] AS trend, lb[1] + lb[2] AS forecast_next FROM r ORDER BY event_type""",
+    "ml_lag_features" ->
+      s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, $DAVG AS v FROM events WHERE value IS NOT NULL GROUP BY 1, 2), f AS (SELECT user_id, day, v, lag(v, 1) OVER w AS lag1, lag(v, 7) OVER w AS lag7, v - lag(v, 1) OVER w AS delta1, count(v) OVER w7 AS n_window, CAST(sum(CAST(v AS DECIMAL(28,6))) OVER w7 AS DOUBLE) AS s1, CAST(sum(CAST(v * v AS DECIMAL(28,6))) OVER w7 AS DOUBLE) AS s2 FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day), w7 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) SELECT user_id, strftime(day, $TS0) AS day_s, v, lag1, lag7, delta1, CAST(n_window AS BIGINT) AS n_window, s1 / CAST(n_window AS DOUBLE) AS roll7_avg, CASE WHEN n_window > 1 THEN sqrt(greatest((s2 - s1 * s1 / CAST(n_window AS DOUBLE)) / CAST(n_window - 1 AS DOUBLE), 0.0)) END AS roll7_std FROM f ORDER BY user_id, day_s""",
+    "stat_changepoint_cusum" ->
+      s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, $DAVG AS v FROM events WHERE value IS NOT NULL GROUP BY 1, 2), m AS (SELECT user_id, day, v, CAST(sum(CAST(v AS DECIMAL(28,6))) OVER (PARTITION BY user_id) AS DOUBLE) / CAST(count(v) OVER (PARTITION BY user_id) AS DOUBLE) AS mean_v FROM daily), c AS (SELECT user_id, day, CAST(sum(CAST(v - mean_v AS DECIMAL(28,6))) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cusum FROM m), r AS (SELECT user_id, day, cusum, row_number() OVER (PARTITION BY user_id ORDER BY abs(cusum) DESC, day) AS rk, count(*) OVER (PARTITION BY user_id) AS n_days FROM c) SELECT user_id, CAST(n_days AS BIGINT) AS n_days, strftime(day, $TS0) AS cp_day_s, cusum AS cusum_at_cp FROM r WHERE rk = 1 ORDER BY user_id""",
+    "stat_trimmed_mean" ->
+      """WITH b AS (SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL), r AS (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM b), k AS (SELECT event_type, value, n, n // 10 AS cut FROM r WHERE rn > n // 10 AND rn <= n - n // 10) SELECT event_type, CAST(max(n) AS BIGINT) AS n, CAST(max(cut) AS BIGINT) AS n_trimmed_each, count(*) AS n_kept, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS trimmed_mean FROM k GROUP BY 1 ORDER BY 1""",
+    "text_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)])) AS s FROM toks WHERE len(t) >= 3), fs AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1) SELECT sh.doc_id, count(*) AS n_shingles, CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, CAST(CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS HUGEINT) * 1000000000 // count(*) AS BIGINT) AS novelty_ppb FROM sh JOIN fs USING (s) GROUP BY 1 ORDER BY 1""",
+    "join_interval_overlap" ->
+      """WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) e_us, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM events), s AS (SELECT user_id, event_id, ts, CASE WHEN prev_us IS NULL OR e_us - prev_us > 21600000000 THEN 1 ELSE 0 END new_sess FROM g), t AS (SELECT user_id, event_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_num FROM s), bd AS (SELECT user_id, session_num, min(ts) AS st, max(ts) AS en FROM t GROUP BY 1, 2), sp AS (SELECT user_id, session_num, epoch_us(st) AS s_us, epoch_us(en) AS e_us, unnest(generate_series(CAST(date_trunc('day', st) AS DATE), CAST(date_trunc('day', en) AS DATE), INTERVAL 1 DAY)) AS day FROM bd), pr AS (SELECT DISTINCT a.user_id AS user_a, a.session_num AS sess_a, b.user_id AS user_b, b.session_num AS sess_b, least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us FROM sp a JOIN sp b ON a.day = b.day AND a.user_id < b.user_id AND greatest(a.s_us, b.s_us) < least(a.e_us, b.e_us)) SELECT user_a, user_b, count(*) AS n_concurrent, CAST(sum(overlap_us) AS BIGINT) AS overlap_us_total FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
     "multimodal_keyframe_select" ->
       """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), f AS (SELECT doc_id, i // 64 AS frame_no, count(*) AS cnt, sum(byte) AS s FROM b GROUP BY 1, 2), act AS (SELECT doc_id, frame_no, CAST(s AS DOUBLE) / 255.0 AS energy FROM f WHERE cnt = 64 AND CAST(s AS DOUBLE) / 255.0 > 23.7), isl AS (SELECT doc_id, frame_no, energy, frame_no - row_number() OVER (PARTITION BY doc_id ORDER BY frame_no) AS island FROM act), k AS (SELECT doc_id, island, frame_no, energy, min(frame_no) OVER (PARTITION BY doc_id, island) AS seg_start, max(frame_no) OVER (PARTITION BY doc_id, island) AS seg_end, row_number() OVER (PARTITION BY doc_id, island ORDER BY energy DESC, frame_no) AS rk FROM isl) SELECT doc_id, CAST(seg_start AS BIGINT) AS seg_start, CAST(seg_end AS BIGINT) AS seg_end, CAST(frame_no AS BIGINT) AS keyframe_no, energy AS key_energy FROM k WHERE rk = 1 ORDER BY doc_id, seg_start""",
     "agg_salted_skew" ->

@@ -13,7 +13,10 @@ object Sessions {
   /** Split each user's event stream into sessions at gaps > `gapMinutes`;
     * emit one row per session with bounds and size. Single shuffle on
     * user_id; the cumulative-sum session id is the standard lag+sum trick. */
-  def eventsSessionize(events: DataFrame, gapMinutes: Int = 360): DataFrame = {
+  /** Typed session bounds (user, session_num, start, end, n_events) —
+    * the lag-gap-cumsum core shared by [[eventsSessionize]] (which
+    * formats it) and [[joinIntervalOverlap]] (which joins it). */
+  private[graft] def sessionBounds(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes.toLong * 60 * 1000000
     events
@@ -28,6 +31,10 @@ object Sessions {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
+  }
+
+  def eventsSessionize(events: DataFrame, gapMinutes: Int = 360): DataFrame = {
+    sessionBounds(events, gapMinutes)
       .select(col("user_id"), col("session_num"),
         fmtTs(col("session_start")).as("session_start_s"),
         fmtTs(col("session_end")).as("session_end_s"),
@@ -507,5 +514,42 @@ object Sessions {
       .groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_credits"), dsum(col("credit")).as("revenue"))
       .orderBy("touch_type")
+  }
+
+  /** r5c7: interval OVERLAP join — which user pairs were online
+    * together, and for how long: sessions ([[sessionBounds]], the
+    * `events_sessionize` contract) self-joined on temporal overlap,
+    * aggregated to (user_a < user_b) with concurrent-session counts and
+    * total overlap. The missing member of the temporal-join family
+    * (asof = nearest point, range = containment — this is
+    * interval×interval), and the canonical distributed plan for it:
+    * never a θ-join — each session explodes to the DAYS it spans
+    * (sessions are gap-bounded, so the fan-out is small and bounded),
+    * candidates come from the day-bucket EQUI-join, the exact
+    * `max(start) < min(end)` predicate filters candidates, and
+    * multi-day double-counting dies at a distinct on the session-pair
+    * key. Overlap is integer microseconds end-to-end ⇒ hash-match. */
+  def joinIntervalOverlap(events: DataFrame, gapMinutes: Int = 360): DataFrame = {
+    val sess = sessionBounds(events, gapMinutes)
+      .select(col("user_id"), col("session_num"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"),
+        explode(sequence(
+          date_trunc("day", col("session_start")).cast("date"),
+          date_trunc("day", col("session_end")).cast("date"))).as("day"))
+    val a = sess.select(col("day"), col("user_id").as("user_a"),
+      col("session_num").as("sess_a"), col("s_us").as("sa"), col("e_us").as("ea"))
+    val b = sess.select(col("day"), col("user_id").as("user_b"),
+      col("session_num").as("sess_b"), col("s_us").as("sb"), col("e_us").as("eb"))
+    a.join(b, Seq("day"))
+      .filter(col("user_a") < col("user_b") &&
+        greatest(col("sa"), col("sb")) < least(col("ea"), col("eb")))
+      .select(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("overlap_us"))
+      .distinct()
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_concurrent"), sum(col("overlap_us")).as("overlap_us_total"))
+      .orderBy("user_a", "user_b")
   }
 }

@@ -507,4 +507,32 @@ object Text {
         - lit(84.6) * (nSyl.cast("double") / nWords.cast("double"))).as("flesch"))
       .orderBy("doc_id")
   }
+
+  /** r5c8: n-gram novelty curve — per doc (in doc_id ingest order), the
+    * fraction of its distinct trigram shingles never seen in an EARLIER
+    * doc: the marginal-contribution metric dataset curation ranks
+    * sources by (a feed whose novelty decays to ~0 is re-crawling what
+    * the corpus already has — `dedup_near_minhash` finds its PAIRS,
+    * this prices each doc's residual value). First-seen ownership is
+    * one (shingle → min doc_id) hash agg over the exploded distinct
+    * shingles — same trigram spelling as the dedup family — joined
+    * back by shingle (equi-join, partial-aggregated, nothing
+    * all-pairs); novelty rides as integer parts-per-billion. */
+  def textNgramNovelty(documents: DataFrame): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(t) - 3),
+             i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2),
+                         ' ', element_at(t, i + 3))))""")).as("s"))
+    val firstSeen = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppb",
+        expr("CAST(n_novel AS DECIMAL(38,0)) * 1000000000 DIV n_shingles").cast("long"))
+      .orderBy("doc_id")
+  }
 }

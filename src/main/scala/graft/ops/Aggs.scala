@@ -1328,4 +1328,181 @@ object Aggs {
         (col("n_union_sample").cast("double") / col("theta") -
           col("n_exact").cast("double")).as("err"))
   }
+
+  /** r5c7: theta-sketch A-NOT-B — |clickers ∖ purchasers| estimated
+    * directly from the two KMV sketches (the third operation that, with
+    * [[aggDistinctIntersectKmv]] and [[aggDistinctUnionKmv]], closes the
+    * sketch set algebra as a FIRST-CLASS estimator rather than the
+    * est_union − est_b subtraction the union op documents — the direct
+    * form never cancels two large estimates against each other).
+    * Identical machinery: both samples clipped to the shared
+    * θ = min(θ_a, θ_b), A-side members NOT in b's sample counted
+    * (h is a function of user_id, so the anti-join on user_id is
+    * exact), scaled by 1/θ. Sketch frames are k rows per class —
+    * driver-safe at any scale; the exact A∖B rides as the audit
+    * column. */
+  def aggDistinctDiffKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = Seq("click", "purchase")
+    val hashed = events
+      .filter(col("event_type").isin(classes: _*))
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .select(col("event_type"), col("user_id"), kmvHash(col("user_id")).as("h"))
+    val rn = row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h")))
+    val ranked = hashed.withColumn("rn", rn)
+    val thetas = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(when(col("m") < k, lit(1.0)).otherwise(col("hk")).as("theta"))
+    val theta = thetas.agg(min(col("theta")).as("theta"))
+    val sa = ranked.filter(col("event_type") === "click" && col("rn") <= k)
+      .select(col("user_id"), col("h"))
+    val sb = ranked.filter(col("event_type") === "purchase" && col("rn") <= k)
+      .select(col("user_id"))
+    val diff = sa.join(sb, Seq("user_id"), "left_anti")
+      .crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_diff_sample"))
+    val exact = events.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+      .join(events.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("n_exact"))
+    diff.crossJoin(broadcast(theta)).crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("theta"), col("n_diff_sample"),
+        (col("n_diff_sample").cast("double") / col("theta")).as("est_diff"),
+        col("n_exact"),
+        (col("n_diff_sample").cast("double") / col("theta") -
+          col("n_exact").cast("double")).as("err"))
+  }
+
+  /** r5c7: Theil–Sen robust slope — the estimator companion to
+    * [[statMannKendall]]'s trend TEST (Kendall tells you WHETHER the
+    * series trends; Theil–Sen tells you HOW FAST, immune to outliers
+    * that wreck [[statRegressionHourly]]'s least squares): the median of
+    * all pairwise slopes (v_j − v_i)/(days between) per user, over the
+    * same per-day frame. Pair generation is the identical self-equi-join
+    * on user (days-bounded per user, same O(d²) label as Kendall);
+    * each slope is one double divide; the median is an exact order
+    * statistic — rank window + selection, even counts averaged as
+    * (lo + hi)/2, the [[aggQuantiles]] contract — so the DuckDB oracle
+    * lands on the identical doubles. */
+  def statTheilSen(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(davg(col("value")).as("v"))
+    val slopes = daily.as("l")
+      .join(daily.as("r"), col("l.user_id") === col("r.user_id") &&
+        col("l.day") < col("r.day"))
+      .select(col("l.user_id").as("user_id"),
+        ((col("r.v") - col("l.v")) /
+          datediff(col("r.day"), col("l.day")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("slope"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    def at(pos: Column) = max(when(col("rn") === pos, col("slope")))
+    ranked.groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_pairs"),
+        at(expr("(n + 1) DIV 2")).as("lo"),
+        at(expr("n DIV 2 + 1")).as("hi"))
+      .select(col("user_id"), col("n_pairs"),
+        when(col("n_pairs") % 2L === 1L, col("lo"))
+          .otherwise((col("lo") + col("hi")) / lit(2.0)).as("slope_per_day"))
+      .orderBy("user_id")
+  }
+
+  /** r5c7: Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    * per event-type over the hourly count series — the one-step-ahead
+    * forecaster [[statEwmaHourly]] upgrades to when the series TRENDS
+    * (EWMA lags a trending series by construction; Holt's trend state
+    * closes that gap — the standard capacity-planning smoother).
+    * Same scale shape as EWMA: one (type, hour) hash agg collapses the
+    * scan, then the inherently-sequential recurrence folds INSIDE a
+    * per-type array (hours-bounded, ≤ one row per type) via the
+    * `aggregate` HOF — never a driver loop, never a window over raw
+    * rows. State is an [level, trend] array; halving keeps every
+    * intermediate a fixed 2-op dyadic chain, and the identical fold
+    * (DuckDB `list_reduce` over [x, 0] pairs) reproduces the doubles
+    * bit-for-bit. */
+  def statHoltForecast(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("series"))
+      .select(col("event_type"), size(col("series")).cast("long").as("n_hours"),
+        expr("""aggregate(
+                  slice(transform(series, s -> cast(s.n as double)), 2, size(series) - 1),
+                  array(cast(element_at(series, 1).n as double), 0.0d),
+                  (acc, x) -> array(
+                    (x + (acc[0] + acc[1])) / 2.0d,
+                    (((x + (acc[0] + acc[1])) / 2.0d - acc[0]) + acc[1]) / 2.0d))""")
+          .as("lb"))
+      .select(col("event_type"), col("n_hours"),
+        col("lb")(0).as("level"), col("lb")(1).as("trend"),
+        (col("lb")(0) + col("lb")(1)).as("forecast_next"))
+      .orderBy("event_type")
+
+  /** r5c8: CUSUM changepoint locator — per user, the day where the
+    * mean-centered cumulative sum peaks in magnitude: the classic
+    * single-changepoint estimate (where the level SHIFTED), upgrading
+    * [[graft.ops.Windows.windowCusum]]'s per-row trace to a per-key
+    * VERDICT (which day, how big). The running sum is a DECIMAL window
+    * sum of the centered values (double `sum() OVER` is
+    * order-sensitive under DuckDB's segment-tree fold — the decimal
+    * contract makes the prefix sums bit-identical), and the argmax is
+    * one rank ordered by (|cusum| desc, day): selections, no second
+    * scan. */
+  def statChangepointCusum(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(davg(col("value")).as("v"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("day"))
+    val withCusum = daily
+      .withColumn("mean_v",
+        sum(col("v").cast("decimal(28,6)")).over(byUser).cast("double") /
+          count(col("v")).over(byUser).cast("double"))
+      .withColumn("cusum",
+        sum((col("v") - col("mean_v")).cast("decimal(28,6)"))
+          .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+    withCusum
+      .withColumn("rk", row_number().over(
+        byUser.orderBy(abs(col("cusum")).desc, col("day"))))
+      .withColumn("n_days", count(lit(1)).over(byUser))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_days"),
+        fmtTsSec(col("day")).as("cp_day_s"), col("cusum").as("cusum_at_cp"))
+      .orderBy("user_id")
+  }
+
+  /** r5c8: trimmed mean — the robust center: drop each class's lowest
+    * and highest 10 % of values by rank and average the middle 80 %
+    * (the Olympic-scoring estimator; [[statTukeyOutliers]] reports the
+    * tails, `clean_winsorize` clips them — this SUMMARIZES without
+    * them, the third leg of the robust-stats family). Cut points are
+    * pure integer arithmetic on the rank (`n DIV 10` off each end —
+    * never a rounded percentile), the ranked frame is the
+    * [[aggQuantiles]] order-statistic contract (value, event_id total
+    * order), and the middle's mean rides [[graft.Det.davg]]'s exact
+    * decimal sum, so both engines agree to the bit. */
+  def statTrimmedMean(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.filter(col("value").isNotNull)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("cut", expr("n DIV 10"))
+      .filter(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("cut")).as("n_trimmed_each"),
+        count(lit(1)).as("n_kept"),
+        davg(col("value")).as("trimmed_mean"))
+      .orderBy("event_type")
+  }
 }

@@ -328,4 +328,41 @@ object Windows {
         lead(col("value"), 2, -1.0).over(w).as("lead2_or_sentinel"))
       .orderBy("user_id", "event_id")
   }
+
+  /** r5c8: the lag-feature frame — per (user, day): yesterday's value,
+    * last week's value, day-over-day delta, and the trailing-7-row mean
+    * and sample-std — the feature-engineering staple every tabular-ML
+    * pipeline materializes before training (each column exists solo in
+    * §2.6; a training table needs them TOGETHER in one pass, which is
+    * exactly one exchange on user_id here — six window expressions, one
+    * window spec). Rolling moments ride DECIMAL window sums (a bare
+    * double `sum() OVER` is order-sensitive and DuckDB folds windows
+    * with a segment tree — different addition order, last-ulp smear;
+    * decimal is associative so both engines land identically — the
+    * [[graft.Det.dsum]] contract applied to frames). Variance via the
+    * computational formula in a fixed double chain, floored at 0 so
+    * rounding can't produce sqrt(-ε) = NaN. */
+  def mlLagFeatures(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(davg(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    val n = count(col("v")).over(w7)
+    val s1 = sum(col("v").cast("decimal(28,6)")).over(w7).cast("double")
+    val s2 = sum((col("v") * col("v")).cast("decimal(28,6)")).over(w7).cast("double")
+    val variance = (s2 - s1 * s1 / n.cast("double")) / (n - lit(1)).cast("double")
+    daily
+      .withColumn("lag1", lag(col("v"), 1).over(w))
+      .withColumn("lag7", lag(col("v"), 7).over(w))
+      .withColumn("delta1", col("v") - col("lag1"))
+      .withColumn("n_window", n)
+      .withColumn("roll7_avg", s1 / n.cast("double"))
+      .withColumn("roll7_std",
+        when(n > 1, sqrt(greatest(variance, lit(0.0)))))
+      .select(col("user_id"), fmtTsSec(col("day")).as("day_s"), col("v"),
+        col("lag1"), col("lag7"), col("delta1"), col("n_window"),
+        col("roll7_avg"), col("roll7_std"))
+      .orderBy("user_id", "day_s")
+  }
 }

@@ -83,6 +83,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(ext.CorpusPrep.corpusTemperatureMix(emptyDocs).count() == 0)
     assert(ext.Sessions.eventsAttributionLinear(emptyEvents).count() == 0)
     assert(ext.Multimodal.multimodalKeyframeSelect(emptyDocs).count() == 0)
+    assert(ops.Aggs.statTheilSen(emptyEvents).count() == 0)
+    assert(ops.Aggs.statHoltForecast(emptyEvents).count() == 0)
+    assert(ext.Sessions.joinIntervalOverlap(emptyEvents).count() == 0)
+    // empty-input sketch difference emits one zero row (ungrouped agg)
+    val dk = ops.Aggs.aggDistinctDiffKmv(emptyEvents).collect()
+    assert(dk.length == 1 && dk(0).getAs[Long]("n_diff_sample") == 0L &&
+      dk(0).getAs[Long]("n_exact") == 0L)
+    assert(ops.Windows.mlLagFeatures(emptyEvents).count() == 0)
+    assert(ops.Aggs.statChangepointCusum(emptyEvents).count() == 0)
+    assert(ops.Aggs.statTrimmedMean(emptyEvents).count() == 0)
+    assert(Text.textNgramNovelty(emptyDocs).count() == 0)
     // empty-input sketch reports zero exactly (global agg emits one row)
     val kmv = ops.Aggs.aggDistinctKmvNative(emptyEvents).collect()
     assert(kmv.length == 1 && kmv(0).getAs[Long]("m") == 0L &&

@@ -361,4 +361,27 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(ext.Multimodal.multimodalKeyframeSelect(d.coalesce(1))) ==
       rows(ext.Multimodal.multimodalKeyframeSelect(d.repartition(13))))
   }
+
+  test("r5c7 batch is partitioning-invariant") {
+    assert(rows(Aggs.aggDistinctDiffKmv(events.coalesce(1))) ==
+      rows(Aggs.aggDistinctDiffKmv(events.repartition(13))))
+    assert(rows(Aggs.statTheilSen(events.coalesce(1))) ==
+      rows(Aggs.statTheilSen(events.repartition(13))))
+    assert(rows(Aggs.statHoltForecast(events.coalesce(1))) ==
+      rows(Aggs.statHoltForecast(events.repartition(13))))
+    assert(rows(ext.Sessions.joinIntervalOverlap(events.coalesce(1))) ==
+      rows(ext.Sessions.joinIntervalOverlap(events.repartition(13))))
+  }
+
+  test("r5c8 batch is partitioning-invariant") {
+    val d = docs
+    assert(rows(ops.Windows.mlLagFeatures(events.coalesce(1))) ==
+      rows(ops.Windows.mlLagFeatures(events.repartition(13))))
+    assert(rows(Aggs.statChangepointCusum(events.coalesce(1))) ==
+      rows(Aggs.statChangepointCusum(events.repartition(13))))
+    assert(rows(Aggs.statTrimmedMean(events.coalesce(1))) ==
+      rows(Aggs.statTrimmedMean(events.repartition(13))))
+    assert(rows(Text.textNgramNovelty(d.coalesce(1))) ==
+      rows(Text.textNgramNovelty(d.repartition(13))))
+  }
 }

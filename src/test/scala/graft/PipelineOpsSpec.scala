@@ -565,4 +565,124 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((1L, 4L)) == ((4L, 4L, (98L * 64L) / 255.0)))
     assert(out((2L, 0L)) == ((1L, 0L, (99L * 64L) / 255.0)))
   }
+
+  test("theta A-not-B: exhaustive sketches give the exact difference") {
+    // clickers {1,2,3}, purchasers {2,3,4}: A \ B = {1}
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, "click", "2024-01-01 10:01:00", 0.0),
+      (3L, "click", "2024-01-01 10:02:00", 0.0),
+      (2L, "purchase", "2024-01-01 11:00:00", 1.0),
+      (3L, "purchase", "2024-01-01 11:01:00", 1.0),
+      (4L, "purchase", "2024-01-01 11:02:00", 1.0))
+    val r = Aggs.aggDistinctDiffKmv(events).collect()(0)
+    assert((r.getAs[Double]("theta"), r.getAs[Long]("n_diff_sample"),
+      r.getAs[Double]("est_diff"), r.getAs[Long]("n_exact"),
+      r.getAs[Double]("err")) == ((1.0, 1L, 1.0, 1L, 0.0)))
+  }
+
+  test("theil-sen: median pairwise slope, odd and even pair counts") {
+    val events = ev(
+      // user 1: days 1..3 values 1,2,4 -> slopes 1, 1.5, 2 -> median 1.5
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, "click", "2024-01-02 10:00:00", 2.0),
+      (1L, "click", "2024-01-03 10:00:00", 4.0),
+      // user 2: days 1..4 values 0,1,2,4 -> sorted slopes
+      // 1,1,1,4/3,1.5,2 -> median (1 + 4/3)/2 = 7/6
+      (2L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, "click", "2024-01-02 10:00:00", 1.0),
+      (2L, "click", "2024-01-03 10:00:00", 2.0),
+      (2L, "click", "2024-01-04 10:00:00", 4.0))
+    val out = Aggs.statTheilSen(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("slope_per_day"))).toMap
+    assert(out(1L) == ((3L, 1.5)))
+    assert(out(2L) == ((6L, (1.0 + 4.0 / 3.0) / 2.0)))
+  }
+
+  test("holt: level and trend fold, forecast = level + trend") {
+    // hourly counts 2, 4, 8: l0=2 b0=0; x=4 -> l=3 b=.5; x=8 -> l=5.75 b=1.625
+    val rows = (1 to 2).map(i => (i.toLong, "a", s"2024-01-01 10:0$i:00", 0.0)) ++
+      (1 to 4).map(i => (i.toLong, "a", s"2024-01-01 11:0$i:00", 0.0)) ++
+      (1 to 8).map(i => (i.toLong, "a", s"2024-01-01 12:0$i:00", 0.0))
+    val r = Aggs.statHoltForecast(ev(rows: _*)).collect()(0)
+    assert((r.getAs[Long]("n_hours"), r.getAs[Double]("level"),
+      r.getAs[Double]("trend"), r.getAs[Double]("forecast_next"))
+      == ((3L, 5.75, 1.625, 7.375)))
+  }
+
+  test("interval overlap: concurrent sessions found across day buckets once") {
+    val events = ev(
+      // u1 s1 10:00-11:00; u2 s1 10:30-12:00 -> 30 min overlap
+      (1L, "click", "2024-01-01 10:00:00", 0.0),
+      (1L, "click", "2024-01-01 11:00:00", 0.0),
+      (2L, "click", "2024-01-01 10:30:00", 0.0),
+      (2L, "click", "2024-01-01 12:00:00", 0.0),
+      // u1 s2 23:00-01:00, u2 s2 23:30-00:30 (midnight-spanning):
+      // 1 h overlap, day buckets Jan1+Jan2 must not double-count
+      (1L, "click", "2024-01-01 23:00:00", 0.0),
+      (1L, "click", "2024-01-02 01:00:00", 0.0),
+      (2L, "click", "2024-01-01 23:30:00", 0.0),
+      (2L, "click", "2024-01-02 00:30:00", 0.0),
+      // u3: disjoint from everyone
+      (3L, "click", "2024-01-05 10:00:00", 0.0))
+    val out = Sessions.joinIntervalOverlap(events).collect()
+    assert(out.length == 1)
+    assert((out(0).getAs[Long]("user_a"), out(0).getAs[Long]("user_b"),
+      out(0).getAs[Long]("n_concurrent"), out(0).getAs[Long]("overlap_us_total"))
+      == ((1L, 2L, 2L, 1800000000L + 3600000000L)))
+  }
+
+  test("lag features: lags, delta, rolling mean/std in one frame") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, "click", "2024-01-02 10:00:00", 2.0),
+      (1L, "click", "2024-01-03 10:00:00", 4.0))
+    val out = graft.ops.Windows.mlLagFeatures(events).collect()
+    val d1 = out(0); val d2 = out(1); val d3 = out(2)
+    assert(d1.isNullAt(d1.fieldIndex("lag1")) && d1.isNullAt(d1.fieldIndex("roll7_std")))
+    assert((d2.getAs[Double]("lag1"), d2.getAs[Double]("delta1"),
+      d2.getAs[Long]("n_window"), d2.getAs[Double]("roll7_avg")) == ((1.0, 1.0, 2L, 1.5)))
+    assert(d2.getAs[Double]("roll7_std") == math.sqrt((5.0 - 9.0 / 2.0) / 1.0))
+    assert((d3.getAs[Double]("lag1"), d3.getAs[Double]("delta1"),
+      d3.getAs[Long]("n_window")) == ((2.0, 2.0, 3L)))
+    assert(d3.getAs[Double]("roll7_avg") == 7.0 / 3.0)
+    assert(d3.getAs[Double]("roll7_std") ==
+      math.sqrt((21.0 - 7.0 * 7.0 / 3.0) / 2.0))
+    assert(out.forall(_.isNullAt(d1.fieldIndex("lag7")))) // <8 days of history
+  }
+
+  test("cusum changepoint: peak |cusum| day located, decimal prefix sums") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, "click", "2024-01-02 10:00:00", 1.0),
+      (1L, "click", "2024-01-03 10:00:00", 5.0),
+      (1L, "click", "2024-01-04 10:00:00", 5.0))
+    // mean 3; centered -2,-2,2,2; cusum -2,-4,-2,0 -> peak |.|=4 on day 2
+    val r = graft.ops.Aggs.statChangepointCusum(events).collect()(0)
+    assert((r.getAs[Long]("n_days"), r.getAs[String]("cp_day_s"),
+      r.getAs[Double]("cusum_at_cp")) == ((4L, "2024-01-02 00:00:00", -4.0)))
+  }
+
+  test("trimmed mean: 10% off each end by rank, exact middle mean") {
+    val events = ev((1 to 10).map(i =>
+      (i.toLong, "a", f"2024-01-01 10:${i}%02d:00", i.toDouble)): _*)
+    val r = graft.ops.Aggs.statTrimmedMean(events).collect()(0)
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_trimmed_each"),
+      r.getAs[Long]("n_kept"), r.getAs[Double]("trimmed_mean"))
+      == ((10L, 1L, 8L, 5.5)))
+  }
+
+  test("ngram novelty: first-seen ownership by doc order, ppb share") {
+    val docs = Seq(
+      (1L, "a b c d"),      // shingles {a b c, b c d} -> both novel
+      (2L, "a b c x y"))    // {a b c, b c x, c x y} -> 2 of 3 novel
+      .toDF("doc_id", "text")
+    val out = Text.textNgramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppb"))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000000L)))
+    assert(out(2L) == ((3L, 2L, 666666666L)))
+  }
 }

@@ -30,6 +30,7 @@ class PlanLintSpec extends SparkSpec {
     "tpch_part_value_concentration",                     // 1-row grand-total frame
     "agg_distinct_intersect_kmv",                        // 1-row theta/exact frames
     "agg_distinct_union_kmv",                            // 1-row theta/exact frames
+    "agg_distinct_diff_kmv",                             // 1-row theta/exact frames
     "stat_chi_square",                                   // classes×4 dense grid cross
     "graph_triangles"                                    // 1-row census frames
   )
