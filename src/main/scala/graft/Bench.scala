@@ -43,7 +43,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
-        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}")
       }
     }
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
