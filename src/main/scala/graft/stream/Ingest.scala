@@ -13,8 +13,9 @@ import graft.model.Schemas
   * Every transform is a pure `DataFrame => DataFrame` that works on both
   * batch and streaming frames (Spark's unified semantics) — batch tests and
   * the DuckDB-oracle checks exercise exactly the code the stream runs.
-  * Transport is a pluggable source: MemoryStream in tests, file/Kafka in
-  * deployment; MQTT is transport, not semantics (SURVEY.md §7.3).
+  * Transport is a pluggable source: MemoryStream in tests, file / socket /
+  * the in-repo MQTT source in deployment; transport is never semantics
+  * (SURVEY.md §7.3).
   */
 object Ingest {
 
@@ -157,10 +158,12 @@ object Ingest {
     * transform is byte-identical to the file/MemoryStream path — transport
     * is the only thing that changes (SURVEY.md §7.3).
     *
-    * A Kafka transport is the same two lines with
-    * `.format("kafka").option("kafka.bootstrap.servers", ...)` plus
-    * `selectExpr("CAST(value AS STRING) AS value")` — not wired here
-    * because the Kafka connector jar isn't on this container's classpath. */
+    * Transport is deliberately pluggable: any source yielding one JSON
+    * envelope per row in a STRING `value` column (socket here, MQTT via
+    * [[graft.sources.MqttSourceProvider]], files/MemoryStream in tests)
+    * feeds the identical downstream plan. No Kafka path is shipped or
+    * claimed — the connector jar cannot exist on this zero-egress
+    * classpath, so an untestable wiring stays out of the surface. */
   def socketSource(spark: org.apache.spark.sql.SparkSession,
                    host: String, port: Int): DataFrame =
     spark.readStream.format("socket")
