@@ -168,6 +168,7 @@ object SparkEntry {
     "stat_benford"          -> ((s, d) => Aggs.statBenford(lineitem(s, d))),
     "snapshot_upsert"       -> ((s, d) => Joins.snapshotUpsert(events(s, d))),
     "ts_downsample_ltob"    -> ((s, d) => Joins.tsDownsampleLtob(events(s, d))),
+    "ts_downsample_lttb"    -> ((s, d) => Joins.tsDownsampleLttb(events(s, d))),
     "emb_binarize_sign"     -> ((s, d) => ext.Similarity.embBinarizeSign(embeddings(s, d))),
     "sim_search_hamming_topk" -> ((s, d) =>
       ext.Similarity.simSearchHammingTopk(embeddings(s, d))),
@@ -487,7 +488,7 @@ object SparkEntry {
     "sample_rate_per_stratum" ->
       """WITH s AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 1000 AS BIGINT) AS permille, CAST(CASE WHEN lang = 'en' THEN 250 ELSE 1000 END AS BIGINT) AS rate FROM documents) SELECT doc_id, lang, permille, rate FROM s WHERE permille < rate ORDER BY doc_id""",
     "text_vocab_coverage" ->
-      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1), r AS (SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank, sum(n) OVER (ORDER BY n DESC, token) AS cum_n, sum(n) OVER () AS total_n FROM c) SELECT rank, token, n, cum_n, CAST(CAST(cum_n AS HUGEINT) * 1000000000 // CAST(total_n AS HUGEINT) AS BIGINT) AS cum_share_ppb FROM r WHERE rank <= 100 ORDER BY rank""",
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1), r AS (SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank, CAST(sum(n) OVER (ORDER BY n DESC, token) AS BIGINT) AS cum_n, CAST(sum(n) OVER () AS BIGINT) AS total_n FROM c) SELECT rank, token, n, cum_n, CAST(CAST(cum_n AS HUGEINT) * 1000000000 // CAST(total_n AS HUGEINT) AS BIGINT) AS cum_share_ppb FROM r WHERE rank <= 100 ORDER BY rank""",
     "multimodal_blockhash" ->
       """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents), b AS (SELECT doc_id, i, (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)), bs AS (SELECT doc_id, i % 16 AS blk, sum(byte) AS s FROM b GROUP BY 1, 2), tot AS (SELECT doc_id, sum(s) AS total FROM bs GROUP BY 1), sig0 AS (SELECT bs.doc_id, sum(CASE WHEN bs.s * 16 > tot.total THEN (1 << CAST(blk AS INT)) ELSE 0 END) AS bh FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY bs.doc_id), sig AS (SELECT d.doc_id, coalesce(s0.bh, 0) AS bh FROM documents d LEFT JOIN sig0 s0 USING (doc_id)) SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(bit_count(xor(CAST(a.bh AS BIGINT), CAST(b2.bh AS BIGINT))) AS BIGINT) AS hamming FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id WHERE bit_count(xor(CAST(a.bh AS BIGINT), CAST(b2.bh AS BIGINT))) <= 2 ORDER BY doc_a, doc_b""",
     "agg_value_histogram" ->
@@ -566,7 +567,7 @@ object SparkEntry {
     "dedup_semantic_clusters" ->
       """WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e0), p AS (SELECT a.vec_id va, b.vec_id vb FROM n a JOIN n b ON a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35), edges AS (SELECT va AS src, vb AS dst FROM p UNION ALL SELECT vb, va FROM p), nodes AS (SELECT DISTINCT src AS id FROM edges), reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""",
     "corpus_mix_report" ->
-      """WITH c AS (SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS n_chars, sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY 1, 2) SELECT lang, source, n_docs, n_chars, n_tokens, CAST(CAST(n_docs AS HUGEINT) * 1000000000 // CAST(sum(n_docs) OVER () AS HUGEINT) AS BIGINT) AS doc_share_ppb, CAST(CAST(n_tokens AS HUGEINT) * 1000000000 // CAST(sum(n_tokens) OVER () AS HUGEINT) AS BIGINT) AS token_share_ppb FROM c ORDER BY lang, source""",
+      """WITH c AS (SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, CAST(sum(CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1, 2) SELECT lang, source, n_docs, n_chars, n_tokens, CAST(CAST(n_docs AS HUGEINT) * 1000000000 // CAST(sum(n_docs) OVER () AS HUGEINT) AS BIGINT) AS doc_share_ppb, CAST(CAST(n_tokens AS HUGEINT) * 1000000000 // CAST(sum(n_tokens) OVER () AS HUGEINT) AS BIGINT) AS token_share_ppb FROM c ORDER BY lang, source""",
     // x*2^48 is an exact integer for float32 elements (|x| >= 2^-25), so the
     // DECIMAL(38,0) sum never rounds — Spark's HALF_UP vs DuckDB's truncating
     // double->decimal cast would diverge on a DECIMAL(38,12) spelling
@@ -694,6 +695,8 @@ object SparkEntry {
       s"""WITH b AS (SELECT user_id, value AS base_value, ts AS base_ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1), d AS (SELECT user_id, value AS delta_value, ts AS delta_ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1) SELECT COALESCE(b.user_id, d.user_id) AS user_id, CASE WHEN b.base_ts IS NULL THEN 'inserted' WHEN d.delta_ts IS NULL THEN 'kept' ELSE 'updated' END AS action, COALESCE(d.delta_value, b.base_value) AS value, strftime(COALESCE(d.delta_ts, b.base_ts), $TS6) AS state_ts_s, b.base_value AS prev_value FROM b FULL OUTER JOIN d ON b.user_id = d.user_id ORDER BY user_id""",
     "ts_downsample_ltob" ->
       s"""WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS x, value AS y, epoch_us(ts) // 3600000000 AS bucket FROM events), c AS (SELECT user_id, bucket, CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS cx, CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS cy FROM pts GROUP BY 1, 2), nb AS (SELECT user_id, bucket, lag(cx) OVER w AS lx, lag(cy) OVER w AS ly, lead(cx) OVER w AS rx, lead(cy) OVER w AS ry FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket)), j AS (SELECT p.user_id, p.bucket, p.event_id, p.x, p.y, nb.lx, nb.rx, abs((nb.lx - nb.rx) * (p.y - nb.ly) - (nb.lx - CAST(p.x AS DOUBLE)) * (nb.ry - nb.ly)) AS area FROM pts p JOIN nb USING (user_id, bucket)), r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket ORDER BY area DESC, x, event_id) AS rn_area, row_number() OVER (PARTITION BY user_id, bucket ORDER BY x, event_id) AS rn_first, row_number() OVER (PARTITION BY user_id, bucket ORDER BY x DESC, event_id DESC) AS rn_last FROM j) SELECT user_id, bucket, event_id, strftime(make_timestamp(x), $TS6) AS ts_s, y AS value, area FROM r WHERE CASE WHEN lx IS NULL THEN rn_first = 1 WHEN rx IS NULL THEN rn_last = 1 ELSE rn_area = 1 END ORDER BY user_id, bucket""",
+    "ts_downsample_lttb" ->
+      s"""WITH RECURSIVE pts AS (SELECT user_id, event_id, epoch_us(ts) AS x, value AS y, epoch_us(ts) // 3600000000 AS bucket FROM events), bk AS (SELECT user_id, bucket, CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket) - 1 AS BIGINT) AS bi, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nb FROM (SELECT DISTINCT user_id, bucket FROM pts)), cent AS (SELECT user_id, bucket, CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS cx, CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS cy FROM pts GROUP BY 1, 2), p AS (SELECT pts.user_id, pts.event_id, pts.x, pts.y, pts.bucket, bk.bi, bk.nb FROM pts JOIN bk USING (user_id, bucket)), f0 AS (SELECT user_id, bi, nb, bucket, event_id, x, y FROM (SELECT p.*, row_number() OVER (PARTITION BY user_id ORDER BY x, event_id) AS rn FROM p WHERE bi = 0) WHERE rn = 1), rec AS (SELECT user_id, bi, nb, bucket, event_id, x, y, CAST(NULL AS DOUBLE) AS area FROM f0 UNION ALL SELECT user_id, bi, nb, bucket, event_id, x, y, CASE WHEN is_last THEN NULL ELSE area END AS area FROM (SELECT q.*, row_number() OVER (PARTITION BY q.user_id ORDER BY CASE WHEN q.is_last THEN -CAST(q.x AS DOUBLE) ELSE -q.area END, CASE WHEN q.is_last THEN -q.event_id ELSE q.x END, q.event_id) AS rn FROM (SELECT c.user_id, c.bi, c.nb, c.bucket, c.event_id, c.x, c.y, c.bi = c.nb - 1 AS is_last, abs((CAST(r.x AS DOUBLE) - nc.cx) * (c.y - r.y) - (CAST(r.x AS DOUBLE) - CAST(c.x AS DOUBLE)) * (nc.cy - r.y)) AS area FROM rec r JOIN p c ON c.user_id = r.user_id AND c.bi = r.bi + 1 LEFT JOIN bk nbk ON nbk.user_id = c.user_id AND nbk.bi = c.bi + 1 LEFT JOIN cent nc ON nc.user_id = c.user_id AND nc.bucket = nbk.bucket) q) WHERE rn = 1) SELECT user_id, bucket, event_id, strftime(make_timestamp(x), $TS6) AS ts_s, y AS value, area FROM rec ORDER BY user_id, bucket""",
     "emb_binarize_sign" ->
       """WITH s AS (SELECT vec_id, label, CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_lo, CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_hi FROM embeddings) SELECT vec_id, label, sig_lo, sig_hi, CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos FROM s ORDER BY vec_id""",
     "sim_search_hamming_topk" ->

@@ -104,7 +104,9 @@ object CorpusPrep {
     val cells = documents
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
-        sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+        // token class spelled explicitly (not \S+): Java's \s and RE2's \s
+        // disagree on \x0B, so the shorthand is not version/engine-proof
+        sum(size(regexp_extract_all(col("text"), lit("[^ \\t\\n\\x0B\\f\\r]+"), lit(0))).cast("long"))
           .as("n_tokens"))
     val all = Window.partitionBy()
     cells

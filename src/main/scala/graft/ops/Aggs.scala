@@ -1078,17 +1078,18 @@ object Aggs {
     * weighted one in DECIMAL(38,0) — a double or DECIMAL(·,6) weighted
     * sum is one halfway-rounding away from a cross-engine ulp, observed)
     * — leaving a fixed 5-op double chain at the very end. Plan: the fact
-    * table collapses to one row per customer in the first agg; the rank
-    * window and both final sums run on customer cardinality. */
+    * table collapses to one row per customer in the first agg; the rank is
+    * customer-cardinality (SF-scaled), so it runs as [[graft.Dist]]'s
+    * range-exchange two-phase rank — no partition-less window anywhere on
+    * a data-scaled frame — and both final sums are one partial/final agg. */
   def statGiniRevenue(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perCust = orders.groupBy(col("o_custkey"))
       .agg((sum(col("o_totalprice").cast(DecimalType(28, 2))) * lit(100))
         .cast(DecimalType(38, 0)).cast("long").as("rev_cents"))
-    val i = row_number().over(Window.orderBy(col("rev_cents"), col("o_custkey")))
-      .cast("long")
-    perCust
-      .select(col("rev_cents"), (i * col("rev_cents")).as("w"))
+    // r6 (verdict #4): the rank is customer-cardinality — SF-scaled — so it
+    // rides the distributed range-exchange rank, not a partition-less window
+    graft.Dist.rankByRange(perCust, "i", col("rev_cents"), col("o_custkey"))
+      .select(col("rev_cents"), (col("i") * col("rev_cents")).as("w"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("rev_cents")).as("total_cents"),
         sum(col("w").cast(DecimalType(38, 0))).cast("double").as("wsum"))

@@ -542,6 +542,50 @@ object Joins {
       .orderBy("user_id", "bucket")
   }
 
+  /** r6 (verdict #8): CANONICAL largest-triangle-three-buckets next to
+    * [[tsDownsampleLtob]]'s parallel one-bucket variant, completing the
+    * downsample family (`graphdata.py:98-192` is the behavioral anchor).
+    * Canonical LTTB chains selections: the point kept in bucket i forms
+    * the triangle anchor for bucket i+1's choice against bucket i+2's
+    * centroid — inherently sequential per series, which is WHY the
+    * one-bucket variant exists as the embarrassingly-parallel default.
+    *
+    * Spark shape: this is the repo's one deliberate `mapPartitions`
+    * (SURVEY §7.1 preference (d) — composition, Expression and custom
+    * plan all cannot express a per-series sequential fold without a
+    * global sort). Rows hash-partition on user_id and sort within
+    * partitions on (user_id, x, event_id), so each series streams
+    * through the chain IN ORDER with memory bounded by TWO buckets
+    * (candidates of bucket i are held only until bucket i+1's centroid
+    * completes) — never the series, never the partition. At 100 TB the
+    * shape is one shuffle + a linear scan per partition.
+    *
+    * Exactness: bucket centroids use the exact integer/decimal sums of
+    * the LTOB contract (micros in DECIMAL(38,0), values in
+    * DECIMAL(28,6) with Spark's HALF_UP double→decimal cast, replicated
+    * here via java.math.BigDecimal.valueOf(_).setScale(6, HALF_UP));
+    * the triangle area is the same fixed 7-op double chain spelled
+    * identically in the oracle's recursive CTE; ties break (area desc,
+    * x, event_id). Endpoints keep the series' first/last point (the
+    * LTTB convention); a single-bucket series keeps its first point. */
+  def tsDownsampleLttb(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pts = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        expr("unix_micros(ts)").as("x"), col("value").cast("double").as("y"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("x"), col("event_id"))
+      .as[(Long, Long, Long, Double)]
+    val picked = pts.mapPartitions(rows => Lttb.run(rows, hourUs))
+    picked.toDF("user_id", "bucket", "event_id", "x", "y", "area")
+      .select(col("user_id"), col("bucket"), col("event_id"),
+        fmtTs(timestamp_micros(col("x"))).as("ts_s"), col("y").as("value"),
+        col("area"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** r5c: interval union — merge each user's overlapping presence
     * intervals (event time padded to [t, t+30 min)) into maximal
     * episodes. The gaps-and-islands sibling of [[graft.ext.Sessions]]'
@@ -576,4 +620,83 @@ object Joins {
         col("n_events"))
       .orderBy("user_id", "island")
   }
+}
+
+/** The sequential LTTB chain behind [[Joins.tsDownsampleLttb]]: consumes a
+  * partition's rows sorted by (user_id, x, event_id) and emits one selected
+  * point per (user, hourly bucket), holding at most two buckets in memory.
+  * Input tuples are (user_id, event_id, x_micros, y); output tuples are
+  * (user_id, bucket, event_id, x_micros, y, area — None for the endpoint
+  * selections, which are kept by convention, not by triangle area). */
+private[ops] object Lttb {
+  private type Pt = (Long, Long, Double)               // (x, event_id, y)
+  private type Out = (Long, Long, Long, Long, Double, Option[Double])
+
+  def run(rows: Iterator[(Long, Long, Long, Double)], hourUs: Long): Iterator[Out] =
+    new Iterator[Out] {
+      private val in = rows.buffered
+      private val out = scala.collection.mutable.Queue.empty[Out]
+      private var curUser = 0L
+      private var haveUser = false
+      private var anchorX = 0.0
+      private var anchorY = 0.0
+      private var pend: Vector[Pt] = null              // bucket awaiting next centroid
+      private var pendBucket = 0L
+
+      override def hasNext: Boolean = { pump(); out.nonEmpty }
+      override def next(): Out = { pump(); out.dequeue() }
+
+      /** Exact centroid per the LTOB/davg contract: x as an exact integer
+        * sum → correctly-rounded double; y through Spark's double→
+        * DECIMAL(28,6) HALF_UP cast, summed exactly, cast back, / n. */
+      private def centroid(pts: Vector[Pt]): (Double, Double) = {
+        var sx = BigInt(0)
+        var sy = java.math.BigDecimal.ZERO
+        pts.foreach { case (x, _, y) =>
+          sx += x
+          sy = sy.add(java.math.BigDecimal.valueOf(y)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+        }
+        (sx.toDouble / pts.length, sy.doubleValue / pts.length)
+      }
+
+      private def emit(u: Long, b: Long, p: Pt, area: Option[Double]): Unit =
+        out.enqueue((u, b, p._2, p._1, p._3, area))
+
+      private def setAnchor(p: Pt): Unit = { anchorX = p._1.toDouble; anchorY = p._3 }
+
+      private def pump(): Unit = while (out.isEmpty && in.hasNext) {
+        val u = in.head._1
+        val isFirst = !haveUser || u != curUser
+        if (isFirst) { curUser = u; haveUser = true; pend = null }
+        val b = Math.floorDiv(in.head._3, hourUs)
+        val buf = Vector.newBuilder[Pt]
+        while (in.hasNext && in.head._1 == u && Math.floorDiv(in.head._3, hourUs) == b) {
+          val (_, id, x, y) = in.next()
+          buf += ((x, id, y))
+        }
+        val pts = buf.result()
+        val isLast = !in.hasNext || in.head._1 != u
+        if (isFirst) {
+          emit(u, b, pts.head, None)                   // series first point
+          setAnchor(pts.head)
+        } else {
+          if (pend != null) {                          // bucket i+1 complete →
+            val (cx, cy) = centroid(pts)               // finalize bucket i
+            var best: Pt = null
+            var bestArea = -1.0
+            pend.foreach { case p @ (x, _, y) =>       // ties: first in (x, id) order
+              val a = math.abs((anchorX - cx) * (y - anchorY) -
+                (anchorX - x.toDouble) * (cy - anchorY))
+              if (best == null || a > bestArea) { best = p; bestArea = a }
+            }
+            emit(u, pendBucket, best, Some(bestArea))
+            setAnchor(best)
+            pend = null
+          }
+          if (isLast) emit(u, b, pts.last, None)       // series last point
+          else { pend = pts; pendBucket = b }
+        }
+      }
+    }
 }

@@ -384,4 +384,69 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(Text.textNgramNovelty(d.coalesce(1))) ==
       rows(Text.textNgramNovelty(d.repartition(13))))
   }
+
+  test("two-phase gini rank equals the naive global-window spelling, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    // the r4 partition-less-window spelling, kept as the semantic oracle
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(28, 2))) * lit(100))
+        .cast(DecimalType(38, 0)).cast("long").as("rev_cents"))
+    val i = row_number().over(Window.orderBy(col("rev_cents"), col("o_custkey"))).cast("long")
+    val naive = perCust.select(col("rev_cents"), (i * col("rev_cents")).as("w"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_cents")).as("total_cents"),
+        sum(col("w").cast(DecimalType(38, 0))).cast("double").as("wsum"))
+      .select(col("n_customers"),
+        (col("total_cents").cast("double") / lit(100.0)).as("total_revenue"),
+        (lit(2.0) * col("wsum") /
+          (col("n_customers").cast("double") * col("total_cents").cast("double")) -
+          (col("n_customers").cast("double") + lit(1.0)) /
+            col("n_customers").cast("double")).as("gini"))
+    val expected = rows(naive)
+    assert(rows(Aggs.statGiniRevenue(orders.coalesce(1))) == expected)
+    assert(rows(Aggs.statGiniRevenue(orders.repartition(13))) == expected)
+  }
+
+  test("banded RFM quartiles equal the three-ntile-window spelling, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the r4 partition-less-ntile spelling, kept as the semantic oracle
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+        graft.Det.dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("monetary"))
+      .withColumn("recency_days",
+        datediff(lit("2024-02-01").cast("date"), col("last_ts").cast("date")).cast("long"))
+    val naive = perUser
+      .withColumn("r_score", ntile(4).over(
+        Window.orderBy(desc("recency_days"), col("user_id"))).cast("long"))
+      .withColumn("f_score", ntile(4).over(
+        Window.orderBy(col("frequency"), col("user_id"))).cast("long"))
+      .withColumn("m_score", ntile(4).over(
+        Window.orderBy(col("monetary"), col("user_id"))).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy("user_id")
+    val expected = rows(naive)
+    assert(rows(ext.Sessions.eventsRfmScores(events.coalesce(1))) == expected)
+    assert(rows(ext.Sessions.eventsRfmScores(events.repartition(13))) == expected)
+  }
+
+  test("gini and rfm plans have no partition-less window over a data-scaled frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    for (df <- Seq(Aggs.statGiniRevenue(orders), ext.Sessions.eventsRfmScores(events))) {
+      val bare = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      // the only partition-less windows allowed are the exclusive prefix
+      // sums over the per-range-partition totals frame (__pid-ordered,
+      // <= shuffle-partitions rows) — never over the customer/user frame
+      assert(bare.forall(_.orderSpec.exists(_.child.references.exists(_.name == "__pid"))),
+        s"partition-less window over a data-scaled frame:\n${bare.mkString("\n")}")
+    }
+  }
 }

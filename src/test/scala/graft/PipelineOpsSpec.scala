@@ -251,6 +251,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getAs[Double]("clustering_coeff") == 0.6)
   }
 
+  test("triangles: degree orientation bounds every out-degree by sqrt(2|E|)") {
+    // star-plus-rim with a SMALL-id hub: user 1 co-active with 2..9 across
+    // 8 distinct minutes. Under id-only orientation the hub would keep its
+    // full out-degree (8); degree-then-id orientation must point every
+    // star edge INTO the hub, leaving out-degrees <= sqrt(2*8) = 4.
+    val rows = (2L to 9L).flatMap { u =>
+      val m = f"2024-01-01 10:${u}%02d"
+      Seq((1L, "click", s"$m:05", 0.0), (u, "click", s"$m:30", 0.0))
+    }
+    val events = ev(rows: _*)
+    val edges = events
+      .select(col("user_id"), date_trunc("minute", col("ts")).as("hr")).distinct()
+    val und = edges.as("x").join(edges.as("y"),
+        col("x.hr") === col("y.hr") && col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b")).distinct()
+    val deg = Sessions.edgeDegrees(und)
+    val oriented = Sessions.orientedEdges(und, deg)
+    val nEdges = und.count()
+    val maxOut = oriented.groupBy(col("src")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxOut <= math.sqrt(2.0 * nEdges),
+      s"max out-degree $maxOut exceeds sqrt(2*$nEdges)")
+    // the hub (id 1, degree 8) must be the DESTINATION of all its edges
+    assert(oriented.filter(col("src") === 1L).count() == 0L)
+    // and the census is orientation-invariant: still 8 edges, 0 triangles
+    val out = Sessions.graphTriangles(events).collect()(0)
+    assert(out.getAs[Long]("n_edges") == 8L)
+    assert(out.getAs[Long]("n_triangles") == 0L)
+  }
+
   test("burst users: peak rate gate and first peaking minute") {
     val rows =
       Seq.tabulate(5)(i => (1L, "click", f"2024-01-01 10:05:${i}%02d", 0.0)) ++
