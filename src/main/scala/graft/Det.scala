@@ -30,4 +30,30 @@ object Det {
     * DuckDB equivalent:
     *   CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x) */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Exact-integer DECIMAL → double, deterministic across engines PAST
+    * 2^53 (r6): DuckDB's int128→double conversion is not correctly
+    * rounded above 2^53 (observed 1-ulp drift on a Σc⁴ of ~3·10¹⁹), so a
+    * bare `CAST(big AS DOUBLE)` can never hash-match Spark's correctly-
+    * rounded BigDecimal path. Split base-2^53 instead: |x| = hi·2^53 +
+    * lo with hi, lo < 2^53 — both casts are EXACT in any engine — then
+    * one multiply and one add, each a single correctly-rounded IEEE op,
+    * give bit-identical results everywhere (not necessarily the
+    * correctly-rounded value of x itself; deterministic beats last-ulp
+    * perfection, the [[dsum]] philosophy). Valid for |x| < 2^106;
+    * sign handled explicitly because Spark's integral divide truncates
+    * while DuckDB's `//` floors — they agree only on non-negatives.
+    * DuckDB equivalent (see SparkEntry's D2D macro):
+    *   CASE WHEN x < 0 THEN -(...) ELSE (...) END with
+    *   (CAST(@x // 9007199254740992 AS DOUBLE) * 9007199254740992.0 +
+    *    CAST(@x % 9007199254740992 AS DOUBLE)) over @x = abs(x) */
+  def decToDouble(c: Column): Column = {
+    val b = lit(9007199254740992L) // 2^53
+    def pos(a: Column): Column = {
+      val hi = call_function("div", a, b)
+      val lo = (a % b).cast("long")
+      hi.cast(DoubleType) * lit(9007199254740992.0) + lo.cast(DoubleType)
+    }
+    when(c < 0, -pos(-c)).otherwise(pos(c))
+  }
 }

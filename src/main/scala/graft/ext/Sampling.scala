@@ -117,4 +117,25 @@ object Sampling {
       .filter(col("permille") < col("rate"))
       .orderBy("doc_id")
   }
+
+  /** r6: exact-k deterministic sample — "give me exactly k uniform-ish
+    * docs, the same k every run": the fixed-size eval/holdout selection
+    * every release pipeline pins (a rate filter gives a BINOMIAL size;
+    * an RNG reservoir gives a different set per run/partitioning). Rank
+    * by the md5 hex prefix of the content id (lowercase hex compares
+    * lexicographically = numerically — the same portable hash family as
+    * [[sampleHashSplit]], tie by doc_id) and keep the k smallest. Plan:
+    * TakeOrderedAndProject — each task keeps k rows, the driver merges
+    * 32·k, nothing else crosses the wire; the rank window then rides the
+    * ≤k surviving rows. */
+  def sampleTopkHash(documents: DataFrame, k: Int = 100): DataFrame = {
+    val hkey = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16)
+    val rank = Window.orderBy(col("hkey"), col("doc_id"))
+    documents
+      .select(col("doc_id"), hkey.as("hkey"))
+      .orderBy(col("hkey"), col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .select(col("rank"), col("doc_id"), col("hkey"))
+      .orderBy("rank")
+  }
 }

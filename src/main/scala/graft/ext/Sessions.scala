@@ -629,4 +629,91 @@ object Sessions {
       .agg(count(lit(1)).as("n_concurrent"), sum(col("overlap_us")).as("overlap_us_total"))
       .orderBy("user_a", "user_b")
   }
+
+  /** r6: per-user regularity census — the bot / scripted-traffic screen a
+    * training-data pipeline runs before trusting behavioral data: humans
+    * are bursty and irregular, scripts are metronomic. Per user: event
+    * and active-minute counts, the duplicate-minute ratio (integer ppb —
+    * the `corpus_mix_report` lesson), inter-event gap mean/variance from
+    * exact integer/decimal power sums (gaps are integer micros; gap² is
+    * cast to DECIMAL(38,0) BEFORE the multiply — a long·long at day-scale
+    * gaps overflows), the busiest-minute burst, and a rule flag on pure
+    * integer comparisons. No transcendentals anywhere (an entropy
+    * spelling would hand the result to two different libms). Plan: one
+    * user-keyed window + agg for the gap branch, one (user, minute) →
+    * user two-level agg for the burst branch, joined on the per-user
+    * frame; both branches map-side combine before their shuffles. */
+  def eventsRegularityScore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e_us"), col("event_id"))
+    val dec0 = DecimalType(38, 0)
+    val o = events
+      .withColumn("e_us", unix_micros(col("ts")))
+      .withColumn("minute", expr("e_us div 60000000"))
+      .withColumn("gap", col("e_us") - lag(col("e_us"), 1).over(w))
+    val gapSide = o.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("minute")).as("n_minutes"),
+      sum(col("gap").cast(dec0)).cast("double").as("sg"),
+      sum((col("gap").cast(dec0) * col("gap").cast(dec0))).cast("double").as("sg2"),
+      sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_gaps"))
+    val burstSide = events
+      .select(col("user_id"), expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy(col("user_id"), col("minute")).agg(count(lit(1)).as("mc"))
+      .groupBy(col("user_id")).agg(max(col("mc")).as("burst_max_per_minute"))
+    gapSide.join(burstSide, Seq("user_id"))
+      .withColumn("dup_minute_ppb",
+        expr("CAST(n_events - n_minutes AS DECIMAL(38,0)) * 1000000000 DIV n_events"))
+      .withColumn("mean_gap_us", when(col("n_gaps") > 0, col("sg") / col("n_gaps")))
+      .withColumn("gap_var_us2", when(col("n_gaps") > 0,
+        col("sg2") / col("n_gaps") -
+          (col("sg") / col("n_gaps")) * (col("sg") / col("n_gaps"))))
+      .withColumn("suspected_bot",
+        col("burst_max_per_minute") >= 10 ||
+          (col("n_events") >= 20 && col("dup_minute_ppb") >= 500000000L))
+      .select(col("user_id"), col("n_events"), col("n_minutes"),
+        col("dup_minute_ppb"), col("mean_gap_us"), col("gap_var_us2"),
+        col("burst_max_per_minute"), col("suspected_bot"))
+      .orderBy("user_id")
+  }
+
+  /** r6: k-core decomposition of the user co-activity graph — the
+    * community-strength filter next to [[graphTriangles]]'s cohesion
+    * census and [[graphLinkJaccard]]'s candidates: the k-core is the
+    * maximal subgraph where every node keeps ≥ k neighbors, the standard
+    * "dense social scaffold" extractor (and botnet-ring screen) in
+    * large-graph practice. Algorithm: simultaneous peeling — drop every
+    * node whose induced degree < k, recompute, repeat to the (unique)
+    * fixpoint; uniqueness means removal order cannot matter, so the
+    * engine- and partition-order-independence is structural, not
+    * incidental. Each round is two semi-joins + one degree agg over the
+    * memoized edge frame, `localCheckpoint`ed (the dedup-clusters
+    * fixpoint contract) with a scalar count per round as the convergence
+    * probe (bounded driver work — counts, never rows). Emits the
+    * surviving nodes with their core degrees. */
+  def graphKcore(events: DataFrame, k: Int = 3, maxRounds: Int = 50): DataFrame = {
+    val edges = coActivityEdges(events)
+    def induced(nodes: DataFrame): DataFrame =
+      edges
+        .join(nodes.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(nodes.select(col("v").as("b")), Seq("b"), "left_semi")
+    def degrees(sub: DataFrame): DataFrame =
+      sub.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var cur = edgeDegrees(edges).filter(col("deg") >= k)
+      .select(col("v")).localCheckpoint()
+    var nCur = cur.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = degrees(induced(cur)).filter(col("deg") >= k)
+        .select(col("v")).localCheckpoint()
+      val nNext = next.count()
+      done = nNext == nCur // next ⊆ cur, so equal counts ⇔ fixpoint
+      cur = next; nCur = nNext; rounds += 1
+    }
+    degrees(induced(cur))
+      .select(col("v").as("user_id"), col("deg").as("core_degree"))
+      .orderBy("user_id")
+  }
 }

@@ -1506,4 +1506,50 @@ object Aggs {
         davg(col("value")).as("trimmed_mean"))
       .orderBy("event_type")
   }
+
+  /** r6: higher-moment profile per event class — variance, skewness and
+    * excess kurtosis from exact power sums, the distribution-shape
+    * summary that tells a data-quality monitor "this feed went
+    * heavy-tailed / lopsided" where mean+σ alone cannot (kurtosis is THE
+    * fat-finger / sensor-spike indicator). One partial/final hash agg
+    * computes Σc..Σc⁴ over integer CENTS (the `stat_benford` idiom) —
+    * EXACT integer products and sums in DECIMAL(38,0): a double x⁴ cast
+    * to decimal is one shortest-string-vs-exact-binary rounding from a
+    * cross-engine ulp (observed on this fixture); an integer never is.
+    * Skewness/kurtosis are scale-invariant so they come straight off the
+    * cents moments; mean/variance rescale by one exact divide. The
+    * moment algebra afterwards is one fixed
+    * correctly-rounded double chain per row (m₂ via s2/n − mean²; the
+    * only root is `sqrt`, the one libm-free correctly-rounded power).
+    * Zero-variance classes emit NULL shape stats via the same predicate
+    * both engines evaluate. */
+  def statMomentsPerType(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    events
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(28, 2)) * 100).cast(dec).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Det.decToDouble(sum(col("c"))).as("s1"),
+        graft.Det.decToDouble(sum(col("c") * col("c"))).as("s2"),
+        graft.Det.decToDouble(sum(col("c") * col("c") * col("c"))).as("s3"),
+        graft.Det.decToDouble(sum(col("c") * col("c") * col("c") * col("c"))).as("s4"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / col("n") -
+        lit(3.0) * col("mean") * (col("s2") / col("n")) +
+        lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4", col("s4") / col("n") -
+        lit(4.0) * col("mean") * (col("s3") / col("n")) +
+        lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n")) -
+        lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .select(col("event_type"), col("n"),
+        (col("mean") / 100.0).as("mean"),
+        (col("m2") / 10000.0).as("variance"),
+        when(col("m2") > 0, col("m3") / (col("m2") * sqrt(col("m2"))))
+          .as("skewness"),
+        when(col("m2") > 0, col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          .as("kurtosis_excess"))
+      .orderBy("event_type")
+  }
 }

@@ -365,4 +365,78 @@ object Windows {
         col("roll7_avg"), col("roll7_std"))
       .orderBy("user_id", "day_s")
   }
+
+  /** r6: Hampel filter — the robust rolling-median despike every sensor
+    * pipeline runs before analytics (a z-score despike chases its own
+    * outliers because mean AND σ are contaminated; median/MAD are not —
+    * the [[windowMadHours]] robustness argument applied to a rolling
+    * per-row frame). Each row is judged against the median of its
+    * ±`k`-row window and replaced by it when the deviation exceeds
+    * `nSigmas` · 1.4826 · MAD.
+    *
+    * Exactness: values become integer CENTS (the `stat_benford` idiom);
+    * the window arrives as a SORTED ARRAY (collect_list over a bounded
+    * ±k frame — ≤ 2k+1 elements, map-side after the one user shuffle),
+    * so both medians are pure integer order statistics: med2/mad2 carry
+    * lower+upper ×2 (no halving, no interpolation function whose
+    * rounding could differ between engines), and the outlier test
+    * cross-multiplies — 2·|2x−med2| > nSigmas·1.4826·mad2 — leaving ONE
+    * double product chain spelled identically in the oracle. Plan: one
+    * shuffle on user_id, one window, map-side array math; the frame is
+    * 11 elements regardless of data size. */
+  def windowHampel(events: DataFrame, k: Int = 5, nSigmas: Double = 3.0): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-k, k)
+    events
+      .withColumn("cents",
+        (col("value").cast(dec(28, 2)) * 100).cast(dec(38, 0)).cast("long"))
+      .withColumn("warr", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("wn", size(col("warr")))
+      .withColumn("med2",
+        expr("element_at(warr, cast((wn - 1) div 2 + 1 as int))") +
+          expr("element_at(warr, cast(wn div 2 + 1 as int))"))
+      .withColumn("darr",
+        sort_array(transform(col("warr"), x => abs(x * 2 - col("med2")))))
+      .withColumn("mad2",
+        expr("element_at(darr, cast((wn - 1) div 2 + 1 as int))") +
+          expr("element_at(darr, cast(wn div 2 + 1 as int))"))
+      .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+      .withColumn("is_outlier",
+        (col("dev2") * 2).cast("double") > lit(1.4826) * col("mad2") * lit(nSigmas))
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("is_outlier"), col("med2").cast("double") / 200.0)
+          .otherwise(col("value")).as("filtered_value"),
+        col("is_outlier"))
+      .orderBy("event_id")
+  }
+
+  /** r6: running-peak drawdown per series — "how far below the best seen
+    * so far", the decay/degradation detector (sensor drift, revenue
+    * slumps, model-metric regressions) that pairs with [[windowCusum]]'s
+    * mean-shift detector. Pure integer arithmetic: the running max rides
+    * the one user-ordered window in CENTS, the drawdown is a subtraction,
+    * and its share of the peak is integer parts-per-billion (the
+    * `corpus_mix_report` ppb lesson) — nothing to round anywhere. One
+    * shuffle on user_id, one growing-frame window (no second sort: the
+    * frame reuses the same (ts, event_id) order). */
+  def windowDrawdown(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("cents",
+        (col("value").cast(dec(28, 2)) * 100).cast(dec(38, 0)).cast("long"))
+      .withColumn("peak_c", max(col("cents")).over(w))
+      .withColumn("drawdown_cents", col("peak_c") - col("cents"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        col("value"),
+        (col("peak_c").cast("double") / 100.0).as("peak_value"),
+        col("drawdown_cents"),
+        when(col("peak_c") > 0,
+          expr("CAST(drawdown_cents AS DECIMAL(38,0)) * 1000000000 DIV peak_c"))
+          .as("drawdown_ppb"))
+      .orderBy("event_id")
+  }
 }

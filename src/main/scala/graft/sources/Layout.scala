@@ -120,4 +120,5 @@ object Layout {
       case None => spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     }
   }
+
 }

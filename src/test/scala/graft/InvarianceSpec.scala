@@ -435,6 +435,22 @@ class InvarianceSpec extends SparkSpec {
     assert(rows(ext.Sessions.eventsRfmScores(events.repartition(13))) == expected)
   }
 
+  test("r6 operator batch is partitioning-invariant") {
+    import graft.ops.Windows
+    assert(rows(Windows.windowHampel(events.coalesce(1))) ==
+      rows(Windows.windowHampel(events.repartition(13))))
+    assert(rows(Windows.windowDrawdown(events.coalesce(1))) ==
+      rows(Windows.windowDrawdown(events.repartition(13))))
+    assert(rows(Aggs.statMomentsPerType(events.coalesce(1))) ==
+      rows(Aggs.statMomentsPerType(events.repartition(13))))
+    assert(rows(ext.Sessions.eventsRegularityScore(events.coalesce(1))) ==
+      rows(ext.Sessions.eventsRegularityScore(events.repartition(13))))
+    assert(rows(ext.Sessions.graphKcore(events.coalesce(1), k = 2)) ==
+      rows(ext.Sessions.graphKcore(events.repartition(13), k = 2)))
+    assert(rows(graft.ops.Joins.tsDownsampleLttb(events.coalesce(1))) ==
+      rows(graft.ops.Joins.tsDownsampleLttb(events.repartition(13))))
+  }
+
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")

@@ -715,4 +715,93 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2L, 1000000000L)))
     assert(out(2L) == ((3L, 2L, 666666666L)))
   }
+
+  test("hampel: a lone spike is replaced by the window median, neighbors kept") {
+    // 9 steady readings at 10.00 with one 500.00 spike in the middle
+    val rows = (1 to 9).map { i =>
+      (1L, "a", f"2024-01-01 10:0$i:00", if (i == 5) 500.0 else 10.0)
+    }
+    val out = graft.ops.Windows.windowHampel(ev(rows: _*)).collect()
+    val byVal = out.map(r => (r.getAs[Double]("value"),
+      r.getAs[Double]("filtered_value"), r.getAs[Boolean]("is_outlier")))
+    // the spike: window median 10.00, MAD 0 -> flagged, replaced by 10.0
+    assert(byVal.count(_._3) == 1)
+    assert(byVal.find(_._1 == 500.0).get._2 == 10.0)
+    // steady rows untouched
+    assert(byVal.filter(_._1 == 10.0).forall(v => !v._3 && v._2 == 10.0))
+  }
+
+  test("drawdown: running peak and ppb share of peak") {
+    val events = ev(
+      (1L, "a", "2024-01-01 10:00:00", 100.0),
+      (1L, "a", "2024-01-01 10:01:00", 80.0),   // dd 20.00 of 100 = 200M ppb
+      (1L, "a", "2024-01-01 10:02:00", 120.0),  // new peak
+      (1L, "a", "2024-01-01 10:03:00", 30.0))   // dd 90.00 of 120 = 750M ppb
+    val out = graft.ops.Windows.windowDrawdown(events).collect()
+      .map(r => (r.getAs[Double]("value"), r.getAs[Double]("peak_value"),
+        r.getAs[Long]("drawdown_cents"), r.getAs[Long]("drawdown_ppb")))
+    assert(out.toSeq == Seq(
+      (100.0, 100.0, 0L, 0L), (80.0, 100.0, 2000L, 200000000L),
+      (120.0, 120.0, 0L, 0L), (30.0, 120.0, 9000L, 750000000L)))
+  }
+
+  test("moments: exact skew/kurtosis signs on crafted distributions") {
+    // symmetric two-point mass: skew 0, kurtosis_excess -2 (Bernoulli 1/2)
+    val sym = (1 to 8).map(i =>
+      (i.toLong, "sym", f"2024-01-01 10:0$i:00", if (i % 2 == 0) 1.0 else -1.0))
+    // right-skewed: one large value among small ones
+    val skw = (1 to 8).map(i =>
+      (i.toLong, "skw", f"2024-01-01 11:0$i:00", if (i == 8) 100.0 else 1.0))
+    val out = graft.ops.Aggs.statMomentsPerType(ev((sym ++ skw): _*)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val symR = out("sym")
+    assert(symR.getAs[Double]("mean") == 0.0)
+    assert(symR.getAs[Double]("variance") == 1.0)
+    assert(symR.getAs[Double]("skewness") == 0.0)
+    assert(symR.getAs[Double]("kurtosis_excess") == -2.0)
+    assert(out("skw").getAs[Double]("skewness") > 1.0)
+  }
+
+  test("regularity: metronomic duplicate-minute bot flagged, human not") {
+    // bot: 30 events all inside one minute; human: 5 events spread out
+    val bot = (0 until 30).map(i =>
+      (1L, "a", f"2024-01-01 10:00:${i % 60}%02d", 0.0))
+    val human = Seq(
+      (2L, "a", "2024-01-01 10:00:00", 0.0), (2L, "a", "2024-01-01 10:07:00", 0.0),
+      (2L, "a", "2024-01-01 11:03:00", 0.0), (2L, "a", "2024-01-02 09:00:00", 0.0),
+      (2L, "a", "2024-01-02 18:30:00", 0.0))
+    val out = graft.ext.Sessions.eventsRegularityScore(ev((bot ++ human): _*))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("suspected_bot"))
+    assert(out(1L).getAs[Long]("burst_max_per_minute") == 30L)
+    assert(out(1L).getAs[Long]("n_minutes") == 1L)
+    assert(!out(2L).getAs[Boolean]("suspected_bot"))
+    assert(out(2L).getAs[Long]("n_events") == 5L)
+    assert(out(2L).getAs[Long]("n_minutes") == 5L)
+    assert(out(2L).getAs[Long]("dup_minute_ppb") == 0L)
+  }
+
+  test("kcore: peeling removes the tail, keeps the clique") {
+    // K4 clique (users 1-4 co-active in minutes m1..m6, pairwise) plus a
+    // pendant user 5 touching only user 1 -> 3-core = the K4, degrees 3
+    val cliquePairs = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val rows = cliquePairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val m = f"2024-01-01 10:${10 + i}%02d"
+      Seq((a, "a", s"$m:05", 0.0), (b, "a", s"$m:40", 0.0))
+    } ++ Seq(
+      (1L, "a", "2024-01-01 11:30:05", 0.0),
+      (5L, "a", "2024-01-01 11:30:40", 0.0))
+    val out = graft.ext.Sessions.graphKcore(ev(rows: _*)).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("core_degree")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("topk hash sample: exactly k, stable under reordering") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = graft.ext.Sampling.sampleTopkHash(docs, k = 7).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val b = graft.ext.Sampling.sampleTopkHash(docs.repartition(13), k = 7)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(a.length == 7 && a == b)
+  }
 }
