@@ -175,6 +175,7 @@ object SparkEntry {
     "snapshot_upsert"       -> ((s, d) => Joins.snapshotUpsert(events(s, d))),
     "ts_downsample_ltob"    -> ((s, d) => Joins.tsDownsampleLtob(events(s, d))),
     "ts_downsample_lttb"    -> ((s, d) => Joins.tsDownsampleLttb(events(s, d))),
+    "ts_kalman_filter"      -> ((s, d) => Joins.tsKalmanFilter(events(s, d))),
     "emb_binarize_sign"     -> ((s, d) => ext.Similarity.embBinarizeSign(embeddings(s, d))),
     "sim_search_hamming_topk" -> ((s, d) =>
       ext.Similarity.simSearchHammingTopk(embeddings(s, d))),
@@ -715,6 +716,8 @@ object SparkEntry {
       """WITH RECURSIVE active AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS hr FROM events), edges AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id), d0 AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY 1), core AS (SELECT 0 AS iter, (SELECT coalesce(list(v ORDER BY v), []) FROM d0 WHERE deg >= 3) AS vs, (SELECT list({'a': a, 'b': b}) FROM edges) AS es UNION ALL SELECT iter + 1, nxt, es FROM (SELECT iter, vs, es, list_filter(vs, v -> len(list_filter(es, e -> (e.a = v OR e.b = v) AND list_contains(vs, e.a) AND list_contains(vs, e.b))) >= 3) AS nxt FROM core) WHERE iter < 50 AND nxt <> vs), fin AS (SELECT vs FROM core ORDER BY iter DESC LIMIT 1), surv AS (SELECT unnest(vs) AS v FROM fin), sub AS (SELECT a, b FROM edges WHERE a IN (SELECT v FROM surv) AND b IN (SELECT v FROM surv)) SELECT v AS user_id, CAST(count(*) AS BIGINT) AS core_degree FROM (SELECT a AS v FROM sub UNION ALL SELECT b AS v FROM sub) GROUP BY 1 ORDER BY user_id""",
     "sample_topk_hash" ->
       """WITH h AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hkey FROM documents), t AS (SELECT doc_id, hkey FROM h ORDER BY hkey, doc_id LIMIT 100) SELECT CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS rank, doc_id, hkey FROM t ORDER BY rank""",
+    "ts_kalman_filter" ->
+      s"""WITH RECURSIVE pts AS (SELECT user_id, event_id, ts, value AS z, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn FROM events), rec AS (SELECT user_id, rn, event_id, ts, z, z AS x, CAST(4.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS gain FROM pts WHERE rn = 1 UNION ALL SELECT c.user_id, c.rn, c.event_id, c.ts, c.z, r.x + ((r.p + 0.05) / ((r.p + 0.05) + 4.0)) * (c.z - r.x) AS x, (1.0 - ((r.p + 0.05) / ((r.p + 0.05) + 4.0))) * (r.p + 0.05) AS p, (r.p + 0.05) / ((r.p + 0.05) + 4.0) AS gain FROM rec r JOIN pts c ON c.user_id = r.user_id AND c.rn = r.rn + 1) SELECT event_id, user_id, strftime(ts, $TS6) AS ts_s, z AS value, x AS x_filt, p AS p_var, gain FROM rec ORDER BY event_id""",
     "emb_binarize_sign" ->
       """WITH s AS (SELECT vec_id, label, CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_lo, CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_hi FROM embeddings) SELECT vec_id, label, sig_lo, sig_hi, CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos FROM s ORDER BY vec_id""",
     "sim_search_hamming_topk" ->

@@ -620,6 +620,57 @@ object Joins {
         col("n_events"))
       .orderBy("user_id", "island")
   }
+
+  /** r6: 1-D Kalman smoother per series — the classic online filter for
+    * noisy sensor streams (constant-state model: process noise `q`,
+    * measurement noise `r`), the statistically-grounded sibling of
+    * [[graft.ops.Windows.windowMovingAvg]]'s fixed-window smoothing and
+    * the stream EWMA (`stream/Smooth.scala`): the gain adapts to the
+    * filter's own variance instead of a fixed alpha. Inherently
+    * sequential per series — state (x̂, P) chains row to row — so it
+    * rides the [[tsDownsampleLttb]] shape: hash-partition on the series
+    * key, sort within partitions, one O(1)-state linear scan per
+    * partition (`mapPartitions`, SURVEY §7.1 preference (d)).
+    *
+    * Exactness: every step is the fixed 4-op chain P⁻=P+q;
+    * K=P⁻/(P⁻+r); x̂′=x̂+K·(z−x̂); P′=(1−K)·P⁻ — each op correctly
+    * rounded, spelled token-for-token in the oracle's recursive CTE, so
+    * the filtered series hash-matches bit for bit. Init: x̂₀ = first
+    * measurement, P₀ = r, gain NULL (nothing to smooth yet). */
+  def tsKalmanFilter(events: DataFrame, q: Double = 0.05, r: Double = 4.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pts = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        expr("unix_micros(ts)").as("xus"), col("value").cast("double").as("z"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("xus"), col("event_id"))
+      .as[(Long, Long, Long, Double)]
+    val filtered = pts.mapPartitions { it =>
+      var curUser = 0L
+      var have = false
+      var x = 0.0
+      var p = 0.0
+      it.map { case (u, id, xus, z) =>
+        if (!have || u != curUser) {
+          curUser = u; have = true
+          x = z; p = r
+          (u, id, xus, z, x, p, None: Option[Double])
+        } else {
+          val pPred = p + q
+          val k = pPred / (pPred + r)
+          x = x + k * (z - x)
+          p = (1.0 - k) * pPred
+          (u, id, xus, z, x, p, Some(k))
+        }
+      }
+    }
+    filtered.toDF("user_id", "event_id", "xus", "z", "x_filt", "p_var", "gain")
+      .select(col("event_id"), col("user_id"),
+        fmtTs(timestamp_micros(col("xus"))).as("ts_s"),
+        col("z").as("value"), col("x_filt"), col("p_var"), col("gain"))
+      .orderBy("event_id")
+  }
 }
 
 /** The sequential LTTB chain behind [[Joins.tsDownsampleLttb]]: consumes a

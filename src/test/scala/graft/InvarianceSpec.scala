@@ -449,6 +449,8 @@ class InvarianceSpec extends SparkSpec {
       rows(ext.Sessions.graphKcore(events.repartition(13), k = 2)))
     assert(rows(graft.ops.Joins.tsDownsampleLttb(events.coalesce(1))) ==
       rows(graft.ops.Joins.tsDownsampleLttb(events.repartition(13))))
+    assert(rows(graft.ops.Joins.tsKalmanFilter(events.coalesce(1))) ==
+      rows(graft.ops.Joins.tsKalmanFilter(events.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

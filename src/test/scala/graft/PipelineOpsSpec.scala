@@ -796,6 +796,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kalman: constant series is a fixpoint; gain decays toward steady state") {
+    val events = ev((1 to 6).map(i =>
+      (1L, "a", f"2024-01-01 10:0$i:00", 10.0)): _*)
+    val out = graft.ops.Joins.tsKalmanFilter(events).collect()
+    // constant measurements: the filter never moves off the value
+    assert(out.forall(_.getAs[Double]("x_filt") == 10.0))
+    // first row has no gain; afterwards P shrinks so the gain decreases
+    assert(out.head.isNullAt(out.head.fieldIndex("gain")))
+    val gains = out.tail.map(_.getAs[Double]("gain"))
+    assert(gains.head == 4.05 / 8.05)
+    assert(gains.sliding(2).forall { case Array(a, b) => b < a })
+    // and a step responds: second series jumps, estimate moves toward it
+    val step = ev(
+      (2L, "a", "2024-01-01 10:01:00", 0.0),
+      (2L, "a", "2024-01-01 10:02:00", 100.0))
+    val s2 = graft.ops.Joins.tsKalmanFilter(step).collect()
+      .filter(_.getAs[Long]("user_id") == 2L)
+    val x2 = s2.last.getAs[Double]("x_filt")
+    assert(x2 > 40.0 && x2 < 60.0, s"step response $x2")
+  }
+
   test("topk hash sample: exactly k, stable under reordering") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = graft.ext.Sampling.sampleTopkHash(docs, k = 7).collect()
