@@ -100,4 +100,20 @@ class EmptyInputSpec extends SparkSpec {
       kmv(0).getAs[Double]("theta") == 1.0 &&
       kmv(0).getAs[Double]("est_distinct") == 0.0)
   }
+
+  test("r6 operators survive empty inputs") {
+    import graft.ext._
+    assert(ops.Windows.windowHampel(emptyEvents).count() == 0)
+    assert(ops.Windows.windowDrawdown(emptyEvents).count() == 0)
+    assert(ops.Aggs.statMomentsPerType(emptyEvents).count() == 0)
+    assert(ops.Aggs.statGiniRevenue(
+      Tables.orders(spark, sf).limit(0)).count() == 1) // global agg: one zero row
+    assert(Sessions.eventsRegularityScore(emptyEvents).count() == 0)
+    assert(Sessions.eventsRfmScores(emptyEvents).count() == 0)
+    assert(Sessions.graphKcore(emptyEvents).count() == 0)
+    assert(Sessions.joinIntervalOverlap(emptyEvents).count() == 0)
+    assert(ops.Joins.tsDownsampleLttb(emptyEvents).count() == 0)
+    assert(ops.Joins.tsKalmanFilter(emptyEvents).count() == 0)
+    assert(Sampling.sampleTopkHash(emptyDocs).count() == 0)
+  }
 }
