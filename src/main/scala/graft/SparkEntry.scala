@@ -163,6 +163,8 @@ object SparkEntry {
     "stat_changepoint_cusum" -> ((s, d) => Aggs.statChangepointCusum(events(s, d))),
     "stat_trimmed_mean"     -> ((s, d) => Aggs.statTrimmedMean(events(s, d))),
     "stat_moments_per_type" -> ((s, d) => Aggs.statMomentsPerType(events(s, d))),
+    "stat_runs_test"        -> ((s, d) => Aggs.statRunsTest(events(s, d))),
+    "corpus_quality_report" -> ((s, d) => ext.CorpusPrep.corpusQualityReport(documents(s, d))),
     "window_hampel"         -> ((s, d) => Windows.windowHampel(events(s, d))),
     "window_drawdown"       -> ((s, d) => Windows.windowDrawdown(events(s, d))),
     "events_regularity_score" -> ((s, d) => ext.Sessions.eventsRegularityScore(events(s, d))),
@@ -718,6 +720,10 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hkey FROM documents), t AS (SELECT doc_id, hkey FROM h ORDER BY hkey, doc_id LIMIT 100) SELECT CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS rank, doc_id, hkey FROM t ORDER BY rank""",
     "ts_kalman_filter" ->
       s"""WITH RECURSIVE pts AS (SELECT user_id, event_id, ts, value AS z, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn FROM events), rec AS (SELECT user_id, rn, event_id, ts, z, z AS x, CAST(4.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS gain FROM pts WHERE rn = 1 UNION ALL SELECT c.user_id, c.rn, c.event_id, c.ts, c.z, r.x + ((r.p + 0.05) / ((r.p + 0.05) + 4.0)) * (c.z - r.x) AS x, (1.0 - ((r.p + 0.05) / ((r.p + 0.05) + 4.0))) * (r.p + 0.05) AS p, (r.p + 0.05) / ((r.p + 0.05) + 4.0) AS gain FROM rec r JOIN pts c ON c.user_id = r.user_id AND c.rn = r.rn + 1) SELECT event_id, user_id, strftime(ts, $TS6) AS ts_s, z AS value, x AS x_filt, p AS p_var, gain FROM rec ORDER BY event_id""",
+    "stat_runs_test" ->
+      """WITH r0 AS (SELECT event_type, event_id, ts, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), med AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS med FROM r0 GROUP BY 1), sg AS (SELECT e.event_type, e.ts, e.event_id, CASE WHEN e.value > m.med THEN 1 ELSE 0 END AS above FROM events e JOIN med m USING (event_type)), rr AS (SELECT *, CASE WHEN lag(above) OVER w IS NULL OR above <> lag(above) OVER w THEN 1 ELSE 0 END AS newrun FROM sg WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)), ag AS (SELECT event_type, CAST(sum(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above, CAST(sum(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below, CAST(sum(newrun) AS BIGINT) AS n_runs FROM rr GROUP BY 1), st AS (SELECT *, CAST(n_above + n_below AS DOUBLE) AS t, 2.0 * n_above * n_below AS p2 FROM ag), fin AS (SELECT *, 1.0 + p2 / t AS expected_runs, p2 * (p2 - t) / (t * t * (t - 1.0)) AS var_runs FROM st) SELECT event_type, n_above, n_below, n_runs, expected_runs, CASE WHEN var_runs > 0 THEN (CAST(n_runs AS DOUBLE) - expected_runs) / sqrt(var_runs) END AS z FROM fin ORDER BY event_type""",
+    "corpus_quality_report" ->
+      """WITH s AS (SELECT source, doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) n_tok, len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) n_stop, len(regexp_extract_all(text, '[0-9]')) n_digit, n_chars FROM documents), q0 AS (SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tokens, (CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(n_digit AS DOUBLE) / greatest(n_chars, 1))) AS q FROM s), r0 AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY source) AS n FROM q0) SELECT source, CAST(max(n) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS mean_quality, max(CASE WHEN rn = ceil(n * 0.25) THEN q END) AS q25, max(CASE WHEN rn = ceil(n * 0.5) THEN q END) AS q50, max(CASE WHEN rn = ceil(n * 0.75) THEN q END) AS q75, CAST(sum(CASE WHEN q < 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_gate FROM r0 GROUP BY source ORDER BY source""",
     "emb_binarize_sign" ->
       """WITH s AS (SELECT vec_id, label, CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_lo, CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_hi FROM embeddings) SELECT vec_id, label, sig_lo, sig_hi, CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos FROM s ORDER BY vec_id""",
     "sim_search_hamming_topk" ->

@@ -240,4 +240,34 @@ object CorpusPrep {
           .as("alloc_docs"))
       .orderBy("source")
   }
+
+  /** r6: per-source quality data card — the "what is each source worth"
+    * table a corpus release ships next to [[corpusMixReport]]'s volume
+    * shares: doc/token counts, mean quality, exact quality QUARTILES and
+    * the below-gate count per source (the number that decides whether a
+    * source gets re-crawled, re-filtered or dropped). Quartiles follow
+    * the `agg_quantiles` exact-order-statistic contract (value at row
+    * ceil(q·n) under a (quality, doc_id) total order — no interpolation,
+    * engine-portable), computed per SOURCE key so the rank window is
+    * distributed; the mean rides [[graft.Det.davg]]; the gate count is
+    * an integer conditional sum. One quality projection feeds rank
+    * window + hash agg on the same source key — one shuffle total. */
+  def corpusQualityReport(documents: DataFrame, gate: Double = 1.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents.select(col("source"), col("doc_id"),
+      Text.qualityScore.as("q"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    val counted = scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+    def at(q: Double) = max(when(col("rn") === ceil(col("n") * q), col("q")))
+    counted.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        graft.Det.davg(col("q")).as("mean_quality"),
+        at(0.25).as("q25"), at(0.5).as("q50"), at(0.75).as("q75"),
+        sum(when(col("q") < gate, 1L).otherwise(0L)).as("n_below_gate"))
+      .orderBy("source")
+  }
 }

@@ -1552,4 +1552,46 @@ object Aggs {
           .as("kurtosis_excess"))
       .orderBy("event_type")
   }
+
+  /** r6: Wald–Wolfowitz runs test per event class — the randomness screen
+    * for a value stream: too FEW runs above/below the median means
+    * clumping (stuck sensor, batched replays), too many means
+    * oscillation (thermostat hunting, alternating duplicates) — the
+    * sequence-order complement of [[statMomentsPerType]]'s
+    * distribution-shape screen, and a second face of the
+    * `events_regularity_score` bot family. The median is the discrete
+    * exact order statistic (the `agg_quantiles` contract: value at
+    * ceil(n/2) under a (value, event_id) total order — engine-portable,
+    * no interpolation); runs count via one lag over the time order; all
+    * counts integer, the z-statistic one fixed double chain whose only
+    * root is `sqrt`. The classes×1 median frame broadcasts back. */
+  def statRunsTest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val med = events
+      .withColumn("rn", row_number().over(wv).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("med"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val signed = events.join(broadcast(med), Seq("event_type"))
+      .withColumn("above", (col("value") > col("med")).cast("int"))
+      .withColumn("newrun", when(lag(col("above"), 1).over(wt).isNull ||
+        col("above") =!= lag(col("above"), 1).over(wt), 1L).otherwise(0L))
+    signed.groupBy(col("event_type"))
+      .agg(sum(when(col("above") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("above") === 0, 1L).otherwise(0L)).as("n_below"),
+        sum(col("newrun")).as("n_runs"))
+      .withColumn("t", (col("n_above") + col("n_below")).cast("double"))
+      .withColumn("p2", lit(2.0) * col("n_above") * col("n_below"))
+      .withColumn("expected_runs", lit(1.0) + col("p2") / col("t"))
+      .withColumn("var_runs", col("p2") * (col("p2") - col("t")) /
+        (col("t") * col("t") * (col("t") - lit(1.0))))
+      .select(col("event_type"), col("n_above"), col("n_below"), col("n_runs"),
+        col("expected_runs"),
+        when(col("var_runs") > 0,
+          (col("n_runs").cast("double") - col("expected_runs")) / sqrt(col("var_runs")))
+          .as("z"))
+      .orderBy("event_type")
+  }
 }

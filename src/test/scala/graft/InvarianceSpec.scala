@@ -451,6 +451,10 @@ class InvarianceSpec extends SparkSpec {
       rows(graft.ops.Joins.tsDownsampleLttb(events.repartition(13))))
     assert(rows(graft.ops.Joins.tsKalmanFilter(events.coalesce(1))) ==
       rows(graft.ops.Joins.tsKalmanFilter(events.repartition(13))))
+    assert(rows(Aggs.statRunsTest(events.coalesce(1))) ==
+      rows(Aggs.statRunsTest(events.repartition(13))))
+    assert(rows(CorpusPrep.corpusQualityReport(docs.coalesce(1))) ==
+      rows(CorpusPrep.corpusQualityReport(docs.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

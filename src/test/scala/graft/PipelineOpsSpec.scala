@@ -817,6 +817,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(x2 > 40.0 && x2 < 60.0, s"step response $x2")
   }
 
+  test("runs test: alternation and clumping give opposite z signs") {
+    // alternating around the median -> max runs -> z > 0
+    val alt = (1 to 12).map(i =>
+      (1L, "alt", f"2024-01-01 10:$i%02d:00", if (i % 2 == 0) 10.0 else 1.0))
+    // clumped: all lows then all highs -> 2 runs -> z < 0
+    val clump = (1 to 12).map(i =>
+      (1L, "clump", f"2024-01-01 11:$i%02d:00", if (i <= 6) 1.0 else 10.0))
+    val out = graft.ops.Aggs.statRunsTest(ev((alt ++ clump): _*)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("alt").getAs[Long]("n_runs") == 12L)
+    assert(out("alt").getAs[Double]("z") > 2.0)
+    assert(out("clump").getAs[Long]("n_runs") == 2L)
+    assert(out("clump").getAs[Double]("z") < -2.0)
+    // both splits: 6 above the median (10s), 6 at/below (1s)
+    assert(out("alt").getAs[Long]("n_above") == 6L)
+    assert(out("alt").getAs[Long]("n_below") == 6L)
+  }
+
+  test("quality report: exact quartiles per source and the gate count") {
+    val mk = (id: Long, src: String, good: Boolean) => {
+      val text = if (good)
+        "the quick brown fox of the valley and a river in the morning to the sea " * 2
+      else "1234567890 999 888"
+      (id, src, text, text.length.toLong)
+    }
+    val docs = Seq(mk(1, "a", true), mk(2, "a", true), mk(3, "a", false),
+        mk(4, "b", false))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = graft.ext.CorpusPrep.corpusQualityReport(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("a").getAs[Long]("n_docs") == 3L)
+    assert(out("a").getAs[Long]("n_below_gate") == 1L)  // the junk doc
+    assert(out("b").getAs[Long]("n_below_gate") == 1L)
+    // source a: q75 lands on a good doc (score 3.0), q25 on the junk one
+    assert(out("a").getAs[Double]("q75") == 3.0)
+    assert(out("a").getAs[Double]("q25") < 1.5)
+  }
+
   test("topk hash sample: exactly k, stable under reordering") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = graft.ext.Sampling.sampleTopkHash(docs, k = 7).collect()
