@@ -168,6 +168,8 @@ object SparkEntry {
     "window_hampel"         -> ((s, d) => Windows.windowHampel(events(s, d))),
     "window_drawdown"       -> ((s, d) => Windows.windowDrawdown(events(s, d))),
     "events_regularity_score" -> ((s, d) => ext.Sessions.eventsRegularityScore(events(s, d))),
+    "events_interarrival_histogram" -> ((s, d) => ext.Sessions.eventsInterarrivalHistogram(events(s, d))),
+    "events_pareto_deciles" -> ((s, d) => ext.Sessions.eventsParetoDeciles(events(s, d))),
     "graph_kcore"           -> ((s, d) => ext.Sessions.graphKcore(events(s, d))),
     "sample_topk_hash"      -> ((s, d) => ext.Sampling.sampleTopkHash(documents(s, d))),
     "text_ngram_novelty"    -> ((s, d) => ext.Text.textNgramNovelty(documents(s, d))),
@@ -724,6 +726,10 @@ object SparkEntry {
       """WITH r0 AS (SELECT event_type, event_id, ts, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), med AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS med FROM r0 GROUP BY 1), sg AS (SELECT e.event_type, e.ts, e.event_id, CASE WHEN e.value > m.med THEN 1 ELSE 0 END AS above FROM events e JOIN med m USING (event_type)), rr AS (SELECT *, CASE WHEN lag(above) OVER w IS NULL OR above <> lag(above) OVER w THEN 1 ELSE 0 END AS newrun FROM sg WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)), ag AS (SELECT event_type, CAST(sum(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above, CAST(sum(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below, CAST(sum(newrun) AS BIGINT) AS n_runs FROM rr GROUP BY 1), st AS (SELECT *, CAST(n_above + n_below AS DOUBLE) AS t, 2.0 * n_above * n_below AS p2 FROM ag), fin AS (SELECT *, 1.0 + p2 / t AS expected_runs, p2 * (p2 - t) / (t * t * (t - 1.0)) AS var_runs FROM st) SELECT event_type, n_above, n_below, n_runs, expected_runs, CASE WHEN var_runs > 0 THEN (CAST(n_runs AS DOUBLE) - expected_runs) / sqrt(var_runs) END AS z FROM fin ORDER BY event_type""",
     "corpus_quality_report" ->
       """WITH s AS (SELECT source, doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) n_tok, len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) n_stop, len(regexp_extract_all(text, '[0-9]')) n_digit, n_chars FROM documents), q0 AS (SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tokens, (CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END + CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.0 END + (1.0 - CAST(n_digit AS DOUBLE) / greatest(n_chars, 1))) AS q FROM s), r0 AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY source) AS n FROM q0) SELECT source, CAST(max(n) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS mean_quality, max(CASE WHEN rn = ceil(n * 0.25) THEN q END) AS q25, max(CASE WHEN rn = ceil(n * 0.5) THEN q END) AS q50, max(CASE WHEN rn = ceil(n * 0.75) THEN q END) AS q75, CAST(sum(CASE WHEN q < 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_gate FROM r0 GROUP BY source ORDER BY source""",
+    "events_interarrival_histogram" ->
+      """WITH o AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS e_us FROM events), g AS (SELECT event_type, e_us - lag(e_us) OVER (PARTITION BY event_type, user_id ORDER BY e_us, event_id) AS gap FROM o), b AS (SELECT event_type, CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket, gap FROM g WHERE gap IS NOT NULL), agg AS (SELECT event_type, bucket, count(*) AS n, min(gap) AS gap_min_us, max(gap) AS gap_max_us FROM b GROUP BY 1, 2) SELECT event_type, bucket, n, gap_min_us, gap_max_us, CAST(CAST(n AS HUGEINT) * 1000000000 // CAST(sum(n) OVER (PARTITION BY event_type) AS HUGEINT) AS BIGINT) AS share_ppb FROM agg ORDER BY event_type, bucket""",
+    "events_pareto_deciles" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1), r AS (SELECT user_id, n_events, CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS decile FROM u), d AS (SELECT decile, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events FROM r GROUP BY 1) SELECT decile, n_users, n_events, CAST(CAST(n_events AS HUGEINT) * 1000000000 // CAST(sum(n_events) OVER () AS HUGEINT) AS BIGINT) AS share_ppb, CAST(CAST(sum(n_events) OVER (ORDER BY decile) AS HUGEINT) * 1000000000 // CAST(sum(n_events) OVER () AS HUGEINT) AS BIGINT) AS cum_share_ppb FROM d ORDER BY decile""",
     "emb_binarize_sign" ->
       """WITH s AS (SELECT vec_id, label, CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_lo, CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_hi FROM embeddings) SELECT vec_id, label, sig_lo, sig_hi, CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos FROM s ORDER BY vec_id""",
     "sim_search_hamming_topk" ->

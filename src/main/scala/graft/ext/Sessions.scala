@@ -685,6 +685,61 @@ object Sessions {
       .orderBy("user_id")
   }
 
+  /** r6: power-of-two inter-arrival histogram per event class — the
+    * HdrHistogram-style cadence profile (gap ∈ [2^b, 2^(b+1)) µs buckets)
+    * that answers "what does this feed's timing distribution look like"
+    * at any dynamic range, where a linear histogram can't hold µs-to-days
+    * in one axis. Bucketing is EXACT integer arithmetic in both engines:
+    * b = length(bin(gap)) − 1 = ⌊log2 gap⌋ — a binary string length, not
+    * a libm log (log2's last ulp differs per libm and sits exactly at
+    * the bucket boundaries). Gaps are per (class, device) so the cadence
+    * is the device's, not the merged stream's; shares ride integer ppb
+    * over the ≤64-buckets-per-class frame. One lag window + one hash
+    * agg. */
+  def eventsInterarrivalHistogram(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("e_us"), col("event_id"))
+    val perClass = Window.partitionBy(col("event_type"))
+    events
+      .withColumn("e_us", unix_micros(col("ts")))
+      .withColumn("gap", col("e_us") - lag(col("e_us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket", (length(bin(col("gap"))) - 1).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap")).as("gap_min_us"), max(col("gap")).as("gap_max_us"))
+      .withColumn("tot", sum(col("n")).over(perClass))
+      .withColumn("share_ppb",
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000000 DIV tot"))
+      .drop("tot")
+      .orderBy("event_type", "bucket")
+  }
+
+  /** r6: Pareto decile table of event volume by user — the Lorenz-curve
+    * companion of `stat_gini_revenue`'s scalar: which tenth of the users
+    * produces which share of the events (the "1% of devices send 60% of
+    * traffic" report that sizes rate limits and sampling tiers). The
+    * global rank rides [[graft.Dist.rankByRange]] (no partition-less
+    * window over the user frame — the r6 contract) and the decile is
+    * [[graft.Dist.ntileOf]] off that rank, so the oracle keeps its plain
+    * `ntile(10) OVER` spelling; shares are integer ppb windows over the
+    * 10-row decile frame. */
+  def eventsParetoDeciles(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val ranked = graft.Dist.rankByRange(perUser, "rn",
+      col("n_events").desc, col("user_id"))
+    val totals = ranked.agg(max(col("rn")).as("__n"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("decile", graft.Dist.ntileOf(col("rn"), col("__n"), 10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .withColumn("share_ppb", expr(
+        "CAST(n_events AS DECIMAL(38,0)) * 1000000000 DIV sum(n_events) OVER ()"))
+      .withColumn("cum_share_ppb", expr(
+        "CAST(sum(n_events) OVER (ORDER BY decile) AS DECIMAL(38,0)) * 1000000000 DIV sum(n_events) OVER ()"))
+      .orderBy("decile")
+  }
+
   /** r6: k-core decomposition of the user co-activity graph — the
     * community-strength filter next to [[graphTriangles]]'s cohesion
     * census and [[graphLinkJaccard]]'s candidates: the k-core is the

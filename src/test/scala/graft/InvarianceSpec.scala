@@ -455,6 +455,10 @@ class InvarianceSpec extends SparkSpec {
       rows(Aggs.statRunsTest(events.repartition(13))))
     assert(rows(CorpusPrep.corpusQualityReport(docs.coalesce(1))) ==
       rows(CorpusPrep.corpusQualityReport(docs.repartition(13))))
+    assert(rows(ext.Sessions.eventsInterarrivalHistogram(events.coalesce(1))) ==
+      rows(ext.Sessions.eventsInterarrivalHistogram(events.repartition(13))))
+    assert(rows(ext.Sessions.eventsParetoDeciles(events.coalesce(1))) ==
+      rows(ext.Sessions.eventsParetoDeciles(events.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

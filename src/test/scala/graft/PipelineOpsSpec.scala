@@ -855,6 +855,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("a").getAs[Double]("q25") < 1.5)
   }
 
+  test("interarrival histogram: exact power-of-2 buckets, per-device gaps") {
+    // gaps of 60s (bucket 25: 2^25us=33.5s..67.1s) and 3600s (bucket 31)
+    val events = ev(
+      (1L, "a", "2024-01-01 10:00:00", 0.0),
+      (1L, "a", "2024-01-01 10:01:00", 0.0),   // 60s gap
+      (1L, "a", "2024-01-01 10:02:00", 0.0),   // 60s gap
+      (1L, "a", "2024-01-01 11:02:00", 0.0),   // 3600s gap
+      (2L, "a", "2024-01-01 10:00:30", 0.0))   // other device: no gap yet
+    val out = graft.ext.Sessions.eventsInterarrivalHistogram(events).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("share_ppb"))).toMap
+    assert(out == Map(
+      25L -> ((2L, 666666666L)),   // floor(2e9/3)
+      31L -> ((1L, 333333333L))))
+  }
+
+  test("pareto deciles: heavy users concentrate in decile 1, shares sum right") {
+    // 10 users: user 1 has 100 events, users 2-10 have 1 each
+    val rows = (1 to 100).map(i => (1L, "a", f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00", 0.0)) ++
+      (2 to 10).map(u => (u.toLong, "a", "2024-01-01 09:00:00", 0.0))
+    val out = graft.ext.Sessions.eventsParetoDeciles(ev(rows: _*)).collect()
+    assert(out.length == 10)
+    val d1 = out.head
+    assert(d1.getAs[Long]("decile") == 1L && d1.getAs[Long]("n_users") == 1L)
+    assert(d1.getAs[Long]("n_events") == 100L)
+    assert(d1.getAs[Long]("share_ppb") == 917431192L) // floor(100e9/109)
+    assert(out.last.getAs[Long]("cum_share_ppb") == 1000000000L)
+  }
+
   test("topk hash sample: exactly k, stable under reordering") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = graft.ext.Sampling.sampleTopkHash(docs, k = 7).collect()

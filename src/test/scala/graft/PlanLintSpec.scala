@@ -33,7 +33,8 @@ class PlanLintSpec extends SparkSpec {
     "agg_distinct_diff_kmv",                             // 1-row theta/exact frames
     "stat_chi_square",                                   // classes×4 dense grid cross
     "graph_triangles",                                   // 1-row census frames
-    "events_rfm_scores"                                  // 1-row n_users frame (r6 banded ntile)
+    "events_rfm_scores",                                 // 1-row n_users frame (r6 banded ntile)
+    "events_pareto_deciles"                              // 1-row max-rank frame (r6)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
