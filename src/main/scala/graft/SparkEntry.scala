@@ -164,7 +164,9 @@ object SparkEntry {
     "stat_trimmed_mean"     -> ((s, d) => Aggs.statTrimmedMean(events(s, d))),
     "stat_moments_per_type" -> ((s, d) => Aggs.statMomentsPerType(events(s, d))),
     "stat_runs_test"        -> ((s, d) => Aggs.statRunsTest(events(s, d))),
+    "stat_brown_forsythe"   -> ((s, d) => Aggs.statBrownForsythe(events(s, d))),
     "corpus_quality_report" -> ((s, d) => ext.CorpusPrep.corpusQualityReport(documents(s, d))),
+    "corpus_length_histogram" -> ((s, d) => ext.CorpusPrep.corpusLengthHistogram(documents(s, d))),
     "window_hampel"         -> ((s, d) => Windows.windowHampel(events(s, d))),
     "window_drawdown"       -> ((s, d) => Windows.windowDrawdown(events(s, d))),
     "events_regularity_score" -> ((s, d) => ext.Sessions.eventsRegularityScore(events(s, d))),
@@ -730,6 +732,10 @@ object SparkEntry {
       """WITH o AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS e_us FROM events), g AS (SELECT event_type, e_us - lag(e_us) OVER (PARTITION BY event_type, user_id ORDER BY e_us, event_id) AS gap FROM o), b AS (SELECT event_type, CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket, gap FROM g WHERE gap IS NOT NULL), agg AS (SELECT event_type, bucket, count(*) AS n, min(gap) AS gap_min_us, max(gap) AS gap_max_us FROM b GROUP BY 1, 2) SELECT event_type, bucket, n, gap_min_us, gap_max_us, CAST(CAST(n AS HUGEINT) * 1000000000 // CAST(sum(n) OVER (PARTITION BY event_type) AS HUGEINT) AS BIGINT) AS share_ppb FROM agg ORDER BY event_type, bucket""",
     "events_pareto_deciles" ->
       """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1), r AS (SELECT user_id, n_events, CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS decile FROM u), d AS (SELECT decile, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events FROM r GROUP BY 1) SELECT decile, n_users, n_events, CAST(CAST(n_events AS HUGEINT) * 1000000000 // CAST(sum(n_events) OVER () AS HUGEINT) AS BIGINT) AS share_ppb, CAST(CAST(sum(n_events) OVER (ORDER BY decile) AS HUGEINT) * 1000000000 // CAST(sum(n_events) OVER () AS HUGEINT) AS BIGINT) AS cum_share_ppb FROM d ORDER BY decile""",
+    "corpus_length_histogram" ->
+      """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT lang, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket, n_tokens FROM t), agg AS (SELECT lang, bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(n_tokens) AS len_min, max(n_tokens) AS len_max FROM b GROUP BY 1, 2) SELECT lang, bucket, n_docs, n_tokens, len_min, len_max, CAST(CAST(n_docs AS HUGEINT) * 1000000000 // CAST(sum(n_docs) OVER (PARTITION BY lang) AS HUGEINT) AS BIGINT) AS doc_share_ppb FROM agg ORDER BY lang, bucket""",
+    "stat_brown_forsythe" ->
+      """WITH r0 AS (SELECT event_type, event_id, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), med AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS med FROM r0 GROUP BY 1), zz AS (SELECT e.event_type, abs(e.value - m.med) AS z FROM events e JOIN med m USING (event_type)), pc AS (SELECT event_type, count(*) AS ni, CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) AS sz, CAST(SUM(CAST(z * z AS DECIMAL(28,6))) AS DOUBLE) AS sz2 FROM zz GROUP BY 1), pc2 AS (SELECT *, sz / ni AS zbar_i FROM pc), pc3 AS (SELECT *, sz2 - CAST(ni AS DOUBLE) * (zbar_i * zbar_i) AS ss_within FROM pc2), g AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n_total, CAST(SUM(CAST(sz AS DECIMAL(28,6))) AS DOUBLE) AS sz_all, CAST(SUM(CAST(ss_within AS DECIMAL(28,6))) AS DOUBLE) AS den, CAST(SUM(CAST(CAST(ni AS DOUBLE) * (zbar_i * zbar_i) AS DECIMAL(28,6))) AS DOUBLE) AS nz2 FROM pc3), g2 AS (SELECT *, sz_all / n_total AS zbar FROM g), g3 AS (SELECT *, nz2 - CAST(n_total AS DOUBLE) * (zbar * zbar) AS num FROM g2) SELECT k, n_total, CASE WHEN den > 0 AND k > 1 THEN (CAST(n_total - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)) * (num / den) END AS bf_w FROM g3""",
     "emb_binarize_sign" ->
       """WITH s AS (SELECT vec_id, label, CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_lo, CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_hi FROM embeddings) SELECT vec_id, label, sig_lo, sig_hi, CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos FROM s ORDER BY vec_id""",
     "sim_search_hamming_topk" ->

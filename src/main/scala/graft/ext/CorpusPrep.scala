@@ -241,6 +241,32 @@ object CorpusPrep {
       .orderBy("source")
   }
 
+  /** r6: power-of-two document-length histogram per language — the
+    * sequence-length profile that sizes packing budgets and truncation
+    * limits (`corpus_pack_sequences`' `budget` knob is chosen FROM this
+    * table): token-count buckets [2^b, 2^(b+1)) at any dynamic range.
+    * Same exact-integer bucketing as `events_interarrival_histogram`
+    * (binary string length, never a libm log2); shares integer ppb per
+    * language over the ≤32-buckets frame. One map-side projection + one
+    * hash agg. */
+  def corpusLengthHistogram(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Window.partitionBy(col("lang"))
+    documents
+      .select(col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("n_tokens")).as("len_min"), max(col("n_tokens")).as("len_max"))
+      .withColumn("tot", sum(col("n_docs")).over(perLang))
+      .withColumn("doc_share_ppb",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * 1000000000 DIV tot"))
+      .drop("tot")
+      .orderBy("lang", "bucket")
+  }
+
   /** r6: per-source quality data card — the "what is each source worth"
     * table a corpus release ships next to [[corpusMixReport]]'s volume
     * shares: doc/token counts, mean quality, exact quality QUARTILES and

@@ -1594,4 +1594,53 @@ object Aggs {
           .as("z"))
       .orderBy("event_type")
   }
+
+  /** r6: Brown–Forsythe variance-homogeneity statistic across event
+    * classes — "do these classes have the SAME spread?", the gate before
+    * pooling classes into one model or alerting threshold (ANOVA's
+    * variance-equality precondition). The median-centered Levene form is
+    * chosen over the mean-centered one deliberately: the center is then
+    * the discrete exact order statistic (the `agg_quantiles` contract),
+    * robust AND engine-exact. Absolute deviations aggregate through the
+    * decimal [[graft.Det.dsum]] path per class; the cross-class
+    * combination (≤ classes rows) also rides decimal sums so its
+    * accumulation order cannot matter; the final W is one fixed double
+    * chain. Emits the one-row census with the per-class frame folded in
+    * (k, N, W) — the `stat_gini_revenue` shape. */
+  def statBrownForsythe(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val med = events
+      .withColumn("rn", row_number().over(wv).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("med"))
+    val z = events.join(broadcast(med), Seq("event_type"))
+      .withColumn("z", abs(col("value") - col("med")))
+    val perClass = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"),
+        graft.Det.dsum(col("z")).as("sz"),
+        graft.Det.dsum(col("z") * col("z")).as("sz2"))
+      .withColumn("zbar_i", col("sz") / col("ni"))
+      // within-class squared deviation: Σz² − n·z̄² (fixed chain)
+      .withColumn("ss_within",
+        col("sz2") - col("ni").cast("double") * (col("zbar_i") * col("zbar_i")))
+    val dec = DecimalType(28, 6)
+    perClass
+      .agg(count(lit(1)).as("k"),
+        sum(col("ni")).as("n_total"),
+        sum(col("sz").cast(dec)).cast("double").as("sz_all"),
+        sum(col("ss_within").cast(dec)).cast("double").as("den"),
+        // Σ n_i·z̄_i² accumulates in decimal so class order cannot matter
+        sum((col("ni").cast("double") * (col("zbar_i") * col("zbar_i")))
+          .cast(dec)).cast("double").as("nz2"))
+      .withColumn("zbar", col("sz_all") / col("n_total"))
+      // Σ n_i (z̄_i − z̄)² = Σ n_i z̄_i² − N·z̄² (fixed chain)
+      .withColumn("num",
+        col("nz2") - col("n_total").cast("double") * (col("zbar") * col("zbar")))
+      .select(col("k"), col("n_total"),
+        when(col("den") > 0 && col("k") > 1,
+          ((col("n_total") - col("k")).cast("double") / (col("k") - lit(1)).cast("double")) *
+            (col("num") / col("den"))).as("bf_w"))
+  }
 }

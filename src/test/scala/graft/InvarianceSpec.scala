@@ -459,6 +459,10 @@ class InvarianceSpec extends SparkSpec {
       rows(ext.Sessions.eventsInterarrivalHistogram(events.repartition(13))))
     assert(rows(ext.Sessions.eventsParetoDeciles(events.coalesce(1))) ==
       rows(ext.Sessions.eventsParetoDeciles(events.repartition(13))))
+    assert(rows(Aggs.statBrownForsythe(events.coalesce(1))) ==
+      rows(Aggs.statBrownForsythe(events.repartition(13))))
+    assert(rows(CorpusPrep.corpusLengthHistogram(docs.coalesce(1))) ==
+      rows(CorpusPrep.corpusLengthHistogram(docs.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

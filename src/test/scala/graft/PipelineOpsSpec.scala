@@ -884,6 +884,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.last.getAs[Long]("cum_share_ppb") == 1000000000L)
   }
 
+  test("brown-forsythe: equal spreads give W near 0, unequal spreads large W") {
+    // two classes with IDENTICAL spread pattern -> z-deviations identical
+    val eq = Seq("a", "b").flatMap(t => (1 to 10).map(i =>
+      (i.toLong, t, f"2024-01-01 10:$i%02d:00", (i % 5).toDouble)))
+    val outEq = graft.ops.Aggs.statBrownForsythe(ev(eq: _*)).collect()(0)
+    assert(outEq.getAs[Long]("k") == 2L && outEq.getAs[Long]("n_total") == 20L)
+    assert(math.abs(outEq.getAs[Double]("bf_w")) < 1e-9)
+    // tight class vs wide class -> large W
+    val uneq = (1 to 10).map(i =>
+      (i.toLong, "tight", f"2024-01-01 10:$i%02d:00", 100.0 + (i % 2))) ++
+      (1 to 10).map(i =>
+        (i.toLong, "wide", f"2024-01-01 11:$i%02d:00", (i * 50).toDouble))
+    val outU = graft.ops.Aggs.statBrownForsythe(ev(uneq: _*)).collect()(0)
+    assert(outU.getAs[Double]("bf_w") > 10.0)
+  }
+
+  test("length histogram: power-of-2 token buckets per language") {
+    val docs = Seq(
+      (1L, "en", "a b c", 5L),                       // 3 tokens -> bucket 1
+      (2L, "en", (1 to 10).map(_ => "w").mkString(" "), 20L),  // 10 -> bucket 3
+      (3L, "de", "x", 1L))                           // 1 -> bucket 0
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val out = graft.ext.CorpusPrep.corpusLengthHistogram(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("doc_share_ppb"))).toMap
+    assert(out == Map(
+      ("en", 1L) -> ((1L, 500000000L)), ("en", 3L) -> ((1L, 500000000L)),
+      ("de", 0L) -> ((1L, 1000000000L))))
+  }
+
   test("topk hash sample: exactly k, stable under reordering") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = graft.ext.Sampling.sampleTopkHash(docs, k = 7).collect()
