@@ -279,6 +279,7 @@ object SparkEntry {
     "dedup_semantic_clusters" -> ((s, d) => ext.Similarity.dedupSemanticClusters(embeddings(s, d))),
     "corpus_mix_report"     -> ((s, d) => ext.CorpusPrep.corpusMixReport(documents(s, d))),
     "agg_embedding_centroid"-> ((s, d) => ext.Similarity.aggEmbeddingCentroid(embeddings(s, d))),
+    "emb_norm_stats"        -> ((s, d) => ext.Similarity.embNormStats(embeddings(s, d))),
     "emb_centroid_drift"    -> ((s, d) => ext.Similarity.embCentroidDrift(embeddings(s, d))),
     "emb_quantize_int8"     -> ((s, d) => ext.Similarity.embQuantizeInt8(embeddings(s, d))),
     "emb_pq_codes"          -> ((s, d) => ext.Similarity.embPqCodes(embeddings(s, d))),
@@ -736,6 +737,8 @@ object SparkEntry {
       """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT lang, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket, n_tokens FROM t), agg AS (SELECT lang, bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(n_tokens) AS len_min, max(n_tokens) AS len_max FROM b GROUP BY 1, 2) SELECT lang, bucket, n_docs, n_tokens, len_min, len_max, CAST(CAST(n_docs AS HUGEINT) * 1000000000 // CAST(sum(n_docs) OVER (PARTITION BY lang) AS HUGEINT) AS BIGINT) AS doc_share_ppb FROM agg ORDER BY lang, bucket""",
     "stat_brown_forsythe" ->
       """WITH r0 AS (SELECT event_type, event_id, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), med AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS med FROM r0 GROUP BY 1), zz AS (SELECT e.event_type, abs(e.value - m.med) AS z FROM events e JOIN med m USING (event_type)), pc AS (SELECT event_type, count(*) AS ni, CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) AS sz, CAST(SUM(CAST(z * z AS DECIMAL(28,6))) AS DOUBLE) AS sz2 FROM zz GROUP BY 1), pc2 AS (SELECT *, sz / ni AS zbar_i FROM pc), pc3 AS (SELECT *, sz2 - CAST(ni AS DOUBLE) * (zbar_i * zbar_i) AS ss_within FROM pc2), g AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n_total, CAST(SUM(CAST(sz AS DECIMAL(28,6))) AS DOUBLE) AS sz_all, CAST(SUM(CAST(ss_within AS DECIMAL(28,6))) AS DOUBLE) AS den, CAST(SUM(CAST(CAST(ni AS DOUBLE) * (zbar_i * zbar_i) AS DECIMAL(28,6))) AS DOUBLE) AS nz2 FROM pc3), g2 AS (SELECT *, sz_all / n_total AS zbar FROM g), g3 AS (SELECT *, nz2 - CAST(n_total AS DOUBLE) * (zbar * zbar) AS num FROM g2) SELECT k, n_total, CASE WHEN den > 0 AND k > 1 THEN (CAST(n_total - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)) * (num / den) END AS bf_w FROM g3""",
+    "emb_norm_stats" ->
+      """WITH n AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings) SELECT label, count(*) AS n_vecs, min(nrm) AS norm_min, CAST(SUM(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) / COUNT(nrm) AS norm_mean, max(nrm) AS norm_max, CAST(sum(CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero FROM n GROUP BY label ORDER BY label""",
     "emb_binarize_sign" ->
       """WITH s AS (SELECT vec_id, label, CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_lo, CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0 THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS sig_hi FROM embeddings) SELECT vec_id, label, sig_lo, sig_hi, CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos FROM s ORDER BY vec_id""",
     "sim_search_hamming_topk" ->

@@ -611,4 +611,26 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("vec_id"), col("hamming"))
       .orderBy("query_id", "rn")
   }
+
+  /** r6: embedding-norm census per label — the first sanity table an
+    * embedding pipeline prints: collapsed (near-zero) vectors, norm
+    * range and mean per class (un-normalized embeddings silently break
+    * cosine ANN; a label whose norms drifted is a re-embedding bug).
+    * Norms ride the native [[graft.functions.VectorDot]] expression
+    * (codegen'd index-ordered fold — the determinism the cosine family
+    * already relies on) + correctly-rounded `sqrt`; the mean goes
+    * through the decimal [[graft.Det.dsum]] path. One map-side
+    * projection + one hash agg on the label key. */
+  def embNormStats(embeddings: DataFrame, zeroEps: Double = 1e-6): DataFrame =
+    embeddings
+      .select(col("label"),
+        sqrt(vector_dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("norm_min"),
+        graft.Det.davg(col("nrm")).as("norm_mean"),
+        max(col("nrm")).as("norm_max"),
+        sum(when(col("nrm") < zeroEps, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy("label")
 }

@@ -463,6 +463,9 @@ class InvarianceSpec extends SparkSpec {
       rows(Aggs.statBrownForsythe(events.repartition(13))))
     assert(rows(CorpusPrep.corpusLengthHistogram(docs.coalesce(1))) ==
       rows(CorpusPrep.corpusLengthHistogram(docs.repartition(13))))
+    val embN = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(ext.Similarity.embNormStats(embN.coalesce(1))) ==
+      rows(ext.Similarity.embNormStats(embN.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {
