@@ -32,3 +32,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// The 5M-event soak gets its own forked JVM: after ~40 suites the shared
+// test JVM carries heap/GC/state-store residue that starves the stream's
+// progress (passes isolated, flakes in-suite — r6 verdict item 1). One
+// group per concern + ForkedTestGroup limit 1 ⇒ the soak always runs in
+// the same fresh-JVM conditions as an isolated `testOnly`.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val forkOpts = ForkOptions().withRunJVMOptions(opts)
+  val (soak, rest) = tests.partition(_.name.endsWith("SoakStreamSpec"))
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+    Tests.Group("soak", soak, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)

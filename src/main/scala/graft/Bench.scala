@@ -75,7 +75,14 @@ object Bench {
     // ample for second-scale timings and keeps the whole line well under 2 KB.
     def ms(v: Double): String = // Locale.ROOT: '.' decimal point regardless of host locale
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = timed.map { case (k, v) => s""""${esc(k)}":${ms(v)}""" }.mkString("{", ",", "}")
+    // r7 (verdict #3): emit the per-query map sorted by time ASCENDING —
+    // the driver's bounded capture keeps the LAST bytes of stdout
+    // (BENCH_r06's tail starts mid-map and ends at the summary line), so
+    // slowest-LAST is what keeps the expensive queries inside any
+    // capture window (keys stay unique; JSON object order carries no
+    // semantics). Ties break by name for a stable record.
+    val qs = timed.sortBy { case (k, v) => (v, k) }
+      .map { case (k, v) => s""""${esc(k)}":${ms(v)}""" }.mkString("{", ",", "}")
     val errs = failed.map { case (k, e) => s""""${esc(k)}":"${esc(e)}"""" }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     // ADVICE r2: per-query dedup timings are order-dependent — the first

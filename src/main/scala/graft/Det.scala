@@ -41,8 +41,13 @@ object Det {
     * give bit-identical results everywhere (not necessarily the
     * correctly-rounded value of x itself; deterministic beats last-ulp
     * perfection, the [[dsum]] philosophy). Valid for |x| < 2^106;
-    * sign handled explicitly because Spark's integral divide truncates
-    * while DuckDB's `//` floors — they agree only on non-negatives.
+    * sign handled explicitly because the engines' integral-divide
+    * conventions for negatives need not agree: Spark truncates, and the
+    * installed DuckDB truncates too (observed: -7//2 = -3, -7%2 = -1),
+    * but DuckDB has documented flooring `//` semantics in other
+    * versions. The CASE/abs form pins ONE decomposition (|x| = hi·2^53
+    * + lo, both non-negative, each exact in double) so the single
+    * add-round is identical under either division convention.
     * DuckDB equivalent (see SparkEntry's D2D macro):
     *   CASE WHEN x < 0 THEN -(...) ELSE (...) END with
     *   (CAST(@x // 9007199254740992 AS DOUBLE) * 9007199254740992.0 +

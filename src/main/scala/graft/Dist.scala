@@ -31,12 +31,27 @@ object Dist {
     * `row_number() OVER (ORDER BY order)` — without a global sort and
     * without any window over the data frame. The only window left behind
     * is the exclusive count-prefix over the per-partition stats frame
-    * (`__pid`-ordered, ≤ shuffle-partitions rows). */
+    * (`__pid`-ordered, ≤ shuffle-partitions rows).
+    *
+    * `parted` is persisted (MEMORY_AND_DISK) before fan-out: the stats
+    * agg and the rank join reference it under different column prunings,
+    * which makes the two subtrees canonically different — Catalyst (and
+    * AQE at runtime) then re-evaluates the whole upstream per branch
+    * (measured: 2 fact scans on `stat_gini_revenue`, zero
+    * ReusedExchange), and if any upstream value were nondeterministic
+    * the two evaluations could land different range boundaries —
+    * silently wrong ranks (r6 advice). The cache makes single evaluation
+    * STRUCTURAL: both branches read one InMemoryRelation (BlockManager
+    * computes each block once), so boundaries and `__mid`s are frozen
+    * facts. The frame being ranked is a reduced/aggregated frame by
+    * contract; ContextCleaner reclaims the entry once the query's plan
+    * is unreachable. */
   def rankByRange(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     val parted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__pc"), min(col("__mid")).as("__m0"))
       .withColumn("__base", coalesce(

@@ -342,6 +342,15 @@ object SparkEntry {
     s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) / COUNT(CASE WHEN event_type = '$t' THEN value END) AS ${t}_avg"
   private val TS6 = "'%Y-%m-%d %H:%M:%S.%f'"
   private val TS0 = "'%Y-%m-%d %H:%M:%S'"
+  // D2D: Det.decToDouble's DuckDB spelling — exact-integer HUGEINT/DECIMAL
+  // → double past 2^53 via the base-2^53 split (DuckDB's bare int128→double
+  // CAST is not correctly rounded above 2^53; both split casts ARE exact,
+  // so one multiply + one add land the identical IEEE double in any
+  // engine). Sign-CASE pins one decomposition under either integral-divide
+  // convention (truncating or flooring `//`). `x` must be a column/alias
+  // reference, not an aggregate expression (it is repeated six times).
+  private def D2D(x: String) =
+    s"CASE WHEN ($x) < 0 THEN -(CAST(abs($x) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST(abs($x) % 9007199254740992 AS DOUBLE)) ELSE (CAST(($x) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST(($x) % 9007199254740992 AS DOUBLE)) END"
 
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
@@ -708,17 +717,17 @@ object SparkEntry {
     "snapshot_upsert" ->
       s"""WITH b AS (SELECT user_id, value AS base_value, ts AS base_ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1), d AS (SELECT user_id, value AS delta_value, ts AS delta_ts FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1) SELECT COALESCE(b.user_id, d.user_id) AS user_id, CASE WHEN b.base_ts IS NULL THEN 'inserted' WHEN d.delta_ts IS NULL THEN 'kept' ELSE 'updated' END AS action, COALESCE(d.delta_value, b.base_value) AS value, strftime(COALESCE(d.delta_ts, b.base_ts), $TS6) AS state_ts_s, b.base_value AS prev_value FROM b FULL OUTER JOIN d ON b.user_id = d.user_id ORDER BY user_id""",
     "ts_downsample_ltob" ->
-      s"""WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS x, value AS y, epoch_us(ts) // 3600000000 AS bucket FROM events), c AS (SELECT user_id, bucket, CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS cx, CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS cy FROM pts GROUP BY 1, 2), nb AS (SELECT user_id, bucket, lag(cx) OVER w AS lx, lag(cy) OVER w AS ly, lead(cx) OVER w AS rx, lead(cy) OVER w AS ry FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket)), j AS (SELECT p.user_id, p.bucket, p.event_id, p.x, p.y, nb.lx, nb.rx, abs((nb.lx - nb.rx) * (p.y - nb.ly) - (nb.lx - CAST(p.x AS DOUBLE)) * (nb.ry - nb.ly)) AS area FROM pts p JOIN nb USING (user_id, bucket)), r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket ORDER BY area DESC, x, event_id) AS rn_area, row_number() OVER (PARTITION BY user_id, bucket ORDER BY x, event_id) AS rn_first, row_number() OVER (PARTITION BY user_id, bucket ORDER BY x DESC, event_id DESC) AS rn_last FROM j) SELECT user_id, bucket, event_id, strftime(make_timestamp(x), $TS6) AS ts_s, y AS value, area FROM r WHERE CASE WHEN lx IS NULL THEN rn_first = 1 WHEN rx IS NULL THEN rn_last = 1 ELSE rn_area = 1 END ORDER BY user_id, bucket""",
+      s"""WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS x, value AS y, epoch_us(ts) // 3600000000 AS bucket FROM events), c0 AS (SELECT user_id, bucket, SUM(CAST(x AS HUGEINT)) AS sx, count(*) AS cn, CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS cy FROM pts GROUP BY 1, 2), c AS (SELECT user_id, bucket, ${D2D("sx")} / cn AS cx, cy FROM c0), nb AS (SELECT user_id, bucket, lag(cx) OVER w AS lx, lag(cy) OVER w AS ly, lead(cx) OVER w AS rx, lead(cy) OVER w AS ry FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket)), j AS (SELECT p.user_id, p.bucket, p.event_id, p.x, p.y, nb.lx, nb.rx, abs((nb.lx - nb.rx) * (p.y - nb.ly) - (nb.lx - CAST(p.x AS DOUBLE)) * (nb.ry - nb.ly)) AS area FROM pts p JOIN nb USING (user_id, bucket)), r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket ORDER BY area DESC, x, event_id) AS rn_area, row_number() OVER (PARTITION BY user_id, bucket ORDER BY x, event_id) AS rn_first, row_number() OVER (PARTITION BY user_id, bucket ORDER BY x DESC, event_id DESC) AS rn_last FROM j) SELECT user_id, bucket, event_id, strftime(make_timestamp(x), $TS6) AS ts_s, y AS value, area FROM r WHERE CASE WHEN lx IS NULL THEN rn_first = 1 WHEN rx IS NULL THEN rn_last = 1 ELSE rn_area = 1 END ORDER BY user_id, bucket""",
     "ts_downsample_lttb" ->
-      s"""WITH RECURSIVE pts AS (SELECT user_id, event_id, epoch_us(ts) AS x, value AS y, epoch_us(ts) // 3600000000 AS bucket FROM events), bk AS (SELECT user_id, bucket, CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket) - 1 AS BIGINT) AS bi, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nb FROM (SELECT DISTINCT user_id, bucket FROM pts)), cent AS (SELECT user_id, bucket, CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS cx, CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS cy FROM pts GROUP BY 1, 2), p AS (SELECT pts.user_id, pts.event_id, pts.x, pts.y, pts.bucket, bk.bi, bk.nb FROM pts JOIN bk USING (user_id, bucket)), f0 AS (SELECT user_id, bi, nb, bucket, event_id, x, y FROM (SELECT p.*, row_number() OVER (PARTITION BY user_id ORDER BY x, event_id) AS rn FROM p WHERE bi = 0) WHERE rn = 1), rec AS (SELECT user_id, bi, nb, bucket, event_id, x, y, CAST(NULL AS DOUBLE) AS area FROM f0 UNION ALL SELECT user_id, bi, nb, bucket, event_id, x, y, CASE WHEN is_last THEN NULL ELSE area END AS area FROM (SELECT q.*, row_number() OVER (PARTITION BY q.user_id ORDER BY CASE WHEN q.is_last THEN -CAST(q.x AS DOUBLE) ELSE -q.area END, CASE WHEN q.is_last THEN -q.event_id ELSE q.x END, q.event_id) AS rn FROM (SELECT c.user_id, c.bi, c.nb, c.bucket, c.event_id, c.x, c.y, c.bi = c.nb - 1 AS is_last, abs((CAST(r.x AS DOUBLE) - nc.cx) * (c.y - r.y) - (CAST(r.x AS DOUBLE) - CAST(c.x AS DOUBLE)) * (nc.cy - r.y)) AS area FROM rec r JOIN p c ON c.user_id = r.user_id AND c.bi = r.bi + 1 LEFT JOIN bk nbk ON nbk.user_id = c.user_id AND nbk.bi = c.bi + 1 LEFT JOIN cent nc ON nc.user_id = c.user_id AND nc.bucket = nbk.bucket) q) WHERE rn = 1) SELECT user_id, bucket, event_id, strftime(make_timestamp(x), $TS6) AS ts_s, y AS value, area FROM rec ORDER BY user_id, bucket""",
+      s"""WITH RECURSIVE pts AS (SELECT user_id, event_id, epoch_us(ts) AS x, value AS y, epoch_us(ts) // 3600000000 AS bucket FROM events), bk AS (SELECT user_id, bucket, CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket) - 1 AS BIGINT) AS bi, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nb FROM (SELECT DISTINCT user_id, bucket FROM pts)), cent0 AS (SELECT user_id, bucket, SUM(CAST(x AS HUGEINT)) AS sx, count(*) AS cn, CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS cy FROM pts GROUP BY 1, 2), cent AS (SELECT user_id, bucket, ${D2D("sx")} / cn AS cx, cy FROM cent0), p AS (SELECT pts.user_id, pts.event_id, pts.x, pts.y, pts.bucket, bk.bi, bk.nb FROM pts JOIN bk USING (user_id, bucket)), f0 AS (SELECT user_id, bi, nb, bucket, event_id, x, y FROM (SELECT p.*, row_number() OVER (PARTITION BY user_id ORDER BY x, event_id) AS rn FROM p WHERE bi = 0) WHERE rn = 1), rec AS (SELECT user_id, bi, nb, bucket, event_id, x, y, CAST(NULL AS DOUBLE) AS area FROM f0 UNION ALL SELECT user_id, bi, nb, bucket, event_id, x, y, CASE WHEN is_last THEN NULL ELSE area END AS area FROM (SELECT q.*, row_number() OVER (PARTITION BY q.user_id ORDER BY CASE WHEN q.is_last THEN -CAST(q.x AS DOUBLE) ELSE -q.area END, CASE WHEN q.is_last THEN -q.event_id ELSE q.x END, q.event_id) AS rn FROM (SELECT c.user_id, c.bi, c.nb, c.bucket, c.event_id, c.x, c.y, c.bi = c.nb - 1 AS is_last, abs((CAST(r.x AS DOUBLE) - nc.cx) * (c.y - r.y) - (CAST(r.x AS DOUBLE) - CAST(c.x AS DOUBLE)) * (nc.cy - r.y)) AS area FROM rec r JOIN p c ON c.user_id = r.user_id AND c.bi = r.bi + 1 LEFT JOIN bk nbk ON nbk.user_id = c.user_id AND nbk.bi = c.bi + 1 LEFT JOIN cent nc ON nc.user_id = c.user_id AND nc.bucket = nbk.bucket) q) WHERE rn = 1) SELECT user_id, bucket, event_id, strftime(make_timestamp(x), $TS6) AS ts_s, y AS value, area FROM rec ORDER BY user_id, bucket""",
     "stat_moments_per_type" ->
-      """WITH c0 AS (SELECT event_type, CAST(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0)) AS HUGEINT) AS c FROM events), r0 AS (SELECT event_type, count(*) AS n, SUM(c) AS r1, SUM(c * c) AS r2, SUM(c * c * c) AS r3, SUM(c * c * c * c) AS r4 FROM c0 GROUP BY 1), s AS (SELECT event_type, n, CAST(r1 // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST(r1 % 9007199254740992 AS DOUBLE) AS s1, CAST(r2 // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST(r2 % 9007199254740992 AS DOUBLE) AS s2, CAST(r3 // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST(r3 % 9007199254740992 AS DOUBLE) AS s3, CAST(r4 // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST(r4 % 9007199254740992 AS DOUBLE) AS s4 FROM r0), m AS (SELECT event_type, n, s1 / n AS mean, s1, s2, s3, s4 FROM s), t AS (SELECT *, s2 / n - mean * mean AS m2, s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3, s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n) - 3.0 * mean * mean * mean * mean AS m4 FROM m) SELECT event_type, n, mean / 100.0 AS mean, m2 / 10000.0 AS variance, CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness, CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess FROM t ORDER BY event_type""",
+      s"""WITH c0 AS (SELECT event_type, CAST(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0)) AS HUGEINT) AS c FROM events), r0 AS (SELECT event_type, count(*) AS n, SUM(c) AS r1, SUM(c * c) AS r2, SUM(c * c * c) AS r3, SUM(c * c * c * c) AS r4 FROM c0 GROUP BY 1), s AS (SELECT event_type, n, ${D2D("r1")} AS s1, ${D2D("r2")} AS s2, ${D2D("r3")} AS s3, ${D2D("r4")} AS s4 FROM r0), m AS (SELECT event_type, n, s1 / n AS mean, s1, s2, s3, s4 FROM s), t AS (SELECT *, s2 / n - mean * mean AS m2, s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3, s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n) - 3.0 * mean * mean * mean * mean AS m4 FROM m) SELECT event_type, n, mean / 100.0 AS mean, m2 / 10000.0 AS variance, CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness, CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess FROM t ORDER BY event_type""",
     "window_hampel" ->
       """WITH o AS (SELECT event_id, user_id, ts, value, CAST(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents FROM events), wa AS (SELECT *, list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS warr FROM o), m AS (SELECT *, len(warr) AS wn FROM wa), m2 AS (SELECT *, warr[CAST((wn - 1) // 2 + 1 AS INT)] + warr[CAST(wn // 2 + 1 AS INT)] AS med2 FROM m), d AS (SELECT *, list_sort([abs(x * 2 - med2) FOR x IN warr]) AS darr FROM m2), z AS (SELECT *, darr[CAST((wn - 1) // 2 + 1 AS INT)] + darr[CAST(wn // 2 + 1 AS INT)] AS mad2, abs(cents * 2 - med2) AS dev2 FROM d), f AS (SELECT *, CAST(dev2 * 2 AS DOUBLE) > 1.4826 * mad2 * 3.0 AS is_outlier FROM z) SELECT event_id, user_id, value, CASE WHEN is_outlier THEN CAST(med2 AS DOUBLE) / 200.0 ELSE value END AS filtered_value, is_outlier FROM f ORDER BY event_id""",
     "window_drawdown" ->
       s"""WITH o AS (SELECT event_id, user_id, ts, value, CAST(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents FROM events), w AS (SELECT *, max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c FROM o) SELECT event_id, user_id, strftime(ts, $TS6) AS ts_s, value, CAST(peak_c AS DOUBLE) / 100.0 AS peak_value, peak_c - cents AS drawdown_cents, CASE WHEN peak_c > 0 THEN CAST(CAST(peak_c - cents AS HUGEINT) * 1000000000 // CAST(peak_c AS HUGEINT) AS BIGINT) END AS drawdown_ppb FROM w ORDER BY event_id""",
     "events_regularity_score" ->
-      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS e_us, epoch_us(ts) // 60000000 AS minute FROM events), g AS (SELECT *, e_us - lag(e_us) OVER (PARTITION BY user_id ORDER BY e_us, event_id) AS gap FROM o), gs AS (SELECT user_id, count(*) AS n_events, CAST(count(DISTINCT minute) AS BIGINT) AS n_minutes, CAST(SUM(CAST(gap AS HUGEINT)) AS DOUBLE) AS sg, CAST(SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS DOUBLE) AS sg2, CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps FROM g GROUP BY 1), b AS (SELECT user_id, CAST(max(mc) AS BIGINT) AS burst_max_per_minute FROM (SELECT user_id, minute, count(*) AS mc FROM o GROUP BY 1, 2) GROUP BY 1), j AS (SELECT gs.*, b.burst_max_per_minute FROM gs JOIN b USING (user_id)), r AS (SELECT *, CAST(CAST(n_events - n_minutes AS HUGEINT) * 1000000000 // CAST(n_events AS HUGEINT) AS BIGINT) AS dup_minute_ppb, CASE WHEN n_gaps > 0 THEN sg / n_gaps END AS mean_gap_us, CASE WHEN n_gaps > 0 THEN sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps) END AS gap_var_us2 FROM j) SELECT user_id, n_events, n_minutes, dup_minute_ppb, mean_gap_us, gap_var_us2, burst_max_per_minute, (burst_max_per_minute >= 10 OR (n_events >= 20 AND dup_minute_ppb >= 500000000)) AS suspected_bot FROM r ORDER BY user_id""",
+      s"""WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS e_us, epoch_us(ts) // 60000000 AS minute FROM events), g AS (SELECT *, e_us - lag(e_us) OVER (PARTITION BY user_id ORDER BY e_us, event_id) AS gap FROM o), gs0 AS (SELECT user_id, count(*) AS n_events, CAST(count(DISTINCT minute) AS BIGINT) AS n_minutes, SUM(CAST(gap AS HUGEINT)) AS rg, SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS rg2, CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps FROM g GROUP BY 1), gs AS (SELECT user_id, n_events, n_minutes, ${D2D("rg")} AS sg, ${D2D("rg2")} AS sg2, n_gaps FROM gs0), b AS (SELECT user_id, CAST(max(mc) AS BIGINT) AS burst_max_per_minute FROM (SELECT user_id, minute, count(*) AS mc FROM o GROUP BY 1, 2) GROUP BY 1), j AS (SELECT gs.*, b.burst_max_per_minute FROM gs JOIN b USING (user_id)), r AS (SELECT *, CAST(CAST(n_events - n_minutes AS HUGEINT) * 1000000000 // CAST(n_events AS HUGEINT) AS BIGINT) AS dup_minute_ppb, CASE WHEN n_gaps > 0 THEN sg / n_gaps END AS mean_gap_us, CASE WHEN n_gaps > 0 THEN sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps) END AS gap_var_us2 FROM j) SELECT user_id, n_events, n_minutes, dup_minute_ppb, mean_gap_us, gap_var_us2, burst_max_per_minute, (burst_max_per_minute >= 10 OR (n_events >= 20 AND dup_minute_ppb >= 500000000)) AS suspected_bot FROM r ORDER BY user_id""",
     "graph_kcore" ->
       """WITH RECURSIVE active AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS hr FROM events), edges AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id), d0 AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY 1), core AS (SELECT 0 AS iter, (SELECT coalesce(list(v ORDER BY v), []) FROM d0 WHERE deg >= 3) AS vs, (SELECT list({'a': a, 'b': b}) FROM edges) AS es UNION ALL SELECT iter + 1, nxt, es FROM (SELECT iter, vs, es, list_filter(vs, v -> len(list_filter(es, e -> (e.a = v OR e.b = v) AND list_contains(vs, e.a) AND list_contains(vs, e.b))) >= 3) AS nxt FROM core) WHERE iter < 50 AND nxt <> vs), fin AS (SELECT vs FROM core ORDER BY iter DESC LIMIT 1), surv AS (SELECT unnest(vs) AS v FROM fin), sub AS (SELECT a, b FROM edges WHERE a IN (SELECT v FROM surv) AND b IN (SELECT v FROM surv)) SELECT v AS user_id, CAST(count(*) AS BIGINT) AS core_degree FROM (SELECT a AS v FROM sub UNION ALL SELECT b AS v FROM sub) GROUP BY 1 ORDER BY user_id""",
     "sample_topk_hash" ->

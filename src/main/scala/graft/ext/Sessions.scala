@@ -164,6 +164,11 @@ object Sessions {
       .sortWithinPartitions(col("m"), col("v"), col("user_id"))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
+      // r7 (advice, the Dist.rankByRange contract): persist before the
+      // stats/join fan-out — branch-specific pruning defeats exchange
+      // reuse (measured 3 fact scans here), and single evaluation is
+      // what makes the rank/boundary alignment structural, not luck.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = parted.groupBy(col("__pid"), col("m"))
       .agg(count(lit(1)).as("__pc"), min(col("__mid")).as("__m0"))
       .withColumn("__base", coalesce(sum(col("__pc")).over(
@@ -662,8 +667,12 @@ object Sessions {
     val gapSide = o.groupBy(col("user_id")).agg(
       count(lit(1)).as("n_events"),
       countDistinct(col("minute")).as("n_minutes"),
-      sum(col("gap").cast(dec0)).cast("double").as("sg"),
-      sum((col("gap").cast(dec0) * col("gap").cast(dec0))).cast("double").as("sg2"),
+      // r7 (advice): sg2 routinely exceeds 2^53 (squared µs gaps), where
+      // DuckDB's bare int128→double CAST is not correctly rounded — route
+      // both power sums through the base-2^53 split so the oracle's D2D
+      // macro lands the identical double (the statMomentsPerType contract).
+      graft.Det.decToDouble(sum(col("gap").cast(dec0))).as("sg"),
+      graft.Det.decToDouble(sum(col("gap").cast(dec0) * col("gap").cast(dec0))).as("sg2"),
       sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_gaps"))
     val burstSide = events
       .select(col("user_id"), expr("unix_micros(ts) div 60000000").as("minute"))
@@ -763,14 +772,19 @@ object Sessions {
     def degrees(sub: DataFrame): DataFrame =
       sub.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // r7 (verdict #2): LAZY checkpoint + eager count = ONE materializing
+    // action per peel round — the count() job computes the round's frame,
+    // caches its blocks (lineage truncated), and returns the convergence
+    // probe in the same pass; the eager-checkpoint-then-count spelling
+    // paid a second job per round just to read the probe back.
     var cur = edgeDegrees(edges).filter(col("deg") >= k)
-      .select(col("v")).localCheckpoint()
+      .select(col("v")).localCheckpoint(false)
     var nCur = cur.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
       val next = degrees(induced(cur)).filter(col("deg") >= k)
-        .select(col("v")).localCheckpoint()
+        .select(col("v")).localCheckpoint(false)
       val nNext = next.count()
       done = nNext == nCur // next ⊆ cur, so equal counts ⇔ fixpoint
       cur = next; nCur = nNext; rounds += 1
