@@ -41,10 +41,17 @@ Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / javaOptions).value.toVector
   val forkOpts = ForkOptions().withRunJVMOptions(opts)
-  val (soak, rest) = tests.partition(_.name.endsWith("SoakStreamSpec"))
+  val (soak, rest0) = tests.partition(_.name.endsWith("SoakStreamSpec"))
+  // Plan-shape snapshots also fork alone: the shapes are defined as the
+  // COLD plans, but 40 suites of shared-session residue (a sticky
+  // setCheckpointDir from CcCheckpointSpec, memoized frames) can swap a
+  // checkpoint scan for an exchange in a handful of dedup plans —
+  // in-suite shapes then differ from an isolated `testOnly` run (r7).
+  val (plans, rest) = rest0.partition(_.name.endsWith("PlanShapeSpec"))
   Seq(
     Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
     Tests.Group("soak", soak, Tests.SubProcess(forkOpts)),
+    Tests.Group("plans", plans, Tests.SubProcess(forkOpts)),
   ).filter(_.tests.nonEmpty)
 }
 Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)

@@ -165,6 +165,17 @@ object SparkEntry {
     "stat_moments_per_type" -> ((s, d) => Aggs.statMomentsPerType(events(s, d))),
     "stat_runs_test"        -> ((s, d) => Aggs.statRunsTest(events(s, d))),
     "stat_brown_forsythe"   -> ((s, d) => Aggs.statBrownForsythe(events(s, d))),
+    "stat_anova_f"          -> ((s, d) => Aggs.statAnovaF(events(s, d))),
+    "stat_holt_winters"     -> ((s, d) => Aggs.statHoltWinters(events(s, d))),
+    "agg_quantiles_sketch"  -> ((s, d) => Aggs.aggQuantilesSketch(events(s, d))),
+    "stat_welch_t"          -> ((s, d) => Aggs.statWelchT(events(s, d))),
+    "stat_cramers_v"        -> ((s, d) => Aggs.statCramersV(events(s, d))),
+    "stat_poisson_dispersion" -> ((s, d) => Aggs.statPoissonDispersion(events(s, d))),
+    "dedup_cross_source"    -> ((s, d) => ext.Dedup.dedupCrossSource(documents(s, d))),
+    "graph_degree_assortativity" -> ((s, d) =>
+      ext.Sessions.graphDegreeAssortativity(events(s, d))),
+    "window_rolling_median" -> ((s, d) => Windows.windowRollingMedian(events(s, d))),
+    "window_peak_detect"    -> ((s, d) => Windows.windowPeakDetect(events(s, d))),
     "corpus_quality_report" -> ((s, d) => ext.CorpusPrep.corpusQualityReport(documents(s, d))),
     "corpus_length_histogram" -> ((s, d) => ext.CorpusPrep.corpusLengthHistogram(documents(s, d))),
     "window_hampel"         -> ((s, d) => Windows.windowHampel(events(s, d))),
@@ -349,6 +360,13 @@ object SparkEntry {
   // engine). Sign-CASE pins one decomposition under either integral-divide
   // convention (truncating or flooring `//`). `x` must be a column/alias
   // reference, not an aggregate expression (it is repeated six times).
+  // The full LSH near-dup oracle (shingle -> md5-u64 -> 32 affine
+  // permutations -> 8x4 band keys -> candidate equi-join -> exact-Jaccard
+  // verify) - shared verbatim by dedup_near_minhash and, as a subquery,
+  // by the dedup_cross_source rollup.
+  private val NEAR_MINHASH_SQL =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT::HUGEINT AS u FROM sh), seeds AS (SELECT seed, ((2*seed + 1) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS a, (seed * CAST('14029467366897019727' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS b FROM range(32) r(seed)), minsig AS (SELECT doc_id, seed, min(((u % 4294967296) * a + (((u // 4294967296) * a) % 4294967296) * 4294967296 + b) % CAST('18446744073709551616' AS HUGEINT)) AS mv FROM ex CROSS JOIN seeds GROUP BY doc_id, seed), bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS key FROM minsig GROUP BY doc_id, seed // 4), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), ver AS (SELECT c.doc_a, c.doc_b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id) SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
+
   private def D2D(x: String) =
     s"CASE WHEN ($x) < 0 THEN -(CAST(abs($x) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST(abs($x) % 9007199254740992 AS DOUBLE)) ELSE (CAST(($x) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST(($x) % 9007199254740992 AS DOUBLE)) END"
 
@@ -574,7 +592,7 @@ object SparkEntry {
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), sz AS (SELECT doc_id, len(s) n FROM sh), ex AS (SELECT doc_id, unnest(s) sh FROM sh), posts AS (SELECT sh, count(*) df FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000), c AS (SELECT a.doc_id da, b.doc_id db, count(*) cnt FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.sh IN (SELECT sh FROM posts) GROUP BY 1, 2), pairs AS (SELECT da, db FROM c JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.3), edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM edges), reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_near_minhash" ->
-      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT::HUGEINT AS u FROM sh), seeds AS (SELECT seed, ((2*seed + 1) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS a, (seed * CAST('14029467366897019727' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS b FROM range(32) r(seed)), minsig AS (SELECT doc_id, seed, min(((u % 4294967296) * a + (((u // 4294967296) * a) % 4294967296) * 4294967296 + b) % CAST('18446744073709551616' AS HUGEINT)) AS mv FROM ex CROSS JOIN seeds GROUP BY doc_id, seed), bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS key FROM minsig GROUP BY doc_id, seed // 4), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), ver AS (SELECT c.doc_a, c.doc_b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id) SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""",
+      NEAR_MINHASH_SQL,
     "dedup_incremental" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents), sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) s FROM toks WHERE len(t) >= 3), ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT::HUGEINT AS u FROM sh), seeds AS (SELECT seed, ((2*seed + 1) * CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS a, (seed * CAST('14029467366897019727' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS b FROM range(32) r(seed)), minsig AS (SELECT doc_id, seed, min(((u % 4294967296) * a + (((u // 4294967296) * a) % 4294967296) * 4294967296 + b) % CAST('18446744073709551616' AS HUGEINT)) AS mv FROM ex CROSS JOIN seeds GROUP BY doc_id, seed), bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS key FROM minsig GROUP BY doc_id, seed // 4), cand AS (SELECT DISTINCT n.doc_id AS doc_id, e.doc_id AS store_id FROM bands n JOIN bands e ON n.band = e.band AND n.key = e.key WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0), ver AS (SELECT c.doc_id, c.store_id, CAST(len(list_intersect(sn.s, se.s)) AS DOUBLE) / (len(sn.s) + len(se.s) - len(list_intersect(sn.s, se.s))) AS jaccard FROM cand c JOIN sh sn ON c.doc_id = sn.doc_id JOIN sh se ON c.store_id = se.doc_id), near AS (SELECT doc_id, store_id AS near_dup_of, jaccard FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY store_id) AS rn FROM ver WHERE jaccard >= 0.3) WHERE rn = 1), store AS (SELECT md5(text) AS m, min(doc_id) AS exact_dup_of FROM documents WHERE doc_id % 2 = 0 GROUP BY md5(text)), exact AS (SELECT d.doc_id, s.exact_dup_of FROM documents d LEFT JOIN store s ON md5(d.text) = s.m WHERE d.doc_id % 2 = 1) SELECT e.doc_id, CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup' WHEN n.near_dup_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status, COALESCE(e.exact_dup_of, n.near_dup_of) AS dup_of, CASE WHEN e.exact_dup_of IS NULL THEN n.jaccard END AS jaccard FROM exact e LEFT JOIN near n USING (doc_id) ORDER BY doc_id""",
     "dedup_simhash" ->
@@ -744,6 +762,26 @@ object SparkEntry {
       """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1), r AS (SELECT user_id, n_events, CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS decile FROM u), d AS (SELECT decile, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events FROM r GROUP BY 1) SELECT decile, n_users, n_events, CAST(CAST(n_events AS HUGEINT) * 1000000000 // CAST(sum(n_events) OVER () AS HUGEINT) AS BIGINT) AS share_ppb, CAST(CAST(sum(n_events) OVER (ORDER BY decile) AS HUGEINT) * 1000000000 // CAST(sum(n_events) OVER () AS HUGEINT) AS BIGINT) AS cum_share_ppb FROM d ORDER BY decile""",
     "corpus_length_histogram" ->
       """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT lang, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket, n_tokens FROM t), agg AS (SELECT lang, bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(n_tokens) AS len_min, max(n_tokens) AS len_max FROM b GROUP BY 1, 2) SELECT lang, bucket, n_docs, n_tokens, len_min, len_max, CAST(CAST(n_docs AS HUGEINT) * 1000000000 // CAST(sum(n_docs) OVER (PARTITION BY lang) AS HUGEINT) AS BIGINT) AS doc_share_ppb FROM agg ORDER BY lang, bucket""",
+    "stat_cramers_v" ->
+      """WITH cells0 AS (SELECT event_type, hour(ts) // 6 AS daypart, count(*) AS o0 FROM events GROUP BY 1, 2), cells AS (SELECT t.event_type, p.daypart, COALESCE(c.o0, 0) AS o FROM (SELECT DISTINCT event_type FROM cells0) t CROSS JOIN (SELECT DISTINCT daypart FROM cells0) p LEFT JOIN cells0 c ON c.event_type = t.event_type AND c.daypart = p.daypart), m AS (SELECT event_type, daypart, o, sum(o) OVER () AS g, CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) * CAST(sum(o) OVER (PARTITION BY daypart) AS DOUBLE) / CAST(sum(o) OVER () AS DOUBLE) AS e FROM cells), t AS (SELECT event_type, daypart, g, CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e * 1048576.0) AS BIGINT) AS term_q20 FROM m), a AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows, CAST(count(DISTINCT daypart) AS BIGINT) AS n_cols, CAST(max(g) AS BIGINT) AS n_events, CAST(sum(term_q20) AS BIGINT) AS chi2_q20 FROM t), a2 AS (SELECT *, CAST(chi2_q20 AS DOUBLE) / 1048576.0 AS chi2, least(n_rows, n_cols) - 1 AS mdim FROM a) SELECT n_rows, n_cols, n_events, chi2, CASE WHEN n_events > 0 AND mdim > 0 THEN sqrt(chi2 / CAST(n_events * mdim AS DOUBLE)) END AS cramers_v FROM a2""",
+    "stat_poisson_dispersion" ->
+      s"""WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hu, count(*) AS n FROM events GROUP BY 1, 2), s0 AS (SELECT event_type, min(hu) AS mn, max(hu) AS mx, count(*) AS n_active_hours, CAST(sum(n) AS BIGINT) AS n_events, SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS rn2 FROM h GROUP BY 1), s AS (SELECT event_type, mx - mn + 1 AS n_hours, n_active_hours, n_events, ${D2D("rn2")} AS sn2 FROM s0), s2 AS (SELECT *, CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean FROM s), s3 AS (SELECT *, sn2 / CAST(n_hours AS DOUBLE) - mean * mean AS variance FROM s2) SELECT event_type, n_hours, n_active_hours, n_events, mean AS mean_per_hour, variance, CASE WHEN mean > 0 THEN variance / mean END AS vmr FROM s3 ORDER BY event_type""",
+    "dedup_cross_source" ->
+      s"""WITH pairs AS (SELECT * FROM ($NEAR_MINHASH_SQL)), src AS (SELECT doc_id, source FROM documents), lab AS (SELECT least(sa.source, sb.source) AS source_a, greatest(sa.source, sb.source) AS source_b, p.jaccard FROM pairs p JOIN src sa ON sa.doc_id = p.doc_a JOIN src sb ON sb.doc_id = p.doc_b) SELECT source_a, source_b, count(*) AS n_pairs, CAST(SUM(CAST(jaccard AS DECIMAL(28,6))) AS DOUBLE) / COUNT(jaccard) AS jaccard_avg, source_a <> source_b AS is_cross FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stat_welch_t" ->
+      """WITH pc AS (SELECT event_type, count(*) AS ni, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2 FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'purchase') GROUP BY 1), pc2 AS (SELECT *, s1 / ni AS mean_i FROM pc), pc3 AS (SELECT *, CASE WHEN ni > 1 THEN (s2 - CAST(ni AS DOUBLE) * (mean_i * mean_i)) / CAST(ni - 1 AS DOUBLE) END AS var_i FROM pc2), p AS (SELECT CAST(max(CASE WHEN event_type = 'click' THEN ni END) AS BIGINT) AS n_a, CAST(max(CASE WHEN event_type = 'purchase' THEN ni END) AS BIGINT) AS n_b, max(CASE WHEN event_type = 'click' THEN mean_i END) AS mean_a, max(CASE WHEN event_type = 'purchase' THEN mean_i END) AS mean_b, max(CASE WHEN event_type = 'click' THEN var_i END) AS var_a, max(CASE WHEN event_type = 'purchase' THEN var_i END) AS var_b FROM pc3), p2 AS (SELECT *, var_a / n_a + var_b / n_b AS sem FROM p) SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, CASE WHEN sem > 0 THEN (mean_a - mean_b) / sqrt(sem) END AS t_stat, CASE WHEN sem > 0 AND n_a > 1 AND n_b > 1 THEN (sem * sem) / (((var_a / n_a) * (var_a / n_a)) / CAST(n_a - 1 AS DOUBLE) + ((var_b / n_b) * (var_b / n_b)) / CAST(n_b - 1 AS DOUBLE)) END AS df_welch FROM p2""",
+    "graph_degree_assortativity" ->
+      s"""WITH act AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS m FROM events), e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b FROM act x JOIN act y ON x.m = y.m AND x.user_id < y.user_id), d AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1), nn AS (SELECT count(*) AS n_nodes FROM d), j AS (SELECT da.deg AS deg_a, db.deg AS deg_b FROM e JOIN d da ON da.v = e.a JOIN d db ON db.v = e.b), s0 AS (SELECT count(*) AS n_edges, SUM(CAST(deg_a + deg_b AS HUGEINT)) AS rx, SUM(CAST(deg_a AS HUGEINT) * CAST(deg_a AS HUGEINT) + CAST(deg_b AS HUGEINT) * CAST(deg_b AS HUGEINT)) AS rx2, SUM(2 * CAST(deg_a AS HUGEINT) * CAST(deg_b AS HUGEINT)) AS rxy FROM j), s AS (SELECT n_edges, ${D2D("rx")} AS sx, ${D2D("rx2")} AS sx2, ${D2D("rxy")} AS sxy FROM s0), s2 AS (SELECT *, CAST(n_edges AS DOUBLE) * 2.0 AS m FROM s), s3 AS (SELECT *, m * sxy - sx * sx AS num, m * sx2 - sx * sx AS den FROM s2) SELECT nn.n_nodes, s3.n_edges, CASE WHEN den > 0 THEN num / den END AS assortativity FROM s3, nn""",
+    "window_rolling_median" ->
+      s"""WITH f AS (SELECT event_id, user_id, ts, value, list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr FROM events) SELECT event_id, user_id, strftime(ts, $TS6) AS ts_s, value, CAST(len(arr) AS BIGINT) AS n_window, list_sort(arr)[CAST((len(arr) + 1) // 2 AS INT)] AS roll_median FROM f ORDER BY event_id""",
+    "window_peak_detect" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1, 2), x AS (SELECT event_type, hr, n, lag(n) OVER w AS prev_n, lead(n) OVER w AS next_n FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)) SELECT event_type, strftime(hr, $TS0) AS hour_s, n, prev_n, next_n FROM x WHERE prev_n IS NOT NULL AND next_n IS NOT NULL AND n > prev_n AND n > next_n ORDER BY 1, 2""",
+    "stat_anova_f" ->
+      """WITH pc AS (SELECT event_type, count(*) AS ni, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2 FROM events WHERE value IS NOT NULL GROUP BY 1), pc2 AS (SELECT *, s1 / ni AS mean_i FROM pc), pc3 AS (SELECT *, s2 - CAST(ni AS DOUBLE) * (mean_i * mean_i) AS ss_within_i FROM pc2), g AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n_total, CAST(SUM(CAST(s1 AS DECIMAL(28,6))) AS DOUBLE) AS s_all, CAST(SUM(CAST(ss_within_i AS DECIMAL(28,6))) AS DOUBLE) AS ssw, CAST(SUM(CAST(CAST(ni AS DOUBLE) * (mean_i * mean_i) AS DECIMAL(28,6))) AS DOUBLE) AS nm2 FROM pc3), g2 AS (SELECT *, s_all / n_total AS gmean FROM g), g3 AS (SELECT *, nm2 - CAST(n_total AS DOUBLE) * (gmean * gmean) AS ssb FROM g2) SELECT k, n_total, ssb AS ss_between, ssw AS ss_within, CASE WHEN ssw > 0 AND k > 1 THEN (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n_total - k AS DOUBLE)) END AS f_stat FROM g3""",
+    "stat_holt_winters" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hu, count(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT event_type, min(hu) AS mn, max(hu) AS mx FROM h GROUP BY 1), grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS hu FROM b), d AS (SELECT g.event_type, g.hu, CAST(coalesce(h.n, 0) AS DOUBLE) AS x FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hu = g.hu), s AS (SELECT event_type, list([x] || [0.0 FOR i IN range(25)] ORDER BY hu) AS xs FROM d GROUP BY 1), r AS (SELECT event_type, CAST(len(xs) AS BIGINT) AS n_hours, list_reduce(xs, (acc, e) -> [((e[1] - acc[3]) + (acc[1] + acc[2])) / 2.0, ((((e[1] - acc[3]) + (acc[1] + acc[2])) / 2.0 - acc[1]) + acc[2]) / 2.0] || acc[4:26] || [((e[1] - ((e[1] - acc[3]) + (acc[1] + acc[2])) / 2.0) + acc[3]) / 2.0]) AS st FROM s) SELECT event_type, n_hours, st[1] AS level, st[2] AS trend, st[3] AS season_next, st[1] + st[2] + st[3] AS forecast_next FROM r ORDER BY event_type""",
+    "agg_quantiles_sketch" ->
+      """WITH b AS (SELECT event_type, CAST(length(bin(greatest(CAST(floor(value * 1000) AS BIGINT), 0))) - 1 AS BIGINT) AS band FROM events WHERE value IS NOT NULL), h AS (SELECT event_type, band, count(*) AS cnt FROM b GROUP BY 1, 2), c AS (SELECT event_type, band, cnt, CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY band) AS BIGINT) AS cum, CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n, count(*) OVER (PARTITION BY event_type) AS n_bands FROM h), q AS (SELECT qname, CAST(q AS DOUBLE) AS q FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) t(qname, q)), p AS (SELECT c.*, q.qname, CAST(ceil(c.n * q.q) AS BIGINT) AS t FROM c, q), f AS (SELECT *, CAST(1::BIGINT << CAST(band AS INT) AS DOUBLE) AS lo FROM p WHERE cum >= t AND cum - cnt < t), e AS (SELECT event_type, n, n_bands, qname, (lo + lo * (CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))) / 1000.0 AS est FROM f) SELECT event_type, max(n) AS n, CAST(max(n_bands) AS BIGINT) AS n_bands, max(CASE WHEN qname = 'p50' THEN est END) AS p50_est, max(CASE WHEN qname = 'p90' THEN est END) AS p90_est, max(CASE WHEN qname = 'p99' THEN est END) AS p99_est FROM e GROUP BY 1 ORDER BY 1""",
     "stat_brown_forsythe" ->
       """WITH r0 AS (SELECT event_type, event_id, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), med AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS med FROM r0 GROUP BY 1), zz AS (SELECT e.event_type, abs(e.value - m.med) AS z FROM events e JOIN med m USING (event_type)), pc AS (SELECT event_type, count(*) AS ni, CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) AS sz, CAST(SUM(CAST(z * z AS DECIMAL(28,6))) AS DOUBLE) AS sz2 FROM zz GROUP BY 1), pc2 AS (SELECT *, sz / ni AS zbar_i FROM pc), pc3 AS (SELECT *, sz2 - CAST(ni AS DOUBLE) * (zbar_i * zbar_i) AS ss_within FROM pc2), g AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n_total, CAST(SUM(CAST(sz AS DECIMAL(28,6))) AS DOUBLE) AS sz_all, CAST(SUM(CAST(ss_within AS DECIMAL(28,6))) AS DOUBLE) AS den, CAST(SUM(CAST(CAST(ni AS DOUBLE) * (zbar_i * zbar_i) AS DECIMAL(28,6))) AS DOUBLE) AS nz2 FROM pc3), g2 AS (SELECT *, sz_all / n_total AS zbar FROM g), g3 AS (SELECT *, nz2 - CAST(n_total AS DOUBLE) * (zbar * zbar) AS num FROM g2) SELECT k, n_total, CASE WHEN den > 0 AND k > 1 THEN (CAST(n_total - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)) * (num / den) END AS bf_w FROM g3""",
     "emb_norm_stats" ->

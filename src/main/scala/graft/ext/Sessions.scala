@@ -535,6 +535,49 @@ object Sessions {
       .orderBy("rn")
   }
 
+  /** r7: degree assortativity of the co-activity graph — Newman's
+    * "do hubs talk to hubs?" scalar (assortative r > 0: heavy devices
+    * co-occur with heavy devices; disassortative r < 0: hubs surrounded
+    * by leaves — the typical bot-net / gateway signature), completing the
+    * graph census next to [[graphTriangles]]' clustering coefficient and
+    * [[graphKcore]]'s shell decomposition. Computed as the Pearson
+    * correlation of endpoint degrees over the SYMMETRIZED edge list
+    * (each undirected edge contributes (x,y) and (y,x)), which collapses
+    * by symmetry to three sums — Σx, Σx², Σxy — over the undirected edge
+    * frame: r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) with m = 2|E|; no
+    * square root survives. Exactness: degrees are integers, all three
+    * power sums accumulate in DECIMAL(38,0) and cross to double through
+    * the base-2^53 split ([[graft.Det.decToDouble]] — deg² terms clear
+    * 2^53 at graph scale), leaving one fixed dyadic chain. Plan: the
+    * memoized edge + degree frames ([[coActivityEdges]] — shared with
+    * the triangle census, built once per dataset), two broadcast-size
+    * degree joins, ONE partial/final singleton agg. */
+  def graphDegreeAssortativity(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = coActivityEdges(events)
+    val deg = Dedup.memo(events, "triangle-degrees") { edgeDegrees(edges) }
+    val dec0 = DecimalType(38, 0)
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    edges
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .agg(count(lit(1)).as("n_edges"),
+        graft.Det.decToDouble(
+          sum((col("deg_a") + col("deg_b")).cast(dec0))).as("sx"),
+        graft.Det.decToDouble(
+          sum(col("deg_a").cast(dec0) * col("deg_a").cast(dec0) +
+            col("deg_b").cast(dec0) * col("deg_b").cast(dec0))).as("sx2"),
+        graft.Det.decToDouble(
+          sum(lit(2).cast(dec0) * col("deg_a").cast(dec0) *
+            col("deg_b").cast(dec0))).as("sxy"))
+      .crossJoin(broadcast(nNodes))
+      .withColumn("m", col("n_edges").cast("double") * lit(2.0))
+      .withColumn("num", col("m") * col("sxy") - col("sx") * col("sx"))
+      .withColumn("den", col("m") * col("sx2") - col("sx") * col("sx"))
+      .select(col("n_nodes"), col("n_edges"),
+        when(col("den") > 0, col("num") / col("den")).as("assortativity"))
+  }
+
   /** r5c: burst (bot-candidate) detection — users whose peak per-minute
     * event rate clears a threshold, with the first minute that peaked.
     * The rate gate every crawl/training-data pipeline runs before

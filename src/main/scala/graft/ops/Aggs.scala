@@ -1033,22 +1033,26 @@ object Aggs {
     * (floor(term·2²⁰), the [[aggTimeWeightedAvg]] trick) and summing
     * exact integers. Marginals cast to double BEFORE multiplying, so the
     * product can't overflow int64 at 100 TB row counts. */
-  def statChiSquare(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The densified (type × daypart) contingency table shared by
+    * [[statChiSquare]] and [[statCramersV]] — a zero-observation cell
+    * still contributes (0−e)²/e, so the grid is observed-types ×
+    * observed-dayparts (bounded: classes × 4; explicit broadcast nested
+    * loop, allowlisted in PlanLintSpec). */
+  private def chiSquareCells(events: DataFrame): DataFrame = {
     val observed = events
       .groupBy(col("event_type"), (hour(col("ts")).cast("long") / lit(6L))
         .cast("long").as("daypart"))
       .agg(count(lit(1)).as("o0"))
-    // densify: a (type, daypart) combination with zero observations still
-    // contributes (0−e)²/e — dropping empty cells understates the
-    // statistic. The grid is observed-types × observed-dayparts, built by
-    // crossing the two tiny distinct frames (bounded: classes × 4;
-    // explicit broadcast nested loop, allowlisted in PlanLintSpec).
-    val cells = observed.select(col("event_type")).distinct()
+    observed.select(col("event_type")).distinct()
       .crossJoin(broadcast(observed.select(col("daypart")).distinct()))
       .join(observed, Seq("event_type", "daypart"), "left")
       .select(col("event_type"), col("daypart"),
         coalesce(col("o0"), lit(0L)).as("o"))
+  }
+
+  def statChiSquare(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = chiSquareCells(events)
     val rt = sum(col("o")).over(Window.partitionBy(col("event_type")))
     val ct = sum(col("o")).over(Window.partitionBy(col("daypart")))
     val g = sum(col("o")).over(Window.partitionBy())
@@ -1066,6 +1070,77 @@ object Aggs {
         coalesce(sum(col("term_q20")), lit(0L)).as("chi2_q20"))
       .select(col("n_cells"), col("n_events"), col("chi2_q20"),
         (col("chi2_q20").cast("double") / lit(1048576.0)).as("chi2"))
+  }
+
+  /** r7: Cramér's V — the EFFECT-SIZE companion [[statChiSquare]]'s raw
+    * statistic needs before anyone acts on it (χ² grows with N, so at
+    * 100 TB row counts EVERYTHING is "significant"; V = √(χ²/(N·min(r−1,
+    * c−1))) ∈ [0,1] is the sample-size-free association strength). Same
+    * shared contingency cells, same binary-fixed-point (q20) integer
+    * cross-cell sum that makes χ² order-independent; the dimensions are
+    * two countDistinct over the tiny cell frame, and V is one fixed
+    * divide + `sqrt` chain. */
+  def statCramersV(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = chiSquareCells(events)
+    val rt = sum(col("o")).over(Window.partitionBy(col("event_type")))
+    val ct = sum(col("o")).over(Window.partitionBy(col("daypart")))
+    val g = sum(col("o")).over(Window.partitionBy())
+    val e = rt.cast("double") * ct.cast("double") / g.cast("double")
+    val term = (col("o").cast("double") - col("e")) *
+      (col("o").cast("double") - col("e")) / col("e")
+    cells
+      .select(col("o"), col("event_type"), col("daypart"),
+        g.as("grand_total"), e.as("e"))
+      .select(col("o"), col("event_type"), col("daypart"), col("grand_total"),
+        floor(term * lit(1048576.0)).cast("long").as("term_q20"))
+      .groupBy()
+      .agg(countDistinct(col("event_type")).as("n_rows"),
+        countDistinct(col("daypart")).as("n_cols"),
+        coalesce(max(col("grand_total")), lit(0L)).as("n_events"),
+        coalesce(sum(col("term_q20")), lit(0L)).as("chi2_q20"))
+      .withColumn("chi2", col("chi2_q20").cast("double") / lit(1048576.0))
+      .withColumn("mdim", least(col("n_rows"), col("n_cols")) - lit(1L))
+      .select(col("n_rows"), col("n_cols"), col("n_events"), col("chi2"),
+        when(col("n_events") > 0 && col("mdim") > 0,
+          sqrt(col("chi2") / (col("n_events") * col("mdim")).cast("double")))
+          .as("cramers_v"))
+  }
+
+  /** r7: index of dispersion (variance-to-mean ratio) of the hourly
+    * arrival counts per event class — the overdispersion screen run
+    * before ANY Poisson assumption (rate alerts, capacity models): a
+    * Poisson process has VMR = 1; VMR ≫ 1 means bursty/clustered
+    * arrivals (the [[graft.ext.Sessions.eventsRegularityScore]] story at
+    * the class level), VMR < 1 metronomic. The grid densifies (missing
+    * hours = 0 — skipping empty hours is exactly the bias that hides
+    * burstiness), counts and both power sums are exact integers in
+    * DECIMAL(38,0) crossing to double through the base-2^53 split, and
+    * mean/variance/VMR are fixed dyadic chains. One (class, hour) hash
+    * agg + one classes-row agg. */
+  def statPoissonDispersion(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec0 = DecimalType(38, 0)
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        count(lit(1)).as("n_active_hours"),
+        sum(col("n")).as("n_events"),
+        graft.Det.decToDouble(
+          sum(col("n").cast(dec0) * col("n").cast(dec0))).as("sn2"))
+      .withColumn("n_hours", col("mx") - col("mn") + lit(1L))
+      .withColumn("mean", col("n_events").cast("double") / col("n_hours").cast("double"))
+      // empty grid hours contribute 0 to both power sums, so densifying
+      // is arithmetic, not a join: Σn over the grid = Σn observed
+      .withColumn("variance",
+        col("sn2") / col("n_hours").cast("double") - col("mean") * col("mean"))
+      .select(col("event_type"), col("n_hours"), col("n_active_hours"),
+        col("n_events"), col("mean").as("mean_per_hour"), col("variance"),
+        when(col("mean") > 0, col("variance") / col("mean")).as("vmr"))
+      .orderBy("event_type")
   }
 
   /** r5c: Gini coefficient of customer revenue — the standard inequality
@@ -1642,5 +1717,197 @@ object Aggs {
         when(col("den") > 0 && col("k") > 1,
           ((col("n_total") - col("k")).cast("double") / (col("k") - lit(1)).cast("double")) *
             (col("num") / col("den"))).as("bf_w"))
+  }
+
+  /** r7: one-way ANOVA F statistic across event classes — the
+    * location-difference test [[statBrownForsythe]] is the precondition
+    * FOR: BF asks "same spread?", this asks "same MEAN?" once spreads are
+    * poolable (the classic gate before treating classes as one
+    * population). Same engine-exactness discipline as BF, mean-centered:
+    * per class n_i, Σx, Σx² through the decimal [[graft.Det.dsum]] path;
+    * SSW_i = Σx² − n_i·x̄_i² and SSB = Σn_i·x̄_i² − N·x̄² as fixed dyadic
+    * chains; the ≤ classes cross-class combine re-rides decimal sums so
+    * class visit order cannot matter. F = (SSB/(k−1)) / (SSW/(N−k)) is
+    * one fixed double chain. Plan: one partial/final hash agg over the
+    * fact scan, then a classes-row singleton agg — the
+    * [[statBrownForsythe]] shape minus its median window (means need no
+    * order statistic), so this is the CHEAPER of the pair at 100 TB. */
+  def statAnovaF(events: DataFrame): DataFrame = {
+    val perClass = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"),
+        graft.Det.dsum(col("value")).as("s1"),
+        graft.Det.dsum(col("value") * col("value")).as("s2"))
+      .withColumn("mean_i", col("s1") / col("ni"))
+      .withColumn("ss_within_i",
+        col("s2") - col("ni").cast("double") * (col("mean_i") * col("mean_i")))
+    val dec = DecimalType(28, 6)
+    perClass
+      .agg(count(lit(1)).as("k"),
+        sum(col("ni")).as("n_total"),
+        sum(col("s1").cast(dec)).cast("double").as("s_all"),
+        sum(col("ss_within_i").cast(dec)).cast("double").as("ssw"),
+        // Σ n_i·x̄_i² accumulates in decimal so class order cannot matter
+        sum((col("ni").cast("double") * (col("mean_i") * col("mean_i")))
+          .cast(dec)).cast("double").as("nm2"))
+      .withColumn("gmean", col("s_all") / col("n_total"))
+      // Σ n_i (x̄_i − x̄)² = Σ n_i x̄_i² − N·x̄² (fixed chain)
+      .withColumn("ssb",
+        col("nm2") - col("n_total").cast("double") * (col("gmean") * col("gmean")))
+      .select(col("k"), col("n_total"),
+        col("ssb").as("ss_between"), col("ssw").as("ss_within"),
+        when(col("ssw") > 0 && col("k") > 1,
+          (col("ssb") / (col("k") - lit(1)).cast("double")) /
+            (col("ssw") / (col("n_total") - col("k")).cast("double"))).as("f_stat"))
+  }
+
+  /** r7: Welch two-sample t statistic (unequal variances) between two
+    * event classes' value distributions — the pairwise drill-down under
+    * [[statAnovaF]]'s k-way screen, in the form real pipelines use (the
+    * equal-variance pooled t is exactly what [[statBrownForsythe]] warns
+    * against assuming). Per class: n, mean, SAMPLE variance from the
+    * decimal power-sum path ((Σx² − n·x̄²)/(n−1), fixed chain); then
+    * t = (x̄_a − x̄_b)/√(s²_a/n_a + s²_b/n_b) and the Welch–Satterthwaite
+    * df — fixed dyadic chains whose only root is the correctly-rounded
+    * `sqrt`. Plan: one filtered partial/final hash agg (two groups), then
+    * a 2-row conditional-pivot singleton — nothing data-scaled past the
+    * first agg. */
+  def statWelchT(events: DataFrame, classA: String = "click",
+      classB: String = "purchase"): DataFrame = {
+    val perClass = events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"),
+        graft.Det.dsum(col("value")).as("s1"),
+        graft.Det.dsum(col("value") * col("value")).as("s2"))
+      .withColumn("mean_i", col("s1") / col("ni"))
+      .withColumn("var_i", when(col("ni") > 1,
+        (col("s2") - col("ni").cast("double") * (col("mean_i") * col("mean_i"))) /
+          (col("ni") - lit(1)).cast("double")))
+    perClass
+      .agg(
+        max(when(col("event_type") === classA, col("ni"))).as("n_a"),
+        max(when(col("event_type") === classB, col("ni"))).as("n_b"),
+        max(when(col("event_type") === classA, col("mean_i"))).as("mean_a"),
+        max(when(col("event_type") === classB, col("mean_i"))).as("mean_b"),
+        max(when(col("event_type") === classA, col("var_i"))).as("var_a"),
+        max(when(col("event_type") === classB, col("var_i"))).as("var_b"))
+      .withColumn("sem", col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"),
+        when(col("sem") > 0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("sem"))).as("t_stat"),
+        when(col("sem") > 0 && col("n_a") > 1 && col("n_b") > 1,
+          (col("sem") * col("sem")) /
+            (((col("var_a") / col("n_a")) * (col("var_a") / col("n_a"))) /
+              (col("n_a") - lit(1)).cast("double") +
+             ((col("var_b") / col("n_b")) * (col("var_b") / col("n_b"))) /
+              (col("n_b") - lit(1)).cast("double"))).as("df_welch"))
+  }
+
+  /** r7: Holt–Winters additive triple smoothing (level + trend + 24-hour
+    * seasonal, α = β = γ = 1/2) per event-type over the DENSE hourly
+    * count series — the seasonal upgrade [[statHoltForecast]]'s docstring
+    * promises: Holt tracks a trending series but still lags a daily
+    * cycle; the seasonal state closes that (the standard
+    * capacity-planning smoother for diurnal traffic). The grid is
+    * densified (missing hours = 0) so the seasonal slot IS hour-of-day
+    * modulo alignment, not "position in the observed series". Same scale
+    * shape as Holt: one (type, hour) hash agg collapses the scan; the
+    * inherently-sequential recurrence folds INSIDE a per-type bounded
+    * array via the `aggregate` HOF — never a driver loop. State is a
+    * 26-array [level, trend, s₁..s₂₄] ROTATED each step so the incoming
+    * hour's seasonal index is always slot 2 — the fold needs no step
+    * counter; halving keeps every intermediate a fixed dyadic chain, and
+    * the identical DuckDB `list_reduce` fold (elements carried as
+    * [x, 0…0] 26-lists so the first element IS the init state)
+    * reproduces the doubles bit-for-bit. Seasonal slots start at 0 and
+    * are learned by the fold, so `season_next` is the learned additive
+    * offset of the next hour; forecast_next = level + trend +
+    * season_next. */
+  def statHoltWinters(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
+      .withColumn("xs", expr(
+        "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
+        expr("""aggregate(
+                  slice(xs, 2, size(xs) - 1),
+                  concat(array(element_at(xs, 1), 0.0d), array_repeat(0.0d, 24)),
+                  (acc, x) -> concat(
+                    array(
+                      ((x - acc[2]) + (acc[0] + acc[1])) / 2.0d,
+                      ((((x - acc[2]) + (acc[0] + acc[1])) / 2.0d - acc[0]) + acc[1]) / 2.0d),
+                    slice(acc, 4, 23),
+                    array(((x - ((x - acc[2]) + (acc[0] + acc[1])) / 2.0d) + acc[2]) / 2.0d)))""")
+          .as("st"))
+      .select(col("event_type"), col("n_hours"),
+        col("st")(0).as("level"), col("st")(1).as("trend"),
+        col("st")(2).as("season_next"),
+        (col("st")(0) + col("st")(1) + col("st")(2)).as("forecast_next"))
+      .orderBy("event_type")
+
+  /** r7: mergeable banded-histogram quantile SKETCH — the one-pass,
+    * bounded-state sibling [[aggQuantilesBanded]]'s exact two-pass form
+    * trades away: per (type, power-of-2 value band) counts are the whole
+    * state (≤ 64 longs per type, merged by ADDITION — map-side partials
+    * ARE the merge, and a streaming micro-batch could carry the same
+    * array), and the quantile is READ OFF the cumulative histogram with
+    * deterministic linear interpolation inside the landing band, no
+    * second probe pass over the data. Banding is exact integer
+    * arithmetic in both engines (the `corpus_length_histogram` lesson):
+    * band = length(bin(⌊value·1000⌋)) − 1 = ⌊log₂⌋ as a binary-string
+    * length, never a libm log; the estimate chain lo + lo·(offset/cnt)
+    * is fixed dyadic double ops, so even the ESTIMATES hash-match the
+    * oracle. Relative error is bounded by the band ratio (≤ 2× worst
+    * case, ~1+1/cnt typical); [[aggQuantilesBanded]] remains the exact
+    * path. Plan: ONE partial/final hash agg over the scan, then
+    * windows/joins on the tiny types×bands frame. Positive-domain
+    * (negatives clamp to band 0). */
+  /** The sketch's band function, shared verbatim with the STREAMING
+    * processor ([[graft.stream.QuantileSketchStream]]) so batch and
+    * stream bucket by construction-identical arithmetic: band =
+    * length(bin(⌊value·1000⌋)) − 1 = ⌊log₂⌋ via binary-string length
+    * (exact integer in every engine — never a libm log), negatives
+    * clamped to band 0. */
+  private[graft] def sketchBand(value: Column): Column =
+    (length(bin(greatest(floor(value * 1000).cast("long"), lit(0L)))) - 1)
+      .cast("long")
+
+  def aggQuantilesSketch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hist = events.filter(col("value").isNotNull)
+      .select(col("event_type"), sketchBand(col("value")).as("band"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("band"))))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("n_bands", count(lit(1)).over(byType))
+    val qdf = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).toDF("qname", "q")
+    // the band holding global rank t = ceil(q·n): first band with cum >= t;
+    // interpolate at (rank offset inside the band) / (band count)
+    val picked = cum.crossJoin(broadcast(qdf))
+      .withColumn("t", ceil(col("n") * col("q")).cast("long"))
+      .filter(col("cum") >= col("t") && col("cum") - col("cnt") < col("t"))
+      .withColumn("lo", expr("shiftleft(1L, cast(band as int))").cast("double"))
+      .withColumn("est",
+        (col("lo") + col("lo") *
+          ((col("t") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double"))) / lit(1000.0))
+    picked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("n_bands")).as("n_bands"),
+        max(when(col("qname") === "p50", col("est"))).as("p50_est"),
+        max(when(col("qname") === "p90", col("est"))).as("p90_est"),
+        max(when(col("qname") === "p99", col("est"))).as("p99_est"))
+      .orderBy("event_type")
   }
 }

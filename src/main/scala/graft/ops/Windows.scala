@@ -439,4 +439,50 @@ object Windows {
           .as("drawdown_ppb"))
       .orderBy("event_id")
   }
+
+  /** r7: rolling exact MEDIAN over the trailing 7 rows per user — the
+    * robust companion to [[windowMovingAvg]] (one outlier drags a mean
+    * for 7 rows; the median shrugs it off — the smoothing choice for
+    * dirty sensor feeds, and the same center [[windowHampel]] screens
+    * against, here emitted as the smoothed series itself). Exactness for
+    * free: the median is an ORDER STATISTIC of the frame — sort the
+    * collected frame values and take the lower middle (discrete, the
+    * `agg_quantiles` contract) — values only, no arithmetic, so it
+    * hash-matches any engine. Plan: ONE user-keyed window carries both
+    * the collect_list frame and the row count; the per-row sort is a
+    * 7-element in-memory sort (bounded by the frame, not the data). */
+  def windowRollingMedian(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    events
+      .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+      .withColumn("k", size(col("arr")).cast("long"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        col("value"), col("k").as("n_window"),
+        expr("element_at(arr, cast((k + 1) div 2 as int))").as("roll_median"))
+      .orderBy("event_id")
+  }
+
+  /** r7: local-maximum peak detection on the hourly traffic series per
+    * event class — "when did this feed SPIKE?", the alerting primitive
+    * between [[windowStreaks]]' run-length view and
+    * `stat_changepoint_cusum`'s single level shift: a peak is an interior
+    * hour strictly above both neighbors (plateaus are not peaks — no
+    * tie-break heuristics, so the predicate is pure integer comparison
+    * and trivially engine-exact). Plan: the scan collapses in one
+    * (type, hour) hash agg; the lag/lead window runs on the tiny
+    * types×hours frame, partitioned by type. */
+  def windowPeakDetect(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("next_n", lead(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull && col("next_n").isNotNull &&
+        col("n") > col("prev_n") && col("n") > col("next_n"))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("n"), col("prev_n"), col("next_n"))
+      .orderBy("event_type", "hour_s")
+  }
 }

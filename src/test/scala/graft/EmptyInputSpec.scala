@@ -93,6 +93,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(ops.Windows.mlLagFeatures(emptyEvents).count() == 0)
     assert(ops.Aggs.statChangepointCusum(emptyEvents).count() == 0)
     assert(ops.Aggs.statTrimmedMean(emptyEvents).count() == 0)
+    // ungrouped final agg -> one row with k = 0 and a null F
+    val af = ops.Aggs.statAnovaF(emptyEvents).collect()
+    assert(af.length == 1 && af(0).getAs[Long]("k") == 0L &&
+      af(0).isNullAt(af(0).fieldIndex("f_stat")))
+    assert(ops.Aggs.statHoltWinters(emptyEvents).count() == 0)
+    assert(ops.Aggs.aggQuantilesSketch(emptyEvents).count() == 0)
+    assert(ops.Aggs.statPoissonDispersion(emptyEvents).count() == 0)
+    assert(ext.Dedup.dedupCrossSource(emptyDocs).count() == 0)
+    // ungrouped finals over the empty cell/class frames -> one null-ish row
+    val cv = ops.Aggs.statCramersV(emptyEvents).collect()
+    assert(cv.length == 1 && cv(0).getAs[Long]("n_rows") == 0L &&
+      cv(0).isNullAt(cv(0).fieldIndex("cramers_v")))
+    val wt = ops.Aggs.statWelchT(emptyEvents).collect()
+    assert(wt.length == 1 && wt(0).isNullAt(wt(0).fieldIndex("t_stat")))
     assert(Text.textNgramNovelty(emptyDocs).count() == 0)
     // empty-input sketch reports zero exactly (global agg emits one row)
     val kmv = ops.Aggs.aggDistinctKmvNative(emptyEvents).collect()

@@ -468,6 +468,29 @@ class InvarianceSpec extends SparkSpec {
       rows(ext.Similarity.embNormStats(embN.repartition(13))))
   }
 
+  test("r7 batch is partitioning-invariant") {
+    assert(rows(Aggs.statAnovaF(events.coalesce(1))) ==
+      rows(Aggs.statAnovaF(events.repartition(13))))
+    assert(rows(Aggs.statHoltWinters(events.coalesce(1))) ==
+      rows(Aggs.statHoltWinters(events.repartition(13))))
+    assert(rows(Aggs.aggQuantilesSketch(events.coalesce(1))) ==
+      rows(Aggs.aggQuantilesSketch(events.repartition(13))))
+    assert(rows(Aggs.statWelchT(events.coalesce(1))) ==
+      rows(Aggs.statWelchT(events.repartition(13))))
+    assert(rows(ext.Sessions.graphDegreeAssortativity(events.coalesce(1))) ==
+      rows(ext.Sessions.graphDegreeAssortativity(events.repartition(13))))
+    assert(rows(ops.Windows.windowRollingMedian(events.coalesce(1))) ==
+      rows(ops.Windows.windowRollingMedian(events.repartition(13))))
+    assert(rows(ops.Windows.windowPeakDetect(events.coalesce(1))) ==
+      rows(ops.Windows.windowPeakDetect(events.repartition(13))))
+    assert(rows(Aggs.statCramersV(events.coalesce(1))) ==
+      rows(Aggs.statCramersV(events.repartition(13))))
+    assert(rows(Aggs.statPoissonDispersion(events.coalesce(1))) ==
+      rows(Aggs.statPoissonDispersion(events.repartition(13))))
+    assert(rows(Dedup.dedupCrossSource(docs.coalesce(1))) ==
+      rows(Dedup.dedupCrossSource(docs.repartition(13))))
+  }
+
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")

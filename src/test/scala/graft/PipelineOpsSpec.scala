@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Multimodal, Sampling, Sessions, Text}
-import graft.ops.{Aggs, Joins}
+import graft.ops.{Aggs, Joins, Windows}
 
 /** Unit semantics for the r5 pipeline-operator batch: time-bounded funnel,
   * RFM scoring, MinHash estimator audit, stratified rate sampling,
@@ -898,6 +898,158 @@ class PipelineOpsSpec extends SparkSpec {
         (i.toLong, "wide", f"2024-01-01 11:$i%02d:00", (i * 50).toDouble))
     val outU = graft.ops.Aggs.statBrownForsythe(ev(uneq: _*)).collect()(0)
     assert(outU.getAs[Double]("bf_w") > 10.0)
+  }
+
+  test("anova f: identical classes give F ~ 0, shifted means give exact F") {
+    // identical value patterns -> SSB ~ 0
+    val eq = Seq("a", "b").flatMap(t => (1 to 10).map(i =>
+      (i.toLong, t, f"2024-01-01 10:$i%02d:00", (i % 5).toDouble)))
+    val outEq = Aggs.statAnovaF(ev(eq: _*)).collect()(0)
+    assert(outEq.getAs[Long]("k") == 2L && outEq.getAs[Long]("n_total") == 20L)
+    assert(math.abs(outEq.getAs[Double]("f_stat")) < 1e-9)
+    // a: 1,2,3  b: 11,12,13 -> means 2,12; SSB = 150, SSW = 4,
+    // F = (150/1)/(4/4) = 150 exactly
+    val sh = (1 to 3).map(i => (i.toLong, "a", s"2024-01-01 10:0$i:00", i.toDouble)) ++
+      (1 to 3).map(i => (i.toLong, "b", s"2024-01-01 11:0$i:00", (10 + i).toDouble))
+    val outSh = Aggs.statAnovaF(ev(sh: _*)).collect()(0)
+    assert(outSh.getAs[Double]("ss_between") == 150.0)
+    assert(outSh.getAs[Double]("ss_within") == 4.0)
+    assert(outSh.getAs[Double]("f_stat") == 150.0)
+  }
+
+  test("holt-winters: zero seasons reduce to holt; gaps densify to 0") {
+    // hourly counts 2, 4, 8 with all-zero seasonal state == Holt's fold:
+    // l=5.75 b=1.625, season_next still 0 -> forecast 7.375
+    val rows = (1 to 2).map(i => (i.toLong, "a", s"2024-01-01 10:0$i:00", 0.0)) ++
+      (1 to 4).map(i => (i.toLong, "a", s"2024-01-01 11:0$i:00", 0.0)) ++
+      (1 to 8).map(i => (i.toLong, "a", s"2024-01-01 12:0$i:00", 0.0))
+    val r = Aggs.statHoltWinters(ev(rows: _*)).collect()(0)
+    assert((r.getAs[Long]("n_hours"), r.getAs[Double]("level"),
+      r.getAs[Double]("trend"), r.getAs[Double]("season_next"),
+      r.getAs[Double]("forecast_next")) == ((3L, 5.75, 1.625, 0.0, 7.375)))
+    // missing middle hour joins the grid as x = 0 (n_hours counts it)
+    val gap = Seq(
+      (1L, "a", "2024-01-01 10:00:00", 0.0),
+      (2L, "a", "2024-01-01 12:00:00", 0.0))
+    val g = Aggs.statHoltWinters(ev(gap: _*)).collect()(0)
+    assert(g.getAs[Long]("n_hours") == 3L)
+    // constant series is a fixed point: level = c, trend = 0, seasons 0
+    val const = (0 until 30).flatMap(h => (1 to 3).map(i =>
+      (i.toLong, "c", f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:0$i:00", 0.0)))
+    val c = Aggs.statHoltWinters(ev(const: _*)).collect()(0)
+    assert(c.getAs[Double]("level") == 3.0 && c.getAs[Double]("trend") == 0.0 &&
+      c.getAs[Double]("forecast_next") == 3.0)
+  }
+
+  test("quantile sketch: estimates interpolate inside the landing band") {
+    // scaled values 500, 1000, 2000, 2000 -> bands 8 (cnt 1), 9 (1), 10 (2)
+    // p50: t=2 -> band 9, est = (512 + 512·1)/1000; p90/p99: t=4 -> band 10,
+    // est = (1024 + 1024·1)/1000
+    val events = ev(
+      (1L, "a", "2024-01-01 10:00:00", 0.5),
+      (2L, "a", "2024-01-01 10:01:00", 1.0),
+      (3L, "a", "2024-01-01 10:02:00", 2.0),
+      (4L, "a", "2024-01-01 10:03:00", 2.0))
+    val r = Aggs.aggQuantilesSketch(events).collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_bands") == 3L)
+    assert(r.getAs[Double]("p50_est") == 1.024)
+    assert(r.getAs[Double]("p90_est") == 2.048)
+    assert(r.getAs[Double]("p99_est") == 2.048)
+  }
+
+  test("welch t: exact chain on hand-computable class stats") {
+    // a: 1,2,3 (mean 2, var 1); b: 5,7,9 (mean 7, var 4) — decimal sums exact
+    val events = ev(
+      (1L, "a", "2024-01-01 10:01:00", 1.0), (2L, "a", "2024-01-01 10:02:00", 2.0),
+      (3L, "a", "2024-01-01 10:03:00", 3.0), (4L, "b", "2024-01-01 11:01:00", 5.0),
+      (5L, "b", "2024-01-01 11:02:00", 7.0), (6L, "b", "2024-01-01 11:03:00", 9.0))
+    val r = Aggs.statWelchT(events, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("var_b") == 4.0)
+    val sem = 1.0 / 3 + 4.0 / 3
+    assert(r.getAs[Double]("t_stat") == (2.0 - 7.0) / math.sqrt(sem))
+    assert(r.getAs[Double]("df_welch") ==
+      (sem * sem) / (((1.0 / 3) * (1.0 / 3)) / 2.0 + ((4.0 / 3) * (4.0 / 3)) / 2.0))
+  }
+
+  test("degree assortativity: a star graph is perfectly disassortative") {
+    // co-activity minutes: (1,2), (1,3), (1,4) -> star centered on 1 -> r = -1
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:01", 0.0), (2L, "click", "2024-01-01 10:00:02", 0.0),
+      (1L, "click", "2024-01-01 11:00:01", 0.0), (3L, "click", "2024-01-01 11:00:02", 0.0),
+      (1L, "click", "2024-01-01 12:00:01", 0.0), (4L, "click", "2024-01-01 12:00:02", 0.0))
+    val r = Sessions.graphDegreeAssortativity(events).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("rolling median: lower order statistic of the trailing frame") {
+    val events = ev(
+      (1L, "a", "2024-01-01 10:00:00", 5.0),
+      (1L, "a", "2024-01-01 10:01:00", 1.0),
+      (1L, "a", "2024-01-01 10:02:00", 3.0))
+    val out = Windows.windowRollingMedian(events).collect()
+      .map(r => r.getAs[String]("ts_s").substring(14, 16) ->
+        (r.getAs[Long]("n_window"), r.getAs[Double]("roll_median"))).toMap
+    assert(out == Map("00" -> ((1L, 5.0)), "01" -> ((2L, 1.0)), "02" -> ((3L, 3.0))))
+  }
+
+  test("peak detect: strict interior maxima only, plateaus excluded") {
+    def hour(h: Int, n: Int, t: String) =
+      (1 to n).map(i => (i.toLong, t, f"2024-01-01 $h%02d:0$i:00", 0.0))
+    // a: 1,3,2 -> peak at hour 11; b: 1,3,3,1 -> plateau, no peak
+    val events = ev((hour(10, 1, "a") ++ hour(11, 3, "a") ++ hour(12, 2, "a") ++
+      hour(10, 1, "b") ++ hour(11, 3, "b") ++ hour(12, 3, "b") ++ hour(13, 1, "b")): _*)
+    val out = Windows.windowPeakDetect(events).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("event_type") == "a" &&
+      out(0).getAs[String]("hour_s") == "2024-01-01 11:00:00" &&
+      out(0).getAs[Long]("n") == 3L)
+  }
+
+  test("cramers v: effect size from the q20 chi-square machinery") {
+    // perfectly associated 2x2: type a only in daypart 0, b only in 2
+    val events = ev(
+      (1L, "a", "2024-01-01 01:00:00", 0.0), (2L, "a", "2024-01-01 02:00:00", 0.0),
+      (3L, "b", "2024-01-01 13:00:00", 0.0), (4L, "b", "2024-01-01 14:00:00", 0.0))
+    val r = Aggs.statCramersV(events).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 2L && r.getAs[Long]("n_cols") == 2L)
+    assert(r.getAs[Long]("n_events") == 4L)
+    // chi2 = N = 4 exactly (perfect association), V = sqrt(4/(4*1)) = 1
+    assert(r.getAs[Double]("chi2") == 4.0)
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("poisson dispersion: constant series VMR = 0, bursty VMR > 1") {
+    // type c: exactly 2 events every hour for 4 hours -> variance 0
+    val const = (0 until 4).flatMap(h => (1 to 2).map(i =>
+      (i.toLong, "c", f"2024-01-01 $h%02d:0$i:00", 0.0)))
+    // type b: 8 events in hour 0, then 3 empty hours (densified) -> VMR > 1
+    val burst = (1 to 8).map(i => (i.toLong, "b", s"2024-01-01 00:0$i:00", 0.0)) ++
+      Seq((9L, "b", "2024-01-01 03:01:00", 0.0))
+    val out = Aggs.statPoissonDispersion(ev((const ++ burst): _*)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_hours"), r.getAs[Long]("n_active_hours"),
+          r.getAs[Double]("mean_per_hour"), r.getAs[Double]("vmr"))).toMap
+    assert(out("c") == ((4L, 4L, 2.0, 0.0)))
+    val b = out("b")
+    // 9 events over 4 grid hours (2 empty), mean 2.25, variance
+    // (64+1)/4 - 2.25^2 = 11.1875 -> VMR ~ 4.97
+    assert(b._1 == 4L && b._2 == 2L && b._3 == 2.25)
+    assert(b._4 == (65.0 / 4 - 2.25 * 2.25) / 2.25)
+  }
+
+  test("cross-source dedup report rolls up near-dup pairs by source pair") {
+    val docs = Seq(
+      (1L, "sA", "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "sB", "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "sB", "completely different text about distributed query engines here"),
+      (4L, "sB", "completely different text about distributed query engines here"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dedupCrossSource(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Boolean]("is_cross"))).toMap
+    assert(out == Map(("sA", "sB") -> ((1L, true)), ("sB", "sB") -> ((1L, false))))
   }
 
   test("length histogram: power-of-2 token buckets per language") {

@@ -34,7 +34,10 @@ class PlanLintSpec extends SparkSpec {
     "stat_chi_square",                                   // classes×4 dense grid cross
     "graph_triangles",                                   // 1-row census frames
     "events_rfm_scores",                                 // 1-row n_users frame (r6 banded ntile)
-    "events_pareto_deciles"                              // 1-row max-rank frame (r6)
+    "events_pareto_deciles",                             // 1-row max-rank frame (r6)
+    "agg_quantiles_sketch",                              // 3-row quantile dim (r7)
+    "stat_cramers_v",                                    // classes×4 dense grid cross (r7)
+    "graph_degree_assortativity"                         // 1-row n_nodes frame (r7)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
