@@ -633,4 +633,54 @@ object Similarity {
         max(col("nrm")).as("norm_max"),
         sum(when(col("nrm") < zeroEps, 1L).otherwise(0L)).as("n_zero"))
       .orderBy("label")
+
+  /** r7: truncation-recall audit — the measurement behind
+    * Matryoshka-style dimension cuts ("can we search on the first 16 of
+    * 64 dims and keep the neighbors?"): per query, the overlap between
+    * the exact cosine top-k on FULL vectors and the top-k on the
+    * truncated prefix, as a parts-per-billion recall. This is the
+    * decision table for the cheapest ANN lever there is (truncation cuts
+    * index bytes AND dot-product FLOPs linearly, with zero index
+    * structure) — the audit [[embPqCodes]]/[[simSearchPq]] get from
+    * their ADC siblings, here for plain prefix cuts. Both rankings ride
+    * the proven deterministic cosine chain ([[graft.functions.VectorDot]]
+    * sequential fold + one sqrt + one divide, ties on vec_id); the
+    * overlap count and ppb are pure integers, so the whole report is
+    * engine-exact. Plan: two broadcast-query scans (corpus side stays
+    * partitioned), per-query top-k windows on the bounded candidate
+    * frames, one k-row equi-join per query to intersect. */
+  def embTruncationRecall(embeddings: DataFrame, nQueries: Int = 8,
+      k: Int = 10, dims: Int = 16): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    def topk(frame: DataFrame): DataFrame = {
+      val q = frame.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      frame.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val full = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
+    val trunc = embeddings
+      .select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, dims).as("v"))
+      .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
+    val overlap = topk(full)
+      .join(topk(trunc), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"), lit(dims.toLong).as("dims"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        idiv(coalesce(col("n_overlap"), lit(0L)) * lit(1000000000L), lit(k.toLong))
+          .as("recall_ppb"))
+      .orderBy("query_id")
+  }
 }

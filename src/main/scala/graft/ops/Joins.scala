@@ -671,6 +671,47 @@ object Joins {
         col("z").as("value"), col("x_filt"), col("p_var"), col("gain"))
       .orderBy("event_id")
   }
+
+  /** r7: numeric BAND join — click↔purchase events in the same hour whose
+    * values agree within ε (5 cents): the "did this interaction price-match
+    * that conversion" probe, and the missing member of the non-equi family
+    * (asof = nearest in time, range = containment, interval = overlap —
+    * this is |Δvalue| ≤ ε). The naive spelling is a θ-join (quadratic per
+    * hour); here both sides quantize to integer cents (exact two-engine
+    * rounding, the `stat_moments_per_type` contract) and bucket by
+    * width-ε truncating division — any two values within ε land in the
+    * same or adjacent buckets (buckets are contiguous ordered intervals
+    * of width ≥ ε), so probing 3 bucket offsets via EQUI-join covers all
+    * matches with no duplicates (each pair meets at exactly one probed
+    * (offset, bucket) since the build side's bucket is a single value).
+    * Candidates are Θ(matches + near-misses in adjacent buckets), never
+    * occupancy². Rolled up per hour; the mean |Δ| divides once at the
+    * edge via the split cast. */
+  def joinBandNumeric(events: DataFrame, epsCents: Long = 5L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val base = events.filter(col("value").isNotNull)
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"),
+        col("event_type"), col("event_id"),
+        (col("value").cast(DecimalType(28, 2)) * 100).cast(dec).cast("long").as("c"))
+    val probe = base.filter(col("event_type") === "click")
+      .select(col("hu"), col("event_id").as("ida"), col("c").as("ca"))
+      .withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("bkt", idiv(col("ca"), lit(epsCents)) + col("off"))
+    val build = base.filter(col("event_type") === "purchase")
+      .select(col("hu").as("hub"), col("event_id").as("idb"),
+        col("c").as("cb"), idiv(col("c"), lit(epsCents)).as("bktb"))
+    probe.join(build,
+        col("hu") === col("hub") && col("bkt") === col("bktb"))
+      .filter(abs(col("ca") - col("cb")) <= epsCents)
+      .groupBy(col("hu"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("ca") - col("cb")).cast(dec)).as("sd"))
+      .select(col("hu"), col("n_pairs"),
+        col("sd").cast("long").as("sum_absdiff_cents"),
+        (graft.Det.decToDouble(col("sd")) / col("n_pairs")).as("avg_absdiff_cents"))
+      .orderBy("hu")
+  }
 }
 
 /** The sequential LTTB chain behind [[Joins.tsDownsampleLttb]]: consumes a

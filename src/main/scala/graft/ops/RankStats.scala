@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rank-based (non-parametric) statistics — the tests a data-quality
+  * pipeline reaches for when values are heavy-tailed or ordinal and the
+  * Gaussian machinery (`stat_anova_f`, `stat_welch_t`) is unjustified:
+  * Kruskal–Wallis (k-sample ranks ANOVA), Mann–Whitney U (two-sample),
+  * Spearman rank correlation. Reference anchor: the monitoring subsystem's
+  * per-type value comparisons (reference `monitor/check_readings.py`
+  * threshold screens) generalized to distribution-level tests.
+  *
+  * THE SCALE DESIGN: classic rank tests are "sort everything, rank each
+  * row" — a global sort plus a partition-less window, exactly the shape
+  * this library bans on data-scaled frames. The k-sample tests here never
+  * rank a row at all. With values quantized to integer cents (the
+  * `stat_moments_per_type` trick — both engines round double→DECIMAL(28,2)
+  * identically), the tie-averaged rank of value v depends only on counts:
+  *
+  *   2·r̄(v) = 2·cntLess(v) + t(v) + 1
+  *
+  * (doubled to stay integral; t = tie count). So per-GROUP rank sums need
+  * only the (value, group) contingency cells and an exclusive prefix sum
+  * of t over DISTINCT values — frames bounded by the value vocabulary,
+  * not the row count. The prefix sum runs the two-phase range pattern
+  * (`corpus_pack_sequences`): coarse value buckets → one tiny-frame
+  * cumsum → per-bucket local cumsum, never a partition-less window over
+  * the distinct frame. Everything stays in DECIMAL(38,0)/HUGEINT through
+  * the sums, crosses to double via [[graft.Det.decToDouble]]'s base-2^53
+  * split, and finishes in a fixed IEEE chain (sqrt is correctly rounded
+  * per IEEE-754, so it is cross-engine safe; ln/exp are not and are never
+  * used). */
+object RankStats {
+  private val dec38 = DecimalType(38, 0)
+  private def idiv(a: Column, b: Column) = call_function("div", a, b)
+  private def cents(v: Column): Column =
+    (v.cast(DecimalType(28, 2)) * 100).cast(dec38).cast("long")
+
+  /** Per-distinct-value tie counts `tv` and exclusive prefix counts
+    * `cnt_less` derived from the (value, group) contingency cells (so the
+    * fact table is scanned exactly once, by the cells agg), distributed:
+    * contiguous 4096-cent buckets (truncating div — bucket 0 spans
+    * (−4096, 4096) but intervals stay contiguous and ordered, which is
+    * all a prefix sum needs), per-bucket totals, exclusive cumsum over
+    * the tiny bucket frame (≤ value-range/4096 rows), then a bucket-local
+    * cumsum window (≤ 4096 distinct values per partition by
+    * construction). */
+  private def rankedValues(cells: DataFrame): DataFrame = {
+    val perV = cells.groupBy(col("c")).agg(sum(col("mv")).as("tv"))
+      .withColumn("bkt", idiv(col("c"), lit(4096L)))
+    val bt = perV.groupBy(col("bkt")).agg(sum(col("tv")).as("btv"))
+    val base = bt.withColumn("base", coalesce(
+        sum(col("btv")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("base"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("c"))
+    perV.join(broadcast(base), "bkt")
+      .withColumn("cnt_less", col("base") + sum(col("tv")).over(w) - col("tv"))
+      .select(col("c"), col("tv"), col("cnt_less"))
+  }
+
+  /** Kruskal–Wallis H across every event_type's value distribution, tie
+    * corrected:
+    *   H = 12/(N(N+1)) · Σᵢ Rᵢ²/nᵢ − 3(N+1),   H_c = H / C,
+    *   C = 1 − Σ(t³−t)/(N³−N).
+    * Group rank sums come from the contingency cells: 2Rᵢ = Σ_v m_{v,i} ·
+    * (2·cntLess(v)+t(v)+1), an equi-join of the (value,type) cells with
+    * [[rankedValues]] — no per-row ranks. Σᵢ Rᵢ²/nᵢ accumulates its k
+    * per-group doubles through DECIMAL(38,6) (the `stat_anova_f` pattern)
+    * so group order cannot matter. One row out. */
+  def statKruskalWallis(events: DataFrame): DataFrame = {
+    val sample = events.filter(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val cells = sample.groupBy(col("c"), col("event_type"))
+      .agg(count(lit(1)).as("mv"))
+    val rv = rankedValues(cells)
+    val d2 = graft.Det.decToDouble _
+    val perGroup = cells.join(rv, "c")
+      .groupBy(col("event_type"))
+      .agg(sum(col("mv")).as("ni"),
+        sum(col("mv").cast(dec38) *
+          (lit(2L) * col("cnt_less") + col("tv") + lit(1L))).as("r2i"))
+      .withColumn("r2d", d2(col("r2i")))
+      // Rᵢ²/nᵢ = (2Rᵢ)²/(4nᵢ), quantized to integer MICRO-units before
+      // the cross-group sum: re-accumulating in DECIMAL(38,0) fixes group
+      // order, and an integer-valued decimal is what the split cast can
+      // carry to double drift-free (a (38,6) sum's unscaled int passes
+      // 2^53 and DuckDB's bare decimal→double cast drifts 1 ulp there —
+      // observed 3.6e-12 on sf0.01). The 0.5e-6 term rounding costs H
+      // ≤ ~1e-6·12/(N(N+1)) — noise at any N, headroom to ~1e32 sums.
+      .withColumn("term", (col("r2d") * col("r2d") /
+        (lit(4.0) * col("ni").cast("double")) * lit(1000000.0))
+        .cast(DecimalType(38, 0)))
+    val ties = rv.agg(
+      sum(col("tv").cast(dec38) * col("tv") * col("tv") - col("tv")).as("t3t"))
+    perGroup
+      .agg(count(lit(1)).as("k"), sum(col("ni")).as("n_total"),
+        sum(col("term")).as("sri"))
+      .withColumn("sr", d2(col("sri")) / lit(1000000.0))
+      .crossJoin(broadcast(ties.select(d2(col("t3t")).as("td"))))
+      .withColumn("nd", col("n_total").cast("double"))
+      .withColumn("n3nd",
+        col("nd") * col("nd") * col("nd") - col("nd"))
+      .withColumn("h_stat",
+        lit(12.0) / (col("nd") * (col("nd") + lit(1.0))) * col("sr") -
+          lit(3.0) * (col("nd") + lit(1.0)))
+      .withColumn("tie_c",
+        when(col("n3nd") > 0, lit(1.0) - col("td") / col("n3nd")))
+      .select(col("k"), col("n_total"), col("h_stat"),
+        col("tie_c").as("tie_correction"),
+        when(col("tie_c") > 0, col("h_stat") / col("tie_c")).as("h_corrected"))
+  }
+
+  /** Mann–Whitney U comparing two event types' value distributions
+    * (tie-averaged ranks over the pooled sample, normal-approximation z
+    * with tie-corrected variance, rank-biserial effect size):
+    *   U = R_a − n_a(n_a+1)/2,  Var U = (n_a n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))),
+    *   z = (U − n_a n_b/2)/√VarU,  r_rb = 1 − 2U/(n_a n_b).
+    * Same contingency-cell machinery as [[statKruskalWallis]] — the pooled
+    * two-class sample is never row-ranked. One row out. */
+  def statMannWhitney(events: DataFrame, classA: String = "click",
+      classB: String = "view"): DataFrame = {
+    val sample = events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val cells = sample.groupBy(col("c"), col("event_type"))
+      .agg(count(lit(1)).as("mv"))
+    val rv = rankedValues(cells)
+    val d2 = graft.Det.decToDouble _
+    val perGroup = cells.join(rv, "c")
+      .groupBy(col("event_type"))
+      .agg(sum(col("mv")).as("ni"),
+        sum(col("mv").cast(dec38) *
+          (lit(2L) * col("cnt_less") + col("tv") + lit(1L))).as("r2i"))
+    val ties = rv.agg(
+      sum(col("tv").cast(dec38) * col("tv") * col("tv") - col("tv")).as("t3t"))
+    perGroup
+      .agg(max(when(col("event_type") === classA, col("ni"))).as("n_a"),
+        max(when(col("event_type") === classB, col("ni"))).as("n_b"),
+        max(when(col("event_type") === classA, col("r2i"))).as("r2a"))
+      .crossJoin(broadcast(ties.select(d2(col("t3t")).as("td"))))
+      // 2U = 2R_a − n_a(n_a+1), exact in decimal, then one split-cast
+      .withColumn("u_stat",
+        d2(col("r2a") - (col("n_a").cast(dec38) * (col("n_a") + lit(1L))))
+          / lit(2.0))
+      .withColumn("nad", col("n_a").cast("double"))
+      .withColumn("nbd", col("n_b").cast("double"))
+      .withColumn("nd", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("mean_u", col("nad") * col("nbd") / lit(2.0))
+      .withColumn("var_u",
+        (col("nad") * col("nbd") / lit(12.0)) *
+          ((col("nd") + lit(1.0)) -
+            col("td") / (col("nd") * (col("nd") - lit(1.0)))))
+      .select(col("n_a"), col("n_b"), col("u_stat"), col("mean_u"),
+        col("var_u"),
+        when(col("var_u") > 0,
+          (col("u_stat") - col("mean_u")) / sqrt(col("var_u"))).as("z_score"),
+        (lit(1.0) - lit(2.0) * col("u_stat") / (col("nad") * col("nbd")))
+          .as("rank_biserial"))
+  }
+
+  /** Spearman rank correlation between the hourly click-count and
+    * purchase-count series — `stat_corr_hourly`'s robust sibling (Pearson
+    * answers "linear co-movement", Spearman "monotone co-movement", immune
+    * to the burst outliers event streams always carry). Ranks are
+    * row_number under the documented total order (count, hour) — a FIXED
+    * tie convention both engines can spell — realized distributed by
+    * [[graft.Dist.rankByRange]] (one range exchange per axis, no
+    * partition-less window even though the hourly frame is time-bounded).
+    * Sums of rank products stay in DECIMAL(38,0) (ranks ≤ n_hours, so
+    * Σr² ≤ n³ — past 2^53 for decade-scale hourly history) and cross to
+    * double via the split; ρ finishes in one fixed sqrt chain. */
+  def statSpearmanHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val rx = graft.Dist.rankByRange(hourly, "rx", col("x"), col("hour"))
+    val rxy = graft.Dist.rankByRange(rx, "ry", col("y"), col("hour"))
+    val d2 = graft.Det.decToDouble _
+    val sums = rxy.agg(
+      count(lit(1)).as("n_hours"),
+      d2(sum(col("rx").cast(dec38))).as("sx"),
+      d2(sum(col("ry").cast(dec38))).as("sy"),
+      d2(sum(col("rx").cast(dec38) * col("ry"))).as("sxy"),
+      d2(sum(col("rx").cast(dec38) * col("rx"))).as("sxx"),
+      d2(sum(col("ry").cast(dec38) * col("ry"))).as("syy"))
+    sums.select(col("n_hours"),
+      ((col("n_hours") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n_hours") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n_hours") * col("syy") - col("sy") * col("sy"))))
+        .as("spearman_rho"))
+  }
+}

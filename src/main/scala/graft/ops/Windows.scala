@@ -485,4 +485,84 @@ object Windows {
         col("n"), col("prev_n"), col("next_n"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** r7: fast/slow SMA crossover signals on the densified hourly traffic
+    * series per event class — the trend-flip detector (finance calls the
+    * pair "golden/death cross"; an ops feed reads it as "sustained ramp
+    * began/ended"). INTEGER END TO END: comparing two moving AVERAGES of
+    * counts over windows of 3 and 24 is the same as comparing the
+    * cross-multiplied SUMS (24·fastSum vs 3·slowSum) — no division ever
+    * happens in the signal path, so the flip predicate is pure int64
+    * comparison and engine-exact (the display averages divide only at
+    * the edge, one fixed IEEE op each). Gaps are densified to zero-count
+    * hours first (explode(sequence) off the per-type min/max — the
+    * `stat_poisson_dispersion` grid pattern) because a silent feed IS
+    * trend information. A signal fires only when both windows are full
+    * (rn > slow). Plan: one (type, hour) hash agg collapses the scan;
+    * grid join + windows run on the tiny types×hours frame. */
+  def tsSmaCrossover(events: DataFrame, fast: Int = 3, slow: Int = 24): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hu"))
+    val dense = grid.join(hourly, Seq("event_type", "hu"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+    val wF = wOrd.rowsBetween(-(fast - 1), Window.currentRow)
+    val wS = wOrd.rowsBetween(-(slow - 1), Window.currentRow)
+    dense
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("fsum", sum(col("n")).over(wF))
+      .withColumn("ssum", sum(col("n")).over(wS))
+      .withColumn("diff",
+        lit(slow.toLong) * col("fsum") - lit(fast.toLong) * col("ssum"))
+      .withColumn("prev_diff", lag(col("diff"), 1).over(wOrd))
+      .filter(col("rn") > slow &&
+        ((col("diff") > 0 && col("prev_diff") <= 0) ||
+         (col("diff") < 0 && col("prev_diff") >= 0)))
+      .select(col("event_type"),
+        fmtTsSec(timestamp_micros(col("hu") * lit(3600000000L))).as("hour_ts"),
+        (col("fsum").cast("double") / fast).as("fast_avg"),
+        (col("ssum").cast("double") / slow).as("slow_avg"),
+        when(col("diff") > 0, lit("golden")).otherwise(lit("death")).as("signal"))
+      .orderBy("event_type", "hour_ts")
+  }
+
+  /** r7: Bollinger-band breakout screen — flag readings outside
+    * mean ± 2σ of the PRIOR 24 same-user readings (prior window: the
+    * band a streaming monitor would have had at arrival time, and the
+    * tested row never contaminates its own band — the [[windowHampel]]
+    * contract with variance bands instead of MAD). The σ comparison
+    * never computes σ: with cents c, prior-window sums S₁, S₂ and full
+    * window size n, |v−μ| > 2σ  ⟺  (n·c − S₁)² > 4·(n·S₂ − S₁²) after
+    * multiplying through by n² — all DECIMAL(38,0) integer arithmetic,
+    * no sqrt, no division, engine-exact by construction. Only breakout
+    * rows are emitted (the screen's output is its alerts); the display
+    * mean divides at the edge via the split cast. Plan: one user-keyed
+    * window stack (three aggregates, one frame), map-side predicate. */
+  def windowBollinger(events: DataFrame, n: Int = 24): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-n, -1)
+    events.filter(col("value").isNotNull)
+      .withColumn("c",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(dec))
+      .withColumn("cnt", count(col("c")).over(w))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .filter(col("cnt") === n)
+      .withColumn("dev", lit(n.toLong) * col("c") - col("s1"))
+      .withColumn("var4",
+        lit(4L) * (lit(n.toLong) * col("s2") - col("s1") * col("s1")))
+      .filter(col("dev") * col("dev") > col("var4"))
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        col("value"),
+        (graft.Det.decToDouble(col("s1")) / lit(n.toDouble) / lit(100.0))
+          .as("mean_prior"),
+        when(col("dev") > 0, lit("above")).otherwise(lit("below")).as("side"))
+      .orderBy("user_id", "event_id")
+  }
 }

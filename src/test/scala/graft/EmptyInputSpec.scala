@@ -130,4 +130,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(ops.Joins.tsKalmanFilter(emptyEvents).count() == 0)
     assert(Sampling.sampleTopkHash(emptyDocs).count() == 0)
   }
+
+  test("r7b operators survive empty inputs") {
+    // ungrouped finals -> one row of zeros/nulls; row-emitting ops -> empty
+    val kw = ops.RankStats.statKruskalWallis(emptyEvents).collect()
+    assert(kw.length == 1 && kw(0).getAs[Long]("k") == 0L &&
+      kw(0).isNullAt(kw(0).fieldIndex("h_stat")))
+    val mw = ops.RankStats.statMannWhitney(emptyEvents).collect()
+    assert(mw.length == 1 && mw(0).isNullAt(mw(0).fieldIndex("u_stat")))
+    val sp = ops.RankStats.statSpearmanHourly(emptyEvents).collect()
+    assert(sp.length == 1 && sp(0).getAs[Long]("n_hours") == 0L &&
+      sp(0).isNullAt(sp(0).fieldIndex("spearman_rho")))
+    assert(ops.Windows.tsSmaCrossover(emptyEvents).count() == 0)
+    assert(ops.Windows.windowBollinger(emptyEvents).count() == 0)
+    assert(ops.Joins.joinBandNumeric(emptyEvents).count() == 0)
+    assert(ext.Dedup.dedupEditDistance(emptyDocs).count() == 0)
+    val emptyEmb = Tables.embeddings(spark, sf).limit(0)
+    assert(ext.Similarity.embTruncationRecall(emptyEmb).count() == 0)
+  }
 }

@@ -491,6 +491,26 @@ class InvarianceSpec extends SparkSpec {
       rows(Dedup.dedupCrossSource(docs.repartition(13))))
   }
 
+  test("r7b batch is partitioning-invariant") {
+    assert(rows(ops.RankStats.statKruskalWallis(events.coalesce(1))) ==
+      rows(ops.RankStats.statKruskalWallis(events.repartition(13))))
+    assert(rows(ops.RankStats.statMannWhitney(events.coalesce(1))) ==
+      rows(ops.RankStats.statMannWhitney(events.repartition(13))))
+    assert(rows(ops.RankStats.statSpearmanHourly(events.coalesce(1))) ==
+      rows(ops.RankStats.statSpearmanHourly(events.repartition(13))))
+    assert(rows(ops.Windows.tsSmaCrossover(events.coalesce(1))) ==
+      rows(ops.Windows.tsSmaCrossover(events.repartition(13))))
+    assert(rows(ops.Windows.windowBollinger(events.coalesce(1))) ==
+      rows(ops.Windows.windowBollinger(events.repartition(13))))
+    assert(rows(ops.Joins.joinBandNumeric(events.coalesce(1))) ==
+      rows(ops.Joins.joinBandNumeric(events.repartition(13))))
+    assert(rows(Dedup.dedupEditDistance(docs.coalesce(1))) ==
+      rows(Dedup.dedupEditDistance(docs.repartition(13))))
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(ext.Similarity.embTruncationRecall(embT.coalesce(1))) ==
+      rows(ext.Similarity.embTruncationRecall(embT.repartition(13))))
+  }
+
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")

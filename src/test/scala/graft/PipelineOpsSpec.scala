@@ -1074,4 +1074,141 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(a.length == 7 && a == b)
   }
+
+  test("kruskal-wallis: identical groups H = 0, separated groups exact H") {
+    // identical {1,2,3} in both classes: rank sums equal -> H = 0 (ties
+    // corrected: every value tied across classes, T = 3·(2³−2) = 18)
+    val same = ev(
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, "click", "2024-01-01 10:01:00", 2.0),
+      (1L, "click", "2024-01-01 10:02:00", 3.0),
+      (2L, "view", "2024-01-01 10:03:00", 1.0),
+      (2L, "view", "2024-01-01 10:04:00", 2.0),
+      (2L, "view", "2024-01-01 10:05:00", 3.0))
+    val r0 = graft.ops.RankStats.statKruskalWallis(same).collect()(0)
+    assert(r0.getAs[Long]("k") == 2L && r0.getAs[Long]("n_total") == 6L)
+    assert(math.abs(r0.getAs[Double]("h_stat")) < 1e-6)
+    // disjoint {1,2} vs {10,11}: ranks 1,2 | 3,4 -> ΣR²/n = 4.5 + 24.5,
+    // H = 12/20·29 − 15 = 2.4, no ties so corrected = raw
+    val apart = ev(
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, "click", "2024-01-01 10:01:00", 2.0),
+      (2L, "view", "2024-01-01 10:02:00", 10.0),
+      (2L, "view", "2024-01-01 10:03:00", 11.0))
+    val r1 = graft.ops.RankStats.statKruskalWallis(apart).collect()(0)
+    assert(math.abs(r1.getAs[Double]("h_stat") - 2.4) < 1e-6)
+    assert(r1.getAs[Double]("tie_correction") == 1.0)
+  }
+
+  test("mann-whitney: fully separated samples give U = 0 and |r_rb| = 1") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, "click", "2024-01-01 10:01:00", 2.0),
+      (1L, "click", "2024-01-01 10:02:00", 3.0),
+      (2L, "view", "2024-01-01 10:03:00", 4.0),
+      (2L, "view", "2024-01-01 10:04:00", 5.0),
+      (2L, "view", "2024-01-01 10:05:00", 6.0))
+    val r = graft.ops.RankStats.statMannWhitney(events).collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("u_stat") == 0.0)
+    assert(r.getAs[Double]("mean_u") == 4.5)
+    assert(r.getAs[Double]("rank_biserial") == 1.0)
+  }
+
+  test("spearman: monotone hourly series give rho = ±1 exactly") {
+    def mk(purchCounts: Seq[Int]) = {
+      val rows = (0 until 3).flatMap { h =>
+        val clicks = (0 to h).map(i =>
+          (1L, "click", f"2024-01-01 1$h%d:0$i%d:00", 0.0))
+        val purch = (0 until purchCounts(h)).map(i =>
+          (2L, "purchase", f"2024-01-01 1$h%d:1$i%d:00", 0.0))
+        clicks ++ purch
+      }
+      ev(rows: _*)
+    }
+    // click counts 1,2,3; purchase co-monotone 1,2,3 -> rho = 1 (up to
+    // the one sqrt(den_x)·sqrt(den_y) rounding in the fixed chain)
+    val up = graft.ops.RankStats.statSpearmanHourly(mk(Seq(1, 2, 3))).collect()(0)
+    assert(up.getAs[Long]("n_hours") == 3L &&
+      math.abs(up.getAs[Double]("spearman_rho") - 1.0) < 1e-12)
+    // anti-monotone 3,2,1 -> rho = −1
+    val dn = graft.ops.RankStats.statSpearmanHourly(mk(Seq(3, 2, 1))).collect()(0)
+    assert(math.abs(dn.getAs[Double]("spearman_rho") + 1.0) < 1e-12)
+  }
+
+  test("sma crossover: a burst after a flat day fires one golden cross") {
+    val rows = (0 until 24).map(h =>
+      (1L, "click", f"2024-01-01 $h%02d:00:00", 0.0)) :+
+      ((1L, "click", "2024-01-02 00:00:00", 0.0))
+    val burst = (1 until 100).map(i =>
+      (1L, "click", f"2024-01-02 00:${i % 60}%02d:${i / 60}%02d", 0.0))
+    val events = ev((rows ++ burst): _*)
+    val out = graft.ops.Windows.tsSmaCrossover(events).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // fast = (1+1+100)/3, slow = (23·1+100)/24 — integers until display
+    assert(r.getAs[String]("signal") == "golden")
+    assert(r.getAs[Double]("fast_avg") == 34.0)
+    assert(r.getAs[Double]("slow_avg") == 123.0 / 24)
+    assert(r.getAs[String]("hour_ts") == "2024-01-02 00:00:00")
+  }
+
+  test("bollinger: zero-variance prior window flags any deviation, exact mean") {
+    val flat = (0 until 24).map(i =>
+      (1L, "click", f"2024-01-01 10:${i % 60}%02d:${i / 60}%02d", 10.0))
+    val events = ev((flat :+ ((1L, "click", "2024-01-01 11:00:00", 11.0))): _*)
+    val out = graft.ops.Windows.windowBollinger(events).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("side") == "above")
+    assert(out(0).getAs[Double]("mean_prior") == 10.0)
+    assert(out(0).getAs[Double]("value") == 11.0)
+    // the same 25th reading AT the mean is not a breakout (0 > 0 is false)
+    val calm = ev((flat :+ ((1L, "click", "2024-01-01 11:00:00", 10.0))): _*)
+    assert(graft.ops.Windows.windowBollinger(calm).count() == 0)
+  }
+
+  test("band join: ε-inclusive, adjacent cent-buckets covered, one match each") {
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 1.04),    // 104¢, bucket 20
+      (1L, "click", "2024-01-01 10:01:00", 2.00),    // no partner in band
+      (2L, "purchase", "2024-01-01 10:02:00", 0.99), // 99¢, bucket 19 — |Δ| = 5
+      (2L, "purchase", "2024-01-01 10:03:00", 5.00))
+    val out = graft.ops.Joins.joinBandNumeric(events).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_pairs") == 1L)
+    assert(out(0).getAs[Long]("sum_absdiff_cents") == 5L)
+    assert(out(0).getAs[Double]("avg_absdiff_cents") == 5.0)
+  }
+
+  test("edit distance audit: near-dup pair carries the exact char distance") {
+    // 60 shared tokens with ONE char substituted: jaccard ≈ 55/61, far
+    // above the LSH detection knee, and a char-level distance of exactly 1
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("word30 ", "ward30 ")),
+      (3L, "completely unrelated text about distributed query engines and planners"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.dedupEditDistance(docs).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("edit_dist") == 1L)   // word30 -> ward30
+    assert(r.getAs[Long]("edit_ppb") ==
+      1000000000L / math.min(base.length, 512).toLong)
+  }
+
+  test("truncation recall: signal-free tail dims give perfect recall") {
+    // 20 vectors whose last dims are all zero: the 4-dim prefix IS the
+    // full vector, so truncated top-k must equal full top-k exactly
+    val vecs = (0 until 20).map { i =>
+      val v = Array.tabulate(8)(d =>
+        if (d < 4) ((i * 7 + d * 3) % 11 - 5).toFloat else 0.0f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity
+      .embTruncationRecall(vecs, nQueries = 4, k = 5, dims = 4).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("recall_ppb") == 1000000000L))
+  }
 }

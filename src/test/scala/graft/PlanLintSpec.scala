@@ -37,7 +37,9 @@ class PlanLintSpec extends SparkSpec {
     "events_pareto_deciles",                             // 1-row max-rank frame (r6)
     "agg_quantiles_sketch",                              // 3-row quantile dim (r7)
     "stat_cramers_v",                                    // classes×4 dense grid cross (r7)
-    "graph_degree_assortativity"                         // 1-row n_nodes frame (r7)
+    "graph_degree_assortativity",                        // 1-row n_nodes frame (r7)
+    "stat_kruskal_wallis", "stat_mann_whitney",          // 1-row tie-sum frames (r7)
+    "emb_truncation_recall"                              // ≤nQueries-row query sides (r7)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
