@@ -661,7 +661,12 @@ object Sessions {
     * rejected candidates (4 s at sf0.1, work = output + sort). Memory
     * is the day's max concurrency (the bucket width is the knob).
     * Overlap is integer microseconds end-to-end ⇒ hash-match; emission
-    * is value-determined, so partitioning cannot change the result. */
+    * is value-determined, so partitioning cannot change the result.
+    * r7 profile (sf0.1, local[32], best-of-2): input prep + sweep =
+    * 0.8 s; the remaining ~2.7 s is the pair-rollup agg emitting 1.1 M
+    * result rows from 3.9 M sweep rows (orderBy adds 0.15 s) — OUTPUT
+    * writing dominates, the documented stop condition for further
+    * constant-factor work on the sweep itself. */
   def joinIntervalOverlap(events: DataFrame, gapMinutes: Int = 360): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
