@@ -841,6 +841,67 @@ object Sessions {
       .select(col("v").as("user_id"), col("deg").as("core_degree"))
       .orderBy("user_id")
   }
+
+  /** r7b: cumulative cohort LTV — [[eventsRetentionCohort]]'s monetary
+    * sibling, the table that decides acquisition spend: per (cohort day,
+    * day offset) the purchase revenue, its running cumulative, and the
+    * per-acquired-user LTV (cumulative ÷ FULL cohort size, buyers or
+    * not — the definition finance uses). Plan: two hash aggs (first-day,
+    * revenue cells) + one per-user equi-join; the cumulative rides a
+    * window PARTITIONED by cohort day (thousands of cohorts at scale —
+    * never a global window), re-accumulating the cell revenues in
+    * decimal so offset order is associative. The cells are exact: cell
+    * revenue is [[graft.Det.dsum]]'s decimal contract, and a ≤6-dp
+    * double at cell magnitude is exactly round-trippable through
+    * DECIMAL(28,6), so the cumulative is bit-deterministic too. */
+  def eventsCohortLtv(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    val cohortSize = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+      .join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(dsum(col("value")).as("revenue"),
+        countDistinct(col("user_id")).as("n_buyers"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+    cells
+      .withColumn("cum_revenue",
+        sum(col("revenue").cast(dec)).over(w).cast("double"))
+      .join(cohortSize, "cohort_day")
+      .select(fmtTsSec(col("cohort_day")).as("cohort_day_s"), col("day_offset"),
+        col("n_buyers"), col("revenue"), col("cum_revenue"), col("cohort_size"),
+        (col("cum_revenue") / col("cohort_size")).as("ltv_per_user"))
+      .orderBy("cohort_day_s", "day_offset")
+  }
+
+  /** r7b: connected-component SIZE histogram of the co-activity graph —
+    * the population view the per-node censuses (k-core shells, triangle
+    * cohesion) do not give: "is this network one giant blob plus dust,
+    * or many mid-size cliques?" — the first question about any implicit
+    * graph, and the fragmentation metric dedup pipelines read off their
+    * duplicate graphs. Reuses [[graft.ext.Dedup]]'s path-halving
+    * min-label fixpoint verbatim (checkpointed rounds, convergence probe
+    * folded into each round's one action — O(diameter) rounds of
+    * equi-joins, never materializing pairwise reachability); users with
+    * no co-activity edge rejoin as singleton components via one
+    * left join. The oracle walks the same graph with a recursive
+    * label-propagation CTE — min reachable id per node. */
+  def graphCcSizes(events: DataFrame): DataFrame = {
+    val edges = coActivityEdges(events)
+    val labeled = Dedup.ccComponents(
+      edges.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    events.select(col("user_id")).distinct()
+      .join(labeled.select(col("id").as("user_id"), col("label")),
+        Seq("user_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("user_id")))
+      .groupBy(col("label")).agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
+      .orderBy("component_size")
+  }
 }
 
 /** The per-day linear sweep behind [[Sessions.joinIntervalOverlap]]:

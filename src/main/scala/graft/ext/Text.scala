@@ -51,6 +51,30 @@ object Text {
   /** Language-ID by marker-token counting (n-gram heuristic): count hits of
     * per-language stopword alternations, pick the max with a fixed
     * preference order on ties. */
+  /** r7b: language-ID confusion matrix — [[textLangid]]'s per-doc
+    * verdicts rolled up against the declared labels: the calibration
+    * table that decides whether the cheap n-gram router is good enough
+    * to GATE a corpus on (`text_filter_lang` drops docs by prediction —
+    * this is what that filter costs per language). Per (true, predicted)
+    * cell: doc count and its integer-ppb share of the true language's
+    * row (the row-normalized recall diagonal). One map-side predictor +
+    * one hash agg; the share window rides the ≤langs² cell frame. */
+  def textLangConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = textLangid(documents)
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("true_lang"))
+    cells
+      .withColumn("row_total", sum(col("n_docs")).over(w))
+      .select(col("true_lang"), col("pred_lang"), col("n_docs"),
+        call_function("div",
+          col("n_docs").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            1000000000L, col("row_total"))
+          .cast("long").as("row_share_ppb"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   def textLangid(documents: DataFrame): DataFrame = {
     def hits(pat: String): Column =
       size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))

@@ -530,6 +530,40 @@ object Windows {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** r7b: RSI (relative strength index) over the trailing 14 same-user
+    * deltas — the mean-reversion gauge completing the TA trio with
+    * [[tsSmaCrossover]] (trend flips) and [[windowBollinger]] (band
+    * breakouts): RSI > 70 overbought / < 30 oversold, read on sensor
+    * data as "has this feed been ratcheting one way". INTEGER except the
+    * last op: deltas are cent differences, gains/losses split by sign,
+    * and RSI = 100·G/(G+L) — the textbook 100−100/(1+RS) algebraically
+    * collapsed to ONE divide, so the whole window stack is int64 sums
+    * and the single division is the only IEEE op (null when G+L = 0:
+    * a flat window has no strength to index). One user-keyed window
+    * stack (lag + two trailing sums + count), full windows only. */
+  def windowRsi(events: DataFrame, n: Int = 14): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    events.filter(col("value").isNotNull)
+      .withColumn("c",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).cast("long"))
+      .withColumn("d", col("c") - lag(col("c"), 1).over(wOrd))
+      .withColumn("gain", when(col("d") > 0, col("d")).otherwise(lit(0L)))
+      .withColumn("loss", when(col("d") < 0, -col("d")).otherwise(lit(0L)))
+      .withColumn("nd", count(col("d")).over(wN))
+      .withColumn("g", sum(col("gain")).over(wN))
+      .withColumn("l", sum(col("loss")).over(wN))
+      .filter(col("nd") === n)
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        col("value"), col("g").as("gain_cents"), col("l").as("loss_cents"),
+        when(col("g") + col("l") > 0,
+          lit(100.0) * col("g").cast("double") /
+            (col("g") + col("l")).cast("double")).as("rsi"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** r7: Bollinger-band breakout screen — flag readings outside
     * mean ± 2σ of the PRIOR 24 same-user readings (prior window: the
     * band a streaming monitor would have had at arrival time, and the

@@ -147,5 +147,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(ext.Dedup.dedupEditDistance(emptyDocs).count() == 0)
     val emptyEmb = Tables.embeddings(spark, sf).limit(0)
     assert(ext.Similarity.embTruncationRecall(emptyEmb).count() == 0)
+    assert(ops.Windows.windowRsi(emptyEvents).count() == 0)
+    assert(ext.Sessions.eventsCohortLtv(emptyEvents).count() == 0)
+    assert(ext.Sessions.graphCcSizes(emptyEvents).count() == 0)
+    assert(ext.Text.textLangConfusion(emptyDocs).count() == 0)
   }
 }

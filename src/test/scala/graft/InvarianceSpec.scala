@@ -509,6 +509,14 @@ class InvarianceSpec extends SparkSpec {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     assert(rows(ext.Similarity.embTruncationRecall(embT.coalesce(1))) ==
       rows(ext.Similarity.embTruncationRecall(embT.repartition(13))))
+    assert(rows(ops.Windows.windowRsi(events.coalesce(1))) ==
+      rows(ops.Windows.windowRsi(events.repartition(13))))
+    assert(rows(ext.Sessions.eventsCohortLtv(events.coalesce(1))) ==
+      rows(ext.Sessions.eventsCohortLtv(events.repartition(13))))
+    assert(rows(ext.Sessions.graphCcSizes(events.coalesce(1))) ==
+      rows(ext.Sessions.graphCcSizes(events.repartition(13))))
+    assert(rows(ext.Text.textLangConfusion(docs.coalesce(1))) ==
+      rows(ext.Text.textLangConfusion(docs.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

@@ -1198,6 +1198,66 @@ class PipelineOpsSpec extends SparkSpec {
       1000000000L / math.min(base.length, 512).toLong)
   }
 
+  test("rsi: monotone ramps pin the index to 100 and 0, flat window is null") {
+    val up = (0 until 15).map(i =>
+      (1L, "click", f"2024-01-01 10:$i%02d:00", 10.0 + i))
+    val dn = (0 until 15).map(i =>
+      (2L, "click", f"2024-01-01 10:$i%02d:00", 50.0 - i))
+    val flat = (0 until 15).map(i =>
+      (3L, "click", f"2024-01-01 10:$i%02d:00", 7.0))
+    val out = graft.ops.Windows.windowRsi(ev((up ++ dn ++ flat): _*)).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        Option(r.getAs[java.lang.Double]("rsi")).map(_.toDouble)).toMap
+    assert(out == Map(1L -> Some(100.0), 2L -> Some(0.0), 3L -> None))
+  }
+
+  test("cohort ltv: cumulative revenue over offsets, divided by full cohort") {
+    val events = ev(
+      // cohort 2024-01-01: users 1 (buyer) and 2 (never buys) -> size 2
+      (1L, "purchase", "2024-01-01 10:00:00", 10.0),
+      (1L, "purchase", "2024-01-03 10:00:00", 6.0),
+      (2L, "view", "2024-01-01 09:00:00", 0.0),
+      // cohort 2024-01-02: user 3 alone
+      (3L, "purchase", "2024-01-02 12:00:00", 8.0))
+    val out = graft.ext.Sessions.eventsCohortLtv(events).collect()
+      .map(r => (r.getAs[String]("cohort_day_s"), r.getAs[Long]("day_offset")) ->
+        (r.getAs[Double]("cum_revenue"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("ltv_per_user"))).toMap
+    assert(out == Map(
+      ("2024-01-01 00:00:00", 0L) -> ((10.0, 2L, 5.0)),
+      ("2024-01-01 00:00:00", 2L) -> ((16.0, 2L, 8.0)),
+      ("2024-01-02 00:00:00", 0L) -> ((8.0, 1L, 8.0))))
+  }
+
+  test("cc sizes: two pairs and an isolated user make a 1,2,2 histogram") {
+    val events = ev(
+      // pair (1,2) co-active in one minute; pair (3,4) in another
+      (1L, "click", "2024-01-01 10:00:10", 0.0),
+      (2L, "click", "2024-01-01 10:00:50", 0.0),
+      (3L, "click", "2024-01-01 11:00:10", 0.0),
+      (4L, "click", "2024-01-01 11:00:50", 0.0),
+      // user 5 active alone -> singleton component
+      (5L, "click", "2024-01-01 12:00:00", 0.0))
+    val out = graft.ext.Sessions.graphCcSizes(events).collect()
+      .map(r => r.getAs[Long]("component_size") ->
+        r.getAs[Long]("n_components")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("lang confusion: mislabeled docs land off-diagonal with ppb shares") {
+    val docs = Seq(
+      (1L, "en", "the cat and the dog of a tale to tell"),
+      (2L, "en", "el que la de los amigos"), // labeled en, reads es
+      (3L, "es", "el la de que los"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ext.Text.textLangConfusion(docs).collect()
+      .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("row_share_ppb"))).toMap
+    assert(out == Map(
+      ("en", "en") -> ((1L, 500000000L)), ("en", "es") -> ((1L, 500000000L)),
+      ("es", "es") -> ((1L, 1000000000L))))
+  }
+
   test("truncation recall: signal-free tail dims give perfect recall") {
     // 20 vectors whose last dims are all zero: the 4-dim prefix IS the
     // full vector, so truncated top-k must equal full top-k exactly
