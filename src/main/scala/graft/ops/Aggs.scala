@@ -1910,4 +1910,49 @@ object Aggs {
         max(when(col("qname") === "p99", col("est"))).as("p99_est"))
       .orderBy("event_type")
   }
+
+  /** r7b: seasonality STRENGTH per event class — the scalar verdict on
+    * top of [[statSeasonalResidual]]'s per-hour trace: what fraction of
+    * the hourly-count variance does the (day-of-week, hour-of-day)
+    * profile explain? This is exactly one-way ANOVA's η² with the 168
+    * seasonal slots as groups — strength ≈ 1 says the feed is a clock,
+    * ≈ 0 says the "seasonal baseline" is noise (and downstream
+    * deseasonalizing would only launder variance). Same active-hours
+    * frame as the residual trace. Sum-of-squares algebra keeps it exact:
+    * SST = A − S²/N and SSR = A − Σ_c S_c²/m_c from integer power sums
+    * (A = Σn², S = Σn) in DECIMAL(38,0); the ≤168 per-cell S_c²/m_c
+    * terms re-accumulate in micro-unit decimal (the `stat_kruskal_wallis`
+    * pattern) so cell order cannot matter; everything crosses to double
+    * through the base-2^53 split and finishes in one fixed chain. */
+  def tsSeasonalityStrength(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d2 = graft.Det.decToDouble _
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(expr("unix_micros(hr) div 86400000000") + lit(4), lit(7)))
+      .withColumn("hod", hour(col("hr")).cast("long"))
+    val cells = hourly.groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("mc"),
+        sum(col("n").cast(dec)).as("sc"),
+        sum((col("n").cast(dec) * col("n"))).as("ac"))
+      .withColumn("scd", d2(col("sc")))
+      .withColumn("term",
+        (col("scd") * col("scd") / col("mc").cast("double") * lit(1000000.0))
+          .cast(dec))
+    cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("mc")).as("n_hours"),
+        d2(sum(col("sc"))).as("sd"),
+        d2(sum(col("ac"))).as("ad"),
+        d2(sum(col("term"))).as("sccm"))
+      .withColumn("nd", col("n_hours").cast("double"))
+      .withColumn("sst", col("ad") - col("sd") * col("sd") / col("nd"))
+      .withColumn("ssr", col("ad") - col("sccm") / lit(1000000.0))
+      .select(col("event_type"), col("n_hours"), col("n_cells"),
+        col("sst").as("ss_total"), col("ssr").as("ss_residual"),
+        when(col("sst") > 0, lit(1.0) - col("ssr") / col("sst"))
+          .as("seasonal_strength"))
+      .orderBy("event_type")
+  }
 }

@@ -162,6 +162,64 @@ object RankStats {
           .as("rank_biserial"))
   }
 
+  /** Mood's MEDIAN test across all event classes — the third leg of the
+    * nonparametric family ([[statKruskalWallis]] = rank ANOVA,
+    * [[statMannWhitney]] = two-sample): do the classes share a median?
+    * Coarser than KW but robust to ANY shape difference other than
+    * location — the screen to run when even rank magnitudes are suspect.
+    * The GLOBAL median is the discrete lower order statistic (the
+    * `agg_quantiles` contract — never an interpolated percentile), found
+    * WITHOUT a global sort: smallest distinct cents value whose
+    * cumulative count reaches ⌈N/2⌉, read off the same prefix-summed
+    * distinct-value frame as the rank tests. Per-class above/≤ splits
+    * come from the contingency cells; χ² = Σ(O−E)²/E over the k×2 table
+    * accumulates its per-class terms in micro-unit DECIMAL(38,0) (group
+    * order cannot matter) and finishes in a fixed chain. */
+  def statMoodMedian(events: DataFrame): DataFrame = {
+    val sample = events.filter(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val cells = sample.groupBy(col("c"), col("event_type"))
+      .agg(count(lit(1)).as("mv"))
+    val rv = rankedValues(cells)
+    val d2 = graft.Det.decToDouble _
+    // lower median: first value whose cumulative count ≥ ⌈N/2⌉
+    val med = rv
+      .crossJoin(broadcast(rv.agg(sum(col("tv")).as("n_total"))))
+      .filter(col("cnt_less") + col("tv") >=
+        idiv(col("n_total") + lit(1L), lit(2L))) // ⌈N/2⌉ = (N+1) div 2
+      .agg(min(col("c")).as("med_c"))
+    val perClass = cells
+      .crossJoin(broadcast(med))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("mv")).as("ni"),
+        sum(when(col("c") > col("med_c"), col("mv")).otherwise(lit(0L))).as("ai"))
+    val totals = perClass.agg(sum(col("ni")).as("n"), sum(col("ai")).as("a"))
+    perClass
+      .crossJoin(broadcast(totals))
+      .withColumn("e_above",
+        col("ni").cast("double") * col("a").cast("double") / col("n").cast("double"))
+      .withColumn("e_below",
+        col("ni").cast("double") * (col("n") - col("a")).cast("double") /
+          col("n").cast("double"))
+      // per-class χ² term ×1e6 → DECIMAL(38,0): order-free re-accumulation
+      // that the split cast carries drift-free (the KW micro-unit lesson);
+      // guarded below to null when a margin is empty (expected cell = 0)
+      .withColumn("term", ((((col("ai").cast("double") - col("e_above")) *
+          (col("ai").cast("double") - col("e_above")) / col("e_above")) +
+        (((col("ni") - col("ai")).cast("double") - col("e_below")) *
+          ((col("ni") - col("ai")).cast("double") - col("e_below")) /
+          col("e_below"))) * lit(1000000.0)).cast(DecimalType(38, 0)))
+      .agg(count(lit(1)).as("k"), max(col("n")).as("n_total"),
+        max(col("a")).as("n_above"),
+        d2(sum(col("term"))).as("chi2m"))
+      .crossJoin(broadcast(med))
+      .select(col("k"), col("n_total"), col("n_above"),
+        (col("med_c").cast("double") / lit(100.0)).as("grand_median"),
+        when(col("n_above") > 0 && col("n_above") < col("n_total"),
+          col("chi2m") / lit(1000000.0)).as("chi2"))
+  }
+
   /** Spearman rank correlation between the hourly click-count and
     * purchase-count series — `stat_corr_hourly`'s robust sibling (Pearson
     * answers "linear co-movement", Spearman "monotone co-movement", immune

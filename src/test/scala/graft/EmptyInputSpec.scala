@@ -151,5 +151,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(ext.Sessions.eventsCohortLtv(emptyEvents).count() == 0)
     assert(ext.Sessions.graphCcSizes(emptyEvents).count() == 0)
     assert(ext.Text.textLangConfusion(emptyDocs).count() == 0)
+    // ungrouped 2x2 final over empty classes -> one row, null chi2
+    val mm = ops.RankStats.statMoodMedian(emptyEvents).collect()
+    assert(mm.length == 1 && mm(0).getAs[Long]("k") == 0L &&
+      mm(0).isNullAt(mm(0).fieldIndex("chi2")))
+    assert(ops.Aggs.tsSeasonalityStrength(emptyEvents).count() == 0)
   }
 }

@@ -517,6 +517,10 @@ class InvarianceSpec extends SparkSpec {
       rows(ext.Sessions.graphCcSizes(events.repartition(13))))
     assert(rows(ext.Text.textLangConfusion(docs.coalesce(1))) ==
       rows(ext.Text.textLangConfusion(docs.repartition(13))))
+    assert(rows(ops.RankStats.statMoodMedian(events.coalesce(1))) ==
+      rows(ops.RankStats.statMoodMedian(events.repartition(13))))
+    assert(rows(Aggs.tsSeasonalityStrength(events.coalesce(1))) ==
+      rows(Aggs.tsSeasonalityStrength(events.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

@@ -1258,6 +1258,39 @@ class PipelineOpsSpec extends SparkSpec {
       ("es", "es") -> ((1L, 1000000000L))))
   }
 
+  test("mood median: disjoint halves give the exact 2x2 chi-square") {
+    // values 1,2,3 | 10,11,12: N=6, lower median = 3; above-median counts
+    // 0 | 3 against expecteds 1.5 -> chi2 = 4*(1.5^2/1.5) = 6 exactly
+    val events = ev(
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, "click", "2024-01-01 10:01:00", 2.0),
+      (1L, "click", "2024-01-01 10:02:00", 3.0),
+      (2L, "view", "2024-01-01 10:03:00", 10.0),
+      (2L, "view", "2024-01-01 10:04:00", 11.0),
+      (2L, "view", "2024-01-01 10:05:00", 12.0))
+    val r = graft.ops.RankStats.statMoodMedian(events).collect()(0)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Double]("grand_median") == 3.0)
+    assert(r.getAs[Long]("n_above") == 3L)
+    assert(math.abs(r.getAs[Double]("chi2") - 6.0) < 1e-6)
+  }
+
+  test("seasonality strength: clockwork feed = 1, one-slot noise = 0") {
+    // y: counts depend ONLY on hour-of-day (same both weeks) -> strength 1
+    val clockwork = Seq("2024-01-01", "2024-01-08").flatMap { d =>
+      (1 to 2).map(i => (1L, "y", s"$d 10:0$i:00", 0.0)) ++
+        (1 to 5).map(i => (1L, "y", s"$d 11:0$i:00", 0.0))
+    }
+    // x: both active hours land in the SAME (dow, hod) slot with different
+    // counts -> the seasonal profile explains nothing -> strength 0
+    val noise = (1 to 1).map(i => (2L, "x", s"2024-01-01 09:0$i:00", 0.0)) ++
+      (1 to 3).map(i => (2L, "x", s"2024-01-08 09:0$i:00", 0.0))
+    val out = graft.ops.Aggs.tsSeasonalityStrength(ev((clockwork ++ noise): _*))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("seasonal_strength")).toMap
+    assert(out("y") == 1.0 && out("x") == 0.0)
+  }
+
   test("truncation recall: signal-free tail dims give perfect recall") {
     // 20 vectors whose last dims are all zero: the 4-dim prefix IS the
     // full vector, so truncated top-k must equal full top-k exactly

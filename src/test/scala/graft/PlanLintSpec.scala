@@ -39,6 +39,7 @@ class PlanLintSpec extends SparkSpec {
     "stat_cramers_v",                                    // classes×4 dense grid cross (r7)
     "graph_degree_assortativity",                        // 1-row n_nodes frame (r7)
     "stat_kruskal_wallis", "stat_mann_whitney",          // 1-row tie-sum frames (r7)
+    "stat_mood_median",                                  // 1-row median/total frames (r7)
     "emb_truncation_recall"                              // ≤nQueries-row query sides (r7)
   )
 

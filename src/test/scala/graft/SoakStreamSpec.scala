@@ -61,21 +61,27 @@ class SoakStreamSpec extends SparkSpec {
       // r6 (verdict #5): a fixed wall-clock deadline made this load-flaky —
       // under full-suite contention the stream processes slower and the
       // 300 s budget expired with zero alerts despite healthy progress.
-      // Wait PROGRESS-based instead: as long as the observed value keeps
-      // changing, keep waiting; fail only after `stallMs` with no movement
-      // (a genuine stall), plus an absolute 30 min runaway cap.
+      // r7: the r6 rework watched only the TARGET value for movement, and
+      // under heavy host contention the first alerts can take > stallMs
+      // to appear while the ENGINE is healthily chewing the 5M-event
+      // backlog — observed in-suite as a zero-alert "stall". Progress is
+      // therefore ANY movement of the engine (batch id, rows ingested,
+      // state rows), not just the awaited value; the stall timer fires
+      // only when the stream itself is dead, plus a 30 min runaway cap.
       val stallMs = 180000L
       val hardCap = System.currentTimeMillis() + 1800000L
+      def engineProgress(): Seq[Long] = Option(q.lastProgress).toSeq.flatMap(p =>
+        Seq(p.batchId, p.numInputRows, p.stateOperators.map(_.numRowsTotal).sum))
       def awaitStable(observe: () => Long, done: Long => Boolean): Long = {
-        var last = observe()
+        var last = (observe(), engineProgress())
         var lastChange = System.currentTimeMillis()
-        while (!done(last) && System.currentTimeMillis() < hardCap &&
+        while (!done(last._1) && System.currentTimeMillis() < hardCap &&
           System.currentTimeMillis() - lastChange < stallMs) {
           Thread.sleep(500)
-          val now = observe()
+          val now = (observe(), engineProgress())
           if (now != last) { last = now; lastChange = System.currentTimeMillis() }
         }
-        last
+        last._1
       }
 
       // every churned node must retire exactly once; nothing may recover
