@@ -878,6 +878,62 @@ object Sessions {
       .orderBy("cohort_day_s", "day_offset")
   }
 
+  /** r7b: weekly growth accounting — the four-way user ledger every
+    * engagement report opens with, and the table [[eventsRetentionCohort]]
+    * (per-cohort decay) and `events_dau_mau` (stock ratio) bracket but
+    * don't give: per week, how many active users are NEW (first week
+    * ever), RETAINED (also active the prior week), RESURRECTED (back
+    * after a gap), and how many of the prior week's actives CHURNED
+    * (attributed to the first silent week, capped at the last observed
+    * week so the ledger never invents post-data churn). Quick ratio =
+    * (new+resurrected)/churned as the one derived divide. Plan: one
+    * (user, week) distinct, one user-keyed lag/lead window stack, two
+    * hash aggs unioned on the week key; the data-end cap is a 1-row
+    * broadcast. Conservation (actives(w) = retained(w) +
+    * new/resurrected inflow; churn(w+1) = actives(w) − retained(w+1))
+    * is spec-asserted. */
+  def eventsGrowthAccounting(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val weekly = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val seq0 = weekly
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .withColumn("next_wk", lead(col("wk"), 1).over(w))
+    val oneWeek = expr("INTERVAL 7 DAYS")
+    val inflow = seq0
+      .withColumn("status",
+        when(col("prev_wk").isNull, lit("new"))
+          .when(col("prev_wk") === col("wk") - oneWeek, lit("retained"))
+          .otherwise(lit("resurrected")))
+      .groupBy(col("wk"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val maxWk = weekly.agg(max(col("wk")).as("max_wk"))
+    val churn = seq0
+      .filter(col("next_wk").isNull || col("next_wk") > col("wk") + oneWeek)
+      .withColumn("churn_wk", col("wk") + oneWeek)
+      .crossJoin(broadcast(maxWk))
+      .filter(col("churn_wk") <= col("max_wk"))
+      .groupBy(col("churn_wk").as("wk"))
+      .agg(count(lit(1)).as("n_churned"))
+    // FULL join: a fully-silent week can still be charged churn
+    inflow.join(churn, Seq("wk"), "full_outer")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .withColumn("n_resurrected", coalesce(col("n_resurrected"), lit(0L)))
+      .select(fmtTsSec(col("wk")).as("week_s"),
+        col("n_new"), col("n_retained"), col("n_resurrected"), col("n_churned"),
+        when(col("n_churned") > 0,
+          (col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned").cast("double")).as("quick_ratio"))
+      .orderBy("week_s")
+  }
+
   /** r7b: connected-component SIZE histogram of the co-activity graph —
     * the population view the per-node censuses (k-core shells, triangle
     * cohesion) do not give: "is this network one giant blob plus dust,

@@ -487,6 +487,46 @@ object Similarity {
       .orderBy("vec_id", "sub")
   }
 
+  /** r7b: Lloyd-REFINED PQ codes — closes the documented gap in
+    * [[embPqCodes]] (first-nCents-seeded sub-codebooks): one k-means
+    * refinement per subspace on the round-0 assignment, with centroids
+    * RE-QUANTIZED to integers (round-half-away-from-zero as one integral
+    * (2S+m) div 2m per coordinate — the mean stays a rational of two
+    * integer sums, so the refined codebook is engine-exact and the L2²
+    * distances stay all-integer, the property the whole PQ/ADC stack's
+    * hash-matching rests on). Empty cells inherit their seed row via one
+    * left join (a seed vector always assigns to itself, so cells are
+    * non-empty in practice). Same output shape as [[embPqCodes]] — drop
+    * in wherever the codes feed [[simSearchPq]]'s ADC tables. Plan: two
+    * broadcast-codebook distance rounds + one bounded
+    * (nSub×nCents×dims) refine agg — still never all-pairs. */
+  def embPqCodesLloyd(embeddings: DataFrame, nSub: Int = 8,
+      nCents: Int = 16): DataFrame = {
+    def intRound(s: Column, m: Column): Column = {
+      def posr(a: Column) =
+        call_function("div", a * 2 + m, m * 2)
+      when(s < 0, -posr(-s)).otherwise(posr(s)).cast("long")
+    }
+    val (q, cb0) = pqParts(embeddings, nSub, nCents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub")).orderBy(col("dist2"), col("cid"))
+    val assign0 = pqDistances(q, cb0).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("sub"), col("cid"))
+    val refined = q.join(assign0, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("cid"), col("k"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("m"))
+      .select(col("sub"), col("cid"), col("k"),
+        intRound(col("s"), col("m")).as("qc1"))
+    val cb1 = cb0.join(refined, Seq("sub", "cid", "k"), "left")
+      .select(col("cid"), col("sub"), col("k"),
+        coalesce(col("qc1"), col("qc")).as("qc"))
+    pqDistances(q, cb1).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("cid").as("code"), col("dist2"))
+      .orderBy("vec_id", "sub")
+  }
+
   /** r4: asymmetric-distance (ADC) top-k search over the PQ codes — the
     * query side of the [[embPqCodes]] compression: each query
     * precomputes its nSub×nCents integer distance table once, and every

@@ -156,5 +156,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(mm.length == 1 && mm(0).getAs[Long]("k") == 0L &&
       mm(0).isNullAt(mm(0).fieldIndex("chi2")))
     assert(ops.Aggs.tsSeasonalityStrength(emptyEvents).count() == 0)
+    assert(ext.Similarity.embPqCodesLloyd(
+      Tables.embeddings(spark, sf).limit(0)).count() == 0)
+    assert(ext.Sessions.eventsGrowthAccounting(emptyEvents).count() == 0)
   }
 }

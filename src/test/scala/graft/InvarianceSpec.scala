@@ -521,6 +521,11 @@ class InvarianceSpec extends SparkSpec {
       rows(ops.RankStats.statMoodMedian(events.repartition(13))))
     assert(rows(Aggs.tsSeasonalityStrength(events.coalesce(1))) ==
       rows(Aggs.tsSeasonalityStrength(events.repartition(13))))
+    val embL = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(ext.Similarity.embPqCodesLloyd(embL.coalesce(1))) ==
+      rows(ext.Similarity.embPqCodesLloyd(embL.repartition(13))))
+    assert(rows(ext.Sessions.eventsGrowthAccounting(events.coalesce(1))) ==
+      rows(ext.Sessions.eventsGrowthAccounting(events.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

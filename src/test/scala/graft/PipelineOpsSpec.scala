@@ -1291,6 +1291,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("y") == 1.0 && out("x") == 0.0)
   }
 
+  test("growth accounting: the four-way ledger conserves users") {
+    // weeks of 2024-01-01 / 01-08 / 01-15 (Mondays)
+    val events = ev(
+      (1L, "click", "2024-01-02 10:00:00", 0.0), // u1: all three weeks
+      (1L, "click", "2024-01-09 10:00:00", 0.0),
+      (1L, "click", "2024-01-16 10:00:00", 0.0),
+      (2L, "click", "2024-01-03 10:00:00", 0.0), // u2: wk1 only -> churn wk2
+      (3L, "click", "2024-01-04 10:00:00", 0.0), // u3: wk1, wk3 (resurrects)
+      (3L, "click", "2024-01-17 10:00:00", 0.0),
+      (4L, "click", "2024-01-10 10:00:00", 0.0)) // u4: wk2 only -> churn wk3
+    val out = graft.ext.Sessions.eventsGrowthAccounting(events).collect()
+      .map(r => r.getAs[String]("week_s") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00" -> ((3L, 0L, 0L, 0L)),
+      "2024-01-08 00:00:00" -> ((1L, 1L, 0L, 2L)),
+      "2024-01-15 00:00:00" -> ((0L, 1L, 1L, 1L))))
+    // u3's trailing churn (wk4) is past the data end and never invented
+  }
+
+  test("lloyd pq codes: refinement never increases total distortion") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def distortion(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("dist2"))).collect()(0).getLong(0)
+    val seeded = distortion(graft.ext.Similarity.embPqCodes(emb))
+    val lloyd = distortion(graft.ext.Similarity.embPqCodesLloyd(emb))
+    // one k-means step strictly improves a first-N-seeded codebook on
+    // real data (monotone up to the ≤0.5/coord integer re-quantization
+    // of centroids — far smaller than the seeding slop it removes)
+    assert(lloyd < seeded, s"lloyd $lloyd vs seeded $seeded")
+  }
+
   test("truncation recall: signal-free tail dims give perfect recall") {
     // 20 vectors whose last dims are all zero: the 4-dim prefix IS the
     // full vector, so truncated top-k must equal full top-k exactly
