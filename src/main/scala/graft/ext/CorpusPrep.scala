@@ -48,6 +48,58 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** r7b: the end-to-end dedup FUNNEL report — the composite a data lead
+    * actually asks for ("what did each stage cost, per feed?"): quality
+    * gate → exact dedup (min doc_id per md5) → near-dup drop (a survivor
+    * with a SMALLER surviving near-dup is dropped — the greedy
+    * keep-earliest rule production dedup runs use; transitive chains
+    * collapse to their minimum because every later member pairs with an
+    * earlier one at this threshold or is caught by its own pair) → per
+    * source: input count, per-stage drops, kept count and integer-ppb
+    * keep rate. Composes the verified pieces verbatim: the
+    * `text_quality_score` gate, `corpus_prep_pipeline`'s one-pass
+    * min_by exact dedup, and `dedup_near_minhash`'s banded-LSH pipeline
+    * RESTRICTED to the exact-dedup survivors (the memo is plan-keyed, so
+    * the survivor frame gets its own cache entry — no cross-query
+    * poisoning). Never all-pairs anywhere; the funnel itself is four
+    * source-keyed hash aggs left-joined on the tiny source dimension. */
+  def corpusDedupFunnel(documents: DataFrame, minQuality: Double = 2.0,
+      threshold: Double = 0.3): DataFrame = {
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    val base = documents
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .withColumn("q", Text.qualityScore)
+    val gated = base.filter(col("q") >= minQuality)
+    val exact = gated
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.text").as("text"))
+    val pairs = Dedup.dedupNearMinhash(
+      exact.select(col("doc_id"), col("text")), threshold)
+    val dropNear = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val kept = exact.join(dropNear, Seq("doc_id"), "left_anti")
+    def tally(df: DataFrame, as: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(as))
+    tally(base, "n_input")
+      .join(tally(gated, "n_q"), Seq("source"), "left")
+      .join(tally(exact, "n_e"), Seq("source"), "left")
+      .join(tally(kept, "n_kept0"), Seq("source"), "left")
+      .select(col("source"), col("n_input"),
+        (col("n_input") - coalesce(col("n_q"), lit(0L))).as("n_quality_drop"),
+        (coalesce(col("n_q"), lit(0L)) - coalesce(col("n_e"), lit(0L)))
+          .as("n_exact_drop"),
+        (coalesce(col("n_e"), lit(0L)) - coalesce(col("n_kept0"), lit(0L)))
+          .as("n_near_drop"),
+        coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+        idiv(coalesce(col("n_kept0"), lit(0L))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000000L,
+          col("n_input")).cast("long").as("kept_ppb"))
+      .orderBy("source")
+  }
+
   /** Sequence packing — the step between chunking and the training loader:
     * concatenate documents in doc_id order and cut the stream at
     * `budget`-token boundaries; each doc is assigned to the pack (bin)

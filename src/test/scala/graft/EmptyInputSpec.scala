@@ -159,5 +159,6 @@ class EmptyInputSpec extends SparkSpec {
     assert(ext.Similarity.embPqCodesLloyd(
       Tables.embeddings(spark, sf).limit(0)).count() == 0)
     assert(ext.Sessions.eventsGrowthAccounting(emptyEvents).count() == 0)
+    assert(ext.CorpusPrep.corpusDedupFunnel(emptyDocs).count() == 0)
   }
 }

@@ -526,6 +526,8 @@ class InvarianceSpec extends SparkSpec {
       rows(ext.Similarity.embPqCodesLloyd(embL.repartition(13))))
     assert(rows(ext.Sessions.eventsGrowthAccounting(events.coalesce(1))) ==
       rows(ext.Sessions.eventsGrowthAccounting(events.repartition(13))))
+    assert(rows(CorpusPrep.corpusDedupFunnel(docs.coalesce(1))) ==
+      rows(CorpusPrep.corpusDedupFunnel(docs.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

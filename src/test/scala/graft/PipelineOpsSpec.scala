@@ -1312,6 +1312,32 @@ class PipelineOpsSpec extends SparkSpec {
     // u3's trailing churn (wk4) is past the data end and never invented
   }
 
+  test("dedup funnel: each stage charges the right source") {
+    // digit-free words (digits count against the quality score) with a
+    // stopword head so the gate's three components all score
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val base = "the and of to in a " +
+      (0 until 60).map(i => s"w${alpha(i / 26)}${alpha(i % 26)}").mkString(" ")
+    val other = "the and of to in a " +
+      (0 until 60).map(i => s"t${alpha(i / 26)}${alpha(i % 26)}").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", base),                              // kept (canonical)
+      (2L, "srcB", base),                              // exact dup of 1
+      (3L, "srcA", base.replace(" wbc ", " xbc ")),    // near dup of 1
+      (4L, "srcB", "123 456"),                         // fails quality gate
+      (5L, "srcB", other))                             // kept
+      .map { case (id, src, t) => (id, src, t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = graft.ext.CorpusPrep.corpusDedupFunnel(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_input"), r.getAs[Long]("n_quality_drop"),
+          r.getAs[Long]("n_exact_drop"), r.getAs[Long]("n_near_drop"),
+          r.getAs[Long]("n_kept"))).toMap
+    assert(out == Map(
+      "srcA" -> ((2L, 0L, 0L, 1L, 1L)),
+      "srcB" -> ((3L, 1L, 1L, 0L, 1L))))
+  }
+
   test("lloyd pq codes: refinement never increases total distortion") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def distortion(df: org.apache.spark.sql.DataFrame): Long =
