@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON records (per-query, best-of-2 seconds).
+
+Usage: python3 dev/bench_compare.py OLD.json NEW.json [ratio]
+
+Prints queries whose time moved by more than `ratio` (default 1.5x) in
+either direction, new/removed queries, and the common-query totals —
+the adjudication the judge does by hand, scripted. Host noise moves
+single queries by ~15%; re-pin any reported mover with a solo
+SPARK_GRAFT_ONLY run before believing it (memoized dedup/graph frames
+make some queries cheaper in the full run than solo).
+"""
+import json
+import sys
+
+
+def main() -> int:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old = json.load(open(old_path)).get("queries", {})
+    new = json.load(open(new_path)).get("queries", {})
+    common = sorted(set(old) & set(new))
+    movers = []
+    for q in common:
+        a, b = old[q], new[q]
+        if a > 0 and (b / a >= ratio or a / b >= ratio) and max(a, b) >= 0.3:
+            movers.append((b / a, q, a, b))
+    for r, q, a, b in sorted(movers, reverse=True):
+        print(f"{'SLOWER' if r > 1 else 'faster'} {q:34s} {a:6.2f} -> {b:6.2f}  ({r:.2f}x)")
+    for q in sorted(set(new) - set(old)):
+        print(f"new    {q:34s}          {new[q]:6.2f}")
+    for q in sorted(set(old) - set(new)):
+        print(f"gone   {q:34s} {old[q]:6.2f}")
+    to, tn = sum(old[q] for q in common), sum(new[q] for q in common)
+    print(f"\ncommon {len(common)} queries: {to:.1f}s -> {tn:.1f}s ({tn / to:.2f}x)"
+          f" | totals old={sum(old.values()):.1f}s ({len(old)}q)"
+          f" new={sum(new.values()):.1f}s ({len(new)}q)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,6 +128,42 @@ object Sampling {
     * TakeOrderedAndProject — each task keeps k rows, the driver merges
     * 32·k, nothing else crosses the wire; the rank window then rides the
     * ≤k surviving rows. */
+  /** r7b: PRIORITY sampling (Duffield–Lund–Thorup) weighted by token
+    * count — the principled "estimate the corpus from k documents"
+    * sample: priority q = w/u with u a deterministic hash-uniform in
+    * (0,1], take the k largest priorities, and ŵ = max(w, τ) (τ = the
+    * (k+1)-th priority) makes Σŵ over the sample an unbiased estimator
+    * of TOTAL corpus tokens with provably near-optimal variance — the
+    * estimator a size-weighted subsample needs before anyone trusts its
+    * totals, and the weighted sibling of [[sampleTopkHash]]'s uniform
+    * pinned holdout. No RNG: u = (low-53-bits(md5-u64)+1)/2^53, an exact
+    * dyadic rational, so sample AND estimates are reproducible across
+    * runs, engines, partitionings. Plan: map-side priorities, ONE
+    * TakeOrderedAndProject merging 32·(k+1) rows, a 1-row τ frame
+    * broadcast back. */
+  def samplePriorityWeighted(documents: DataFrame, k: Int = 50): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u64 = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 16), 16, 10).cast(dec)
+    val u = (((u64 % lit(9007199254740992L)).cast("long") + lit(1L))
+      .cast("double") / lit(9007199254740992.0))
+    val w = greatest(size(Text.tokens(col("text"))).cast("long"), lit(1L))
+    val pri = documents.select(col("doc_id"), w.as("w"),
+      (w.cast("double") / u).as("priority"))
+    val wRank = Window.orderBy(col("priority").desc, col("doc_id"))
+    val ranked = pri.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+    val tauF = ranked.agg(
+      max(when(col("rn") === k + 1, col("priority"))).as("tau"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(tauF))
+      .select(col("rn").as("rank"), col("doc_id"), col("w"), col("priority"),
+        col("tau"),
+        coalesce(greatest(col("w").cast("double"), col("tau")),
+          col("w").cast("double")).as("w_hat"))
+      .orderBy("rank")
+  }
+
   def sampleTopkHash(documents: DataFrame, k: Int = 100): DataFrame = {
     val hkey = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16)
     val rank = Window.orderBy(col("hkey"), col("doc_id"))

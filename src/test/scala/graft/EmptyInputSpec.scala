@@ -160,5 +160,6 @@ class EmptyInputSpec extends SparkSpec {
       Tables.embeddings(spark, sf).limit(0)).count() == 0)
     assert(ext.Sessions.eventsGrowthAccounting(emptyEvents).count() == 0)
     assert(ext.CorpusPrep.corpusDedupFunnel(emptyDocs).count() == 0)
+    assert(ext.Sampling.samplePriorityWeighted(emptyDocs).count() == 0)
   }
 }

@@ -528,6 +528,8 @@ class InvarianceSpec extends SparkSpec {
       rows(ext.Sessions.eventsGrowthAccounting(events.repartition(13))))
     assert(rows(CorpusPrep.corpusDedupFunnel(docs.coalesce(1))) ==
       rows(CorpusPrep.corpusDedupFunnel(docs.repartition(13))))
+    assert(rows(Sampling.samplePriorityWeighted(docs.coalesce(1))) ==
+      rows(Sampling.samplePriorityWeighted(docs.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

@@ -1338,6 +1338,21 @@ class PipelineOpsSpec extends SparkSpec {
       "srcB" -> ((3L, 1L, 1L, 0L, 1L))))
   }
 
+  test("priority sample: exact k, stable, and the DLT estimator lands") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = graft.ext.Sampling.samplePriorityWeighted(docs, k = 20).collect()
+    val b = graft.ext.Sampling.samplePriorityWeighted(docs.repartition(13), k = 20)
+      .collect()
+    assert(a.length == 20 && a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // deterministic estimator sanity: sum(w_hat) over the sample estimates
+    // total corpus tokens; with k=20 of 500 docs the fixed-hash draw lands
+    // well inside a 2x band (exact expectation, bounded variance)
+    val est = a.map(_.getAs[Double]("w_hat")).sum
+    val total = graft.ext.Sampling.samplePriorityWeighted(docs, k = 500)
+      .collect().map(_.getAs[Long]("w")).sum.toDouble
+    assert(est > total * 0.5 && est < total * 2.0, s"est $est total $total")
+  }
+
   test("lloyd pq codes: refinement never increases total distortion") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def distortion(df: org.apache.spark.sql.DataFrame): Long =

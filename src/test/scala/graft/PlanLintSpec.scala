@@ -41,7 +41,8 @@ class PlanLintSpec extends SparkSpec {
     "stat_kruskal_wallis", "stat_mann_whitney",          // 1-row tie-sum frames (r7)
     "stat_mood_median",                                  // 1-row median/total frames (r7)
     "emb_truncation_recall",                             // ≤nQueries-row query sides (r7)
-    "events_growth_accounting"                           // 1-row data-end cap (r7)
+    "events_growth_accounting",                          // 1-row data-end cap (r7)
+    "sample_priority_weighted"                           // 1-row tau frame (r7)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
