@@ -1911,6 +1911,53 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** r7b: Page–Hinkley drift detector per event class — the SEQUENTIAL
+    * mean-drift alarm the changepoint family still lacked
+    * (`stat_changepoint_cusum` locates a shift after the fact; PH is the
+    * online test monitoring deployments actually run, with its
+    * incremental-mean baseline): over the densified hourly series,
+    * m_t = Σ(x_i − x̄_i − δ) against its running minimum, alarm when
+    * m_t − min > λ. The alarm predicate collapses to m' − M > λ
+    * BEFORE updating M (m' − min(M, m') = max(0, m' − M)), which keeps
+    * the fold's textual expansion finite. Same engine-exactness contract
+    * as `stat_holt_winters`: one aggregate-HOF fold whose ops DuckDB's
+    * `list_reduce` reproduces in the identical IEEE order (the first
+    * element's post-step state IS the init — after one observation
+    * x̄₁ = x₁ exactly, so m₁ = M₁ = −δ independent of x). Plan: one
+    * (class, hour) hash agg, grid from the per-class min/max, one
+    * fold per class. */
+  def statPageHinkley(events: DataFrame, delta: Double = 1.0,
+      lambda: Double = 30.0): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
+      .withColumn("xs", expr(
+        "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
+        expr(s"""aggregate(
+                  slice(xs, 2, size(xs) - 1),
+                  array(1.0d, element_at(xs, 1), -$delta, -$delta, -1.0d),
+                  (acc, x) -> array(
+                    acc[0] + 1.0d,
+                    acc[1] + x,
+                    acc[2] + (x - (acc[1] + x) / (acc[0] + 1.0d) - $delta),
+                    least(acc[3],
+                      acc[2] + (x - (acc[1] + x) / (acc[0] + 1.0d) - $delta)),
+                    CASE WHEN acc[4] >= 0.0d THEN acc[4]
+                         WHEN (acc[2] + (x - (acc[1] + x) / (acc[0] + 1.0d) - $delta)) - acc[3] > $lambda THEN acc[0] + 1.0d
+                         ELSE -1.0d END))""").as("st"))
+      .select(col("event_type"), col("n_hours"),
+        col("st")(2).as("m_final"), col("st")(3).as("m_min"),
+        (col("st")(2) - col("st")(3)).as("ph_stat"),
+        (col("st")(4) >= 0.0).as("drift_detected"),
+        when(col("st")(4) >= 0.0, col("st")(4).cast("long"))
+          .as("first_alarm_hour"))
+      .orderBy("event_type")
+
   /** r7b: seasonality STRENGTH per event class — the scalar verdict on
     * top of [[statSeasonalResidual]]'s per-hour trace: what fraction of
     * the hourly-count variance does the (day-of-week, hour-of-day)

@@ -161,5 +161,6 @@ class EmptyInputSpec extends SparkSpec {
     assert(ext.Sessions.eventsGrowthAccounting(emptyEvents).count() == 0)
     assert(ext.CorpusPrep.corpusDedupFunnel(emptyDocs).count() == 0)
     assert(ext.Sampling.samplePriorityWeighted(emptyDocs).count() == 0)
+    assert(ops.Aggs.statPageHinkley(emptyEvents).count() == 0)
   }
 }

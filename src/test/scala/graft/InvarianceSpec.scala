@@ -530,6 +530,8 @@ class InvarianceSpec extends SparkSpec {
       rows(CorpusPrep.corpusDedupFunnel(docs.repartition(13))))
     assert(rows(Sampling.samplePriorityWeighted(docs.coalesce(1))) ==
       rows(Sampling.samplePriorityWeighted(docs.repartition(13))))
+    assert(rows(Aggs.statPageHinkley(events.coalesce(1))) ==
+      rows(Aggs.statPageHinkley(events.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

@@ -1353,6 +1353,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est > total * 0.5 && est < total * 2.0, s"est $est total $total")
   }
 
+  test("page-hinkley: flat feed never alarms, a level jump does") {
+    // flat: 30 hours at 2 events/hour -> increments are exactly -delta,
+    // m tracks its own minimum, ph_stat = 0, no drift
+    val flat = (0 until 30).flatMap(h => (0 until 2).map(i =>
+      (1L, "click", f"2024-01-01 ${h % 24}%02d:0$i%d:00", 0.0)))
+      .zipWithIndex.map { case ((u, t, s0, v), i) =>
+        (u, t, f"2024-01-0${1 + i / 48}%d ${(i / 2) % 24}%02d:0${i % 2}%d:00", v) }
+    val quiet = graft.ops.Aggs.statPageHinkley(ev(flat: _*)).collect()(0)
+    assert(!quiet.getAs[Boolean]("drift_detected"))
+    assert(quiet.getAs[Double]("ph_stat") == 0.0)
+    // jump: 30 flat hours then 30 hours at 20/hour -> the mean lags the
+    // new level, m climbs past lambda above its minimum
+    val jump = flat ++ (0 until 30).flatMap(h => (0 until 20).map(i =>
+      (1L, "click", f"2024-01-0${3 + h / 24}%d ${h % 24}%02d:${i % 60}%02d:00", 0.0)))
+    val alarmed = graft.ops.Aggs.statPageHinkley(ev(jump: _*)).collect()(0)
+    assert(alarmed.getAs[Boolean]("drift_detected"))
+    assert(alarmed.getAs[Long]("first_alarm_hour") > 30L)
+  }
+
   test("lloyd pq codes: refinement never increases total distortion") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def distortion(df: org.apache.spark.sql.DataFrame): Long =
