@@ -164,6 +164,46 @@ object Sampling {
       .orderBy("rank")
   }
 
+  /** r7b: exact-budget stratified sample with HAMILTON (largest
+    * remainder) apportionment — "give me exactly K documents, spread
+    * across languages proportionally": k_s = ⌊K·n_s/N⌋ plus one extra
+    * for the strata with the largest remainders until the budget is
+    * exact (the apportionment rule that, unlike rounding rates,
+    * GUARANTEES Σk_s = K — what `sample_rate_per_stratum`'s per-stratum
+    * rates cannot). All integer: quota/remainder are one integral
+    * divide/mod each, the remainder ranking is a window over the ≤langs
+    * frame, and the per-stratum pick is the pinned md5-hex order of
+    * [[sampleTopkHash]] under a language-keyed window (scales by
+    * stratum). Deterministic end to end — same K docs on any cluster. */
+  def sampleHamiltonAlloc(documents: DataFrame, budget: Int = 100): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val k = lit(budget.toLong)
+    val counts = documents.groupBy(col("lang")).agg(count(lit(1)).as("ns"))
+    val totals = counts.agg(sum(col("ns")).as("n_total"))
+    val wRem = Window.orderBy(
+      (k * col("ns") % col("n_total")).desc, col("lang"))
+    val alloc = counts.crossJoin(broadcast(totals))
+      .withColumn("k_base", idiv(k * col("ns"), col("n_total")))
+      .withColumn("rem_rank", row_number().over(wRem).cast("long"))
+      .crossJoin(broadcast(
+        counts.crossJoin(broadcast(totals))
+          .agg((k - sum(idiv(k * col("ns"), col("n_total")))).as("n_extra"))))
+      .withColumn("k_alloc",
+        col("k_base") + when(col("rem_rank") <= col("n_extra"), 1L).otherwise(0L))
+      .select(col("lang"), col("ns"), col("k_alloc"))
+    val wPick = Window.partitionBy(col("lang"))
+      .orderBy(col("hkey"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16)
+          .as("hkey"))
+      .withColumn("pick", row_number().over(wPick).cast("long"))
+      .join(broadcast(alloc), "lang")
+      .filter(col("pick") <= col("k_alloc"))
+      .select(col("lang"), col("pick"), col("doc_id"), col("ns"), col("k_alloc"))
+      .orderBy("lang", "pick")
+  }
+
   def sampleTopkHash(documents: DataFrame, k: Int = 100): DataFrame = {
     val hkey = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16)
     val rank = Window.orderBy(col("hkey"), col("doc_id"))

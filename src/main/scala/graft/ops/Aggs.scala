@@ -1911,6 +1911,43 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** r7b: seasonal ANOMALY screen — `stat_seasonal_residual`'s trace
+    * turned into a verdict list: hours whose residual against the
+    * (day-of-week, hour-of-day) baseline exceeds 3σ of the class's OWN
+    * residual distribution ("traffic is weird FOR a Tuesday 3am" — the
+    * alert `window_zscore_hours` cannot give, since a global z flags
+    * every rush hour). σ is never computed: r² > 9·var ⟺
+    * N²·r² > 9·(N·Σr² − (Σr)²) after multiplying through — the Σ terms
+    * ride the decimal `dsum` contract (order-free), every remaining op
+    * is one fixed IEEE chain mirrored in the oracle, and the comparison
+    * of two deterministically-built doubles is engine-exact. Plan: one
+    * (class, hour) agg, broadcast (class, dow, hod) baseline, one
+    * classes-row moment agg broadcast back; only anomalies emitted. */
+  def tsSeasonalAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(expr("unix_micros(hr) div 86400000000") + lit(4), lit(7)))
+      .withColumn("hod", hour(col("hr")).cast("long"))
+    val baseline = hourly.groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg((sum(col("n")) * lit(1.0) / count(lit(1))).as("baseline_n"))
+    val resid = hourly.join(broadcast(baseline), Seq("event_type", "dow", "hod"))
+      .withColumn("r", col("n").cast("double") - col("baseline_n"))
+    val moments = resid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"),
+        graft.Det.dsum(col("r")).as("sr"),
+        graft.Det.dsum(col("r") * col("r")).as("sr2"))
+    resid.join(broadcast(moments), "event_type")
+      .withColumn("nd", col("nh").cast("double"))
+      // N²r² > 9(N·Σr² − (Σr)²) — the two sides are deterministic doubles
+      .filter((col("nd") * col("r")) * (col("nd") * col("r")) >
+        lit(9.0) * (col("nd") * col("sr2") - col("sr") * col("sr")))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("n"), col("baseline_n"), col("r").as("residual"),
+        when(col("r") > 0, lit("high")).otherwise(lit("low")).as("side"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** r7b: Page–Hinkley drift detector per event class — the SEQUENTIAL
     * mean-drift alarm the changepoint family still lacked
     * (`stat_changepoint_cusum` locates a shift after the fact; PH is the

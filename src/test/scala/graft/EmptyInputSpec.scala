@@ -162,5 +162,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(ext.CorpusPrep.corpusDedupFunnel(emptyDocs).count() == 0)
     assert(ext.Sampling.samplePriorityWeighted(emptyDocs).count() == 0)
     assert(ops.Aggs.statPageHinkley(emptyEvents).count() == 0)
+    assert(ops.Aggs.tsSeasonalAnomaly(emptyEvents).count() == 0)
+    assert(ext.Sampling.sampleHamiltonAlloc(emptyDocs).count() == 0)
   }
 }

@@ -532,6 +532,10 @@ class InvarianceSpec extends SparkSpec {
       rows(Sampling.samplePriorityWeighted(docs.repartition(13))))
     assert(rows(Aggs.statPageHinkley(events.coalesce(1))) ==
       rows(Aggs.statPageHinkley(events.repartition(13))))
+    assert(rows(Aggs.tsSeasonalAnomaly(events.coalesce(1))) ==
+      rows(Aggs.tsSeasonalAnomaly(events.repartition(13))))
+    assert(rows(Sampling.sampleHamiltonAlloc(docs.coalesce(1))) ==
+      rows(Sampling.sampleHamiltonAlloc(docs.repartition(13))))
   }
 
   test("gini and rfm plans have no partition-less window over a data-scaled frame") {

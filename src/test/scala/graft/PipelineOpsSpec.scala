@@ -1372,6 +1372,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(alarmed.getAs[Long]("first_alarm_hour") > 30L)
   }
 
+  test("hamilton allocation: largest remainders round the exact budget") {
+    // counts 2,3,5,10 with K=7: bases 0,1,1,3 leave 2 extras; remainders
+    // 14,1,15,10 rank es > de > fr > en -> de and es get the +1
+    val docs = (Seq.fill(2)("de") ++ Seq.fill(3)("en") ++ Seq.fill(5)("es") ++
+      Seq.fill(10)("fr")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l, s"text number $i") }
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ext.Sampling.sampleHamiltonAlloc(docs, budget = 7).collect()
+    val alloc = out.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> (rs.length.toLong, rs.head.getAs[Long]("k_alloc")) }
+    assert(alloc == Map("de" -> ((1L, 1L)), "en" -> ((1L, 1L)),
+      "es" -> ((2L, 2L)), "fr" -> ((3L, 3L))))
+    assert(out.length == 7) // the budget is EXACT, not approximately met
+  }
+
+  test("seasonal anomaly: only the hour wild for ITS slot is flagged") {
+    // Mondays 10:00 across 4 weeks: 2,2,2,30 (baseline 9); five other
+    // Monday slots constant at 3 -> residual 0. Only the 30 clears 3
+    // sigma of the class's residual spread; the -7s do not.
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22")
+    val spike = mondays.zip(Seq(2, 2, 2, 30)).flatMap { case (d, c) =>
+      (0 until c).map(i => (1L, "x", f"$d 10:${i % 60}%02d:${i / 60}%d0", 0.0)) }
+    val flat = mondays.flatMap(d => (11 to 15).flatMap(hh =>
+      (0 until 3).map(i => (1L, "x", f"$d $hh%02d:0$i%d:00", 0.0))))
+    val out = graft.ops.Aggs.tsSeasonalAnomaly(ev((spike ++ flat): _*)).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("hour_s") == "2024-01-22 10:00:00")
+    assert(out(0).getAs[Long]("n") == 30L &&
+      out(0).getAs[String]("side") == "high")
+  }
+
   test("lloyd pq codes: refinement never increases total distortion") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def distortion(df: org.apache.spark.sql.DataFrame): Long =

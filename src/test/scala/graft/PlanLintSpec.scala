@@ -42,7 +42,8 @@ class PlanLintSpec extends SparkSpec {
     "stat_mood_median",                                  // 1-row median/total frames (r7)
     "emb_truncation_recall",                             // ≤nQueries-row query sides (r7)
     "events_growth_accounting",                          // 1-row data-end cap (r7)
-    "sample_priority_weighted"                           // 1-row tau frame (r7)
+    "sample_priority_weighted",                          // 1-row tau frame (r7)
+    "sample_hamilton_alloc"                              // 1-row total/extra frames (r7)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
