@@ -23,7 +23,18 @@ object Det {
 
   /** Exact sum of a double column: accumulate in DECIMAL(28,6) (associative,
     * order-independent) and cast the final value back to double.
-    * DuckDB equivalent: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) */
+    * DuckDB equivalent: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+    *
+    * HAZARD CLASS (r7): the double→DECIMAL(28,6) cast ROUNDS at the 6th
+    * decimal, and on near-half-way mantissas the two engines' conversion
+    * paths can land one decimal-ulp apart (observed: `stat_changepoint_
+    * cusum`'s old (v − mean)·cast chain, 3 mismatches at sf0.1 — green at
+    * sf0.01 was fixture luck). Safe uses: RAW column values and products
+    * of raw values (fixture doubles round-trip; proven across the suite
+    * at all three SFs). For COMPUTED doubles (differences/means fed back
+    * into a decimal cast), quantize ONCE via floor(x·10⁶ + 0.5) — every
+    * op a single deterministic IEEE op — and stay in integer units, the
+    * cusum rework's pattern. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
 
   /** Order-independent mean: exact decimal sum / count, divided in double.

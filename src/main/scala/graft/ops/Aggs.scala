@@ -1531,28 +1531,43 @@ object Aggs {
     * contract makes the prefix sums bit-identical), and the argmax is
     * one rank ordered by (|cusum| desc, day): selections, no second
     * scan. */
+  /** r7 rework for cross-engine exactness at ANY SF: the r5 form cast the
+    * COMPUTED double (v − mean) to DECIMAL(28,6) — rounding a
+    * full-mantissa double at the 6th decimal, where Spark's HALF_UP and
+    * DuckDB's conversion disagree on true half-way points (latent until
+    * sf0.1's row count found three: 1e-6-scale mismatches; sf0.01 was
+    * fixture luck). Now the daily mean quantizes ONCE via the prescribed
+    * floor(x·10⁶ + 0.5) chain (every op a single deterministic IEEE op —
+    * identical in both engines by construction, no decimal rounding of
+    * computed doubles anywhere), and the whole CUSUM runs in integer
+    * micro-units: cusum_t · n = n·P_t − t·M with P_t the prefix sum and
+    * M the user total — the argmax ranks on the exact integer |n·P_t −
+    * t·M| (same order as |cusum|: positive shared denominator), and the
+    * output divides once at the edge through the split cast. */
   def statChangepointCusum(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
     val daily = events.filter(col("value").isNotNull)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .agg(davg(col("value")).as("v"))
+      .agg(davg(col("value")).as("v0"))
+      .withColumn("vu", floor(col("v0") * lit(1000000.0) + lit(0.5)).cast("long"))
     val byUser = Window.partitionBy(col("user_id"))
     val ordered = byUser.orderBy(col("day"))
-    val withCusum = daily
-      .withColumn("mean_v",
-        sum(col("v").cast("decimal(28,6)")).over(byUser).cast("double") /
-          count(col("v")).over(byUser).cast("double"))
-      .withColumn("cusum",
-        sum((col("v") - col("mean_v")).cast("decimal(28,6)"))
-          .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double"))
-    withCusum
-      .withColumn("rk", row_number().over(
-        byUser.orderBy(abs(col("cusum")).desc, col("day"))))
+    daily
       .withColumn("n_days", count(lit(1)).over(byUser))
+      .withColumn("m_total", sum(col("vu").cast(dec)).over(byUser))
+      .withColumn("p_t", sum(col("vu").cast(dec))
+        .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(ordered).cast("long"))
+      .withColumn("num",
+        col("n_days").cast(dec) * col("p_t") - col("t") * col("m_total"))
+      .withColumn("rk", row_number().over(
+        byUser.orderBy(abs(col("num")).desc, col("day"))))
       .filter(col("rk") === 1)
       .select(col("user_id"), col("n_days"),
-        fmtTsSec(col("day")).as("cp_day_s"), col("cusum").as("cusum_at_cp"))
+        fmtTsSec(col("day")).as("cp_day_s"),
+        (graft.Det.decToDouble(col("num")) /
+          (col("n_days").cast("double") * lit(1000000.0))).as("cusum_at_cp"))
       .orderBy("user_id")
   }
 
