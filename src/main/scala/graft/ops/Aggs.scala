@@ -1932,10 +1932,12 @@ object Aggs {
     * residual distribution ("traffic is weird FOR a Tuesday 3am" — the
     * alert `window_zscore_hours` cannot give, since a global z flags
     * every rush hour). σ is never computed: r² > 9·var ⟺
-    * N²·r² > 9·(N·Σr² − (Σr)²) after multiplying through — the Σ terms
-    * ride the decimal `dsum` contract (order-free), every remaining op
-    * is one fixed IEEE chain mirrored in the oracle, and the comparison
-    * of two deterministically-built doubles is engine-exact. Plan: one
+    * N²·r² > 9·(N·Σr² − (Σr)²) after multiplying through, and (r8) the
+    * whole inequality runs in integer MICRO-units: residuals quantize
+    * once (floor(baseline·10⁶+½), one IEEE chain; ru = n·10⁶ − bu exact
+    * integer), Σru and Σru² accumulate in DECIMAL(38,0) and cross to
+    * double via the split cast — computed doubles never meet a decimal
+    * rounding boundary (the Det.dsum hazard class). Plan: one
     * (class, hour) agg, broadcast (class, dow, hod) baseline, one
     * classes-row moment agg broadcast back; only anomalies emitted. */
   def tsSeasonalAnomaly(events: DataFrame): DataFrame = {
@@ -1946,17 +1948,33 @@ object Aggs {
       .withColumn("hod", hour(col("hr")).cast("long"))
     val baseline = hourly.groupBy(col("event_type"), col("dow"), col("hod"))
       .agg((sum(col("n")) * lit(1.0) / count(lit(1))).as("baseline_n"))
+    // r8 (ADVICE): the moment sums must NOT route computed residuals
+    // through dsum's double→DECIMAL(28,6) cast — that is exactly the
+    // near-halfway hazard class documented on Det.dsum (engines can land
+    // one decimal-ulp apart on computed doubles; latent at tested SFs).
+    // Quantize ONCE to integer micro-units — bu = floor(baseline·10⁶+½)
+    // is a single deterministic IEEE chain, ru = n·10⁶ − bu is exact
+    // integer — and accumulate ru, ru² in DECIMAL(38,0). The 3σ test is
+    // scale-invariant (multiply both sides by 10¹²), so it runs verbatim
+    // in micro-units on split-cast doubles; the EMITTED r stays the
+    // deterministic one-op double difference it always was.
+    val dec38 = DecimalType(38, 0)
+    val d2 = graft.Det.decToDouble _
     val resid = hourly.join(broadcast(baseline), Seq("event_type", "dow", "hod"))
+      .withColumn("bu", floor(col("baseline_n") * lit(1000000.0) + lit(0.5)))
+      .withColumn("ru", col("n") * lit(1000000L) - col("bu"))
       .withColumn("r", col("n").cast("double") - col("baseline_n"))
     val moments = resid.groupBy(col("event_type"))
       .agg(count(lit(1)).as("nh"),
-        graft.Det.dsum(col("r")).as("sr"),
-        graft.Det.dsum(col("r") * col("r")).as("sr2"))
+        sum(col("ru").cast(dec38)).as("sru"),
+        sum(col("ru").cast(dec38) * col("ru")).as("sru2"))
     resid.join(broadcast(moments), "event_type")
       .withColumn("nd", col("nh").cast("double"))
-      // N²r² > 9(N·Σr² − (Σr)²) — the two sides are deterministic doubles
-      .filter((col("nd") * col("r")) * (col("nd") * col("r")) >
-        lit(9.0) * (col("nd") * col("sr2") - col("sr") * col("sr")))
+      .withColumn("rud", col("ru").cast("double"))
+      // N²ru² > 9(N·Σru² − (Σru)²) — micro-unit form of N²r² > 9(N·Σr² −
+      // (Σr)²); every operand an exact integer crossed via the split cast
+      .filter((col("nd") * col("rud")) * (col("nd") * col("rud")) >
+        lit(9.0) * (col("nd") * d2(col("sru2")) - d2(col("sru")) * d2(col("sru"))))
       .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
         col("n"), col("baseline_n"), col("r").as("residual"),
         when(col("r") > 0, lit("high")).otherwise(lit("low")).as("side"))
@@ -1989,7 +2007,8 @@ object Aggs {
         map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
       .withColumn("xs", expr(
         "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
-      .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
+      .select(col("event_type"), col("mn"),
+        size(col("xs")).cast("long").as("n_hours"),
         expr(s"""aggregate(
                   slice(xs, 2, size(xs) - 1),
                   array(1.0d, element_at(xs, 1), -$delta, -$delta, -1.0d),
@@ -2002,12 +2021,20 @@ object Aggs {
                     CASE WHEN acc[4] >= 0.0d THEN acc[4]
                          WHEN (acc[2] + (x - (acc[1] + x) / (acc[0] + 1.0d) - $delta)) - acc[3] > $lambda THEN acc[0] + 1.0d
                          ELSE -1.0d END))""").as("st"))
+      // r8 (ADVICE): the fold's alarm index is the 1-based position in the
+      // per-class densified grid (each class's grid starts at its OWN min
+      // hour) — emitted raw it read like a wall-clock hour and was not
+      // comparable across classes. Anchor it: hour-unit mn + (idx − 1)
+      // plus the formatted timestamp, the ts_sma_crossover convention.
+      .withColumn("first_alarm_hu",
+        when(col("st")(4) >= 0.0, col("mn") + col("st")(4).cast("long") - lit(1L)))
       .select(col("event_type"), col("n_hours"),
         col("st")(2).as("m_final"), col("st")(3).as("m_min"),
         (col("st")(2) - col("st")(3)).as("ph_stat"),
         (col("st")(4) >= 0.0).as("drift_detected"),
-        when(col("st")(4) >= 0.0, col("st")(4).cast("long"))
-          .as("first_alarm_hour"))
+        col("first_alarm_hu"),
+        fmtTsSec(timestamp_micros(col("first_alarm_hu") * lit(3600000000L)))
+          .as("first_alarm_ts"))
       .orderBy("event_type")
 
   /** r7b: seasonality STRENGTH per event class — the scalar verdict on

@@ -10,8 +10,9 @@ import org.apache.spark.sql.types.DecimalType
   * Gaussian machinery (`stat_anova_f`, `stat_welch_t`) is unjustified:
   * Kruskal–Wallis (k-sample ranks ANOVA), Mann–Whitney U (two-sample),
   * Spearman rank correlation. Reference anchor: the monitoring subsystem's
-  * per-type value comparisons (reference `monitor/check_readings.py`
-  * threshold screens) generalized to distribution-level tests.
+  * per-node threshold screens (reference `AIRWISEv0.py:73-103` — the
+  * heartbeat checker's fixed-threshold comparisons, `AIRWISEv0.py:20,84`)
+  * generalized to distribution-level tests.
   *
   * THE SCALE DESIGN: classic rank tests are "sort everything, rank each
   * row" — a global sort plus a partition-less window, exactly the shape
@@ -203,13 +204,19 @@ object RankStats {
         col("ni").cast("double") * (col("n") - col("a")).cast("double") /
           col("n").cast("double"))
       // per-class χ² term ×1e6 → DECIMAL(38,0): order-free re-accumulation
-      // that the split cast carries drift-free (the KW micro-unit lesson);
-      // guarded below to null when a margin is empty (expected cell = 0)
-      .withColumn("term", ((((col("ai").cast("double") - col("e_above")) *
+      // that the split cast carries drift-free (the KW micro-unit lesson).
+      // r8 (ADVICE): the term itself is guarded — when every value ties on
+      // one side of the grand median (n_above = 0 or = n_total) the
+      // expected cells are 0.0, and an unguarded divide degrades
+      // differently per engine (Spark null-on-zero-divide vs IEEE Inf/NaN
+      // that DuckDB's DECIMAL cast then REJECTS — a query error, not a
+      // null row). The output-level n_above guard still nulls chi2.
+      .withColumn("term", when(col("e_above") > 0 && col("e_below") > 0,
+        ((((col("ai").cast("double") - col("e_above")) *
           (col("ai").cast("double") - col("e_above")) / col("e_above")) +
         (((col("ni") - col("ai")).cast("double") - col("e_below")) *
           ((col("ni") - col("ai")).cast("double") - col("e_below")) /
-          col("e_below"))) * lit(1000000.0)).cast(DecimalType(38, 0)))
+          col("e_below"))) * lit(1000000.0)).cast(DecimalType(38, 0))))
       .agg(count(lit(1)).as("k"), max(col("n")).as("n_total"),
         max(col("a")).as("n_above"),
         d2(sum(col("term"))).as("chi2m"))

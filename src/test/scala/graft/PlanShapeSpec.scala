@@ -48,13 +48,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("every declared query's plan shape matches the checked-in snapshot") {
-    // shapes must be the COLD plans: a dedup/text frame memoized by an
-    // earlier suite in this JVM shows up as InMemoryRelation and swallows
-    // its build-side exchanges, making the snapshot depend on suite order
-    ext.Dedup.clearSharedCache(spark)
-    spark.catalog.clearCache()
+    // shapes must be the COLD plans, per query: clearing once up front is
+    // not enough (r7 in-suite drift) — a shared memo frame built by an
+    // EARLIER query in this very loop (and materialized by a driver-side
+    // fixpoint like dedup_clusters') surfaces in LATER queries' plans as
+    // an InMemoryRelation whose cached-plan exchange count depends on
+    // materialization/AQE-finalization state at print time. Rebuilding
+    // every query from an empty cache makes the captured shape a function
+    // of the query alone, identical in-suite and isolated.
     Files.createDirectories(dumpDir)
     val current = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ext.Dedup.clearSharedCache(spark)
+      spark.catalog.clearCache()
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       Files.write(dumpDir.resolve(s"$name.txt"), plan.getBytes(UTF_8))
       name -> shapeOf(plan)
@@ -87,6 +92,28 @@ class PlanShapeSpec extends SparkSpec {
       }
       assert(diffs.isEmpty,
         s"plan shapes drifted (GRAFT_REGEN_PLANS=1 to accept):\n${diffs.mkString("\n")}")
+    }
+  }
+
+  /** r6 ADVICE residue (pinned r8): `Dist.rankByRange` persists `parted`
+    * so the stats agg and the rank join both read ONE materialization —
+    * single evaluation of the range exchange is what makes the sampled
+    * boundaries a frozen fact (two evaluations could land different
+    * boundaries → silently wrong ranks). The persist is load-bearing but
+    * was untested: a refactor dropping it would compile, pass the oracle
+    * at small SF, and only corrupt ranks under nondeterministic upstream
+    * timing. Pin it structurally: every rankByRange consumer's plan must
+    * read the parted frame through InMemoryTableScan in BOTH branches. */
+  test("Dist.rankByRange single evaluation is structural (persist pinned)") {
+    ext.Dedup.clearSharedCache(spark)
+    spark.catalog.clearCache()
+    for (q <- Seq("stat_gini_revenue", "events_rfm_scores", "events_pareto_deciles")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      val scans = "\\bInMemoryTableScan\\b".r.findAllIn(plan).size
+      assert(scans >= 2,
+        s"$q: expected >=2 InMemoryTableScan (stats + rank-join branches " +
+          s"over rankByRange's persisted frame), got $scans — was the " +
+          "persist in Dist.rankByRange dropped?")
     }
   }
 }
