@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preparation — the composite flagship of the
@@ -290,6 +290,45 @@ object CorpusPrep {
         expr("CAST(floor(weight * 1000000000.0 / w_total) AS BIGINT)").as("share_ppb"),
         (col("fl") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
           .as("alloc_docs"))
+      .orderBy("source")
+  }
+
+  /** r8: epoch plan per source — the repetition schedule a training run
+    * derives from [[corpusTemperatureMix]]'s allocation: with a total
+    * token budget (multiple × corpus tokens) split by temperature-
+    * smoothed (√) token shares, how many FULL passes does each source
+    * take (n_epochs = ⌈target/n_tokens⌉), how many tokens does the
+    * final partial pass draw, and what is the oversampling rate in ppb
+    * (the "is any source repeated past ~4 epochs" check the data-mix
+    * literature flags). Same √-share spelling as the temperature mix
+    * (decimal-summed weight total, one fixed share chain, floor once);
+    * everything after the floor is integer division. One sources-row
+    * frame end to end. */
+  def corpusEpochPlan(documents: DataFrame, multiple: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val srcW = Window.partitionBy()
+    documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+      .withColumn("w_total",
+        sum(col("weight").cast("decimal(28,6)")).over(srcW).cast("double"))
+      .withColumn("budget",
+        sum(col("n_tokens")).over(srcW) * lit(multiple.toLong))
+      .withColumn("exact",
+        col("budget").cast("double") * col("weight") / col("w_total"))
+      .withColumn("target_tokens", floor(col("exact")))
+      .withColumn("epochs",
+        idiv(col("target_tokens") + col("n_tokens") - 1, col("n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("epochs").as("n_epochs"),
+        when(col("epochs") > 0,
+          col("target_tokens") - (col("epochs") - 1) * col("n_tokens"))
+          .as("last_epoch_tokens"),
+        idiv(col("target_tokens").cast(dec) * lit(1000000000L), col("n_tokens"))
+          .cast("long").as("oversample_ppb"))
       .orderBy("source")
   }
 

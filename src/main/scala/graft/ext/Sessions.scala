@@ -492,6 +492,102 @@ object Sessions {
             col("n_wedges").cast("double")).as("clustering_coeff"))
   }
 
+  /** r8: event-type affinity (association rules over daily baskets) —
+    * which behaviors co-occur within one user-day beyond what their base
+    * rates predict (lift > 1 ⇒ the pair is a real behavioral bundle;
+    * the market-basket view of [[eventsTransitionMatrix]]'s sequential
+    * one). Baskets = distinct (user, day, type) — the first agg collapses
+    * the fact table; the pair self-join runs on the collapsed frame keyed
+    * (user, day) with ≤ |types| rows per key, so pairs are bounded by
+    * baskets × types², never events². support/lift are integer counts +
+    * one fixed chain each. */
+  def eventsTypeAffinity(events: DataFrame): DataFrame = {
+    val baskets = events.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day"), col("event_type")).distinct()
+    val nB = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val perType = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nB))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        (col("n_ab").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        ((col("n_ab").cast("double") * col("n_baskets").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** r8: rolling DAU/WAU stickiness per day — the engagement-depth trend
+    * ([[eventsDauMau]] gives the calendar-month ratio; product teams
+    * watch the 7-day ROLLING one daily). No rolling distinct window:
+    * each distinct (user, day) fans out to the 7 target days it keeps
+    * the user "weekly-active" for (map-side explode, bounded ×7), and
+    * WAU(d) is then a plain distinct count — two hash aggs, no window
+    * at all. Days are integer epoch-day units end to end. */
+  def eventsStickinessRolling(events: DataFrame): DataFrame = {
+    val dayUser = events.select(col("user_id"),
+      expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("du"))
+      .distinct()
+    val dau = dayUser.groupBy(col("du")).agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .select(col("user_id"), explode(expr("sequence(du, du + 6)")).as("du"))
+      .distinct()
+      .groupBy(col("du")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "du") // wau covers every dau day; phantom future days drop here
+      .select(
+        graft.Det.fmtTsSec(timestamp_micros(col("du") * lit(86400000000L)))
+          .as("day_s"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy("day_s")
+  }
+
+  /** r8: LOCAL clustering coefficient per node — [[graphTriangles]] gives
+    * the graph-level verdict; this names WHICH users sit in tight cliques
+    * (2·t(v)/(deg(v)·(deg(v)−1)), the per-node bot-ring / community
+    * signal). Same memoized degree-oriented enumeration: each triangle is
+    * found exactly once at its orientation-minimal vertex, then credits
+    * all three corners (explode, bounded ×3) — per-node counts via one
+    * hash agg on the corner key. The triangle SET is independent of the
+    * enumeration order, so the oracle's simpler id-ordered (a<b<c)
+    * spelling lands the identical credits. Right-joined to the degree
+    * frame so zero-triangle nodes keep their row. */
+  def graphLocalClustering(events: DataFrame): DataFrame = {
+    val edges = coActivityEdges(events)
+    val deg = Dedup.memo(events, "triangle-degrees") { edgeDegrees(edges) }
+    val oriented = Dedup.memo(events, "triangle-oriented") {
+      orientedEdges(edges, deg)
+    }
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.src") === col("o2.src") &&
+        (col("o1.deg_dst") < col("o2.deg_dst") ||
+          (col("o1.deg_dst") === col("o2.deg_dst") && col("o1.dst") < col("o2.dst"))))
+      .select(col("o1.src").as("v0"), col("o1.dst").as("wa"), col("o2.dst").as("wc"))
+    val triCredits = wedges.join(oriented.as("e3"),
+        col("wa") === col("e3.src") && col("wc") === col("e3.dst"), "left_semi")
+      .select(explode(array(col("v0"), col("wa"), col("wc"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triCredits, Seq("v"), "left")
+      .select(col("v").as("user_id"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("deg").cast("double") * (col("deg").cast("double") - lit(1.0))))
+          .as("local_cc"))
+      .orderBy("user_id")
+  }
+
   /** r5c3: common-neighbor link prediction over the co-activity graph —
     * the "who should be connected but isn't" query next to
     * [[graphTriangles]]'s "how connected is it": rank NON-adjacent user

@@ -44,6 +44,30 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** r8: recall@k of the IVF probe against the exact cosine top-k — the
+    * accuracy side of the IVF speed claim, as ONE declared query (the
+    * decision table a deployment reads before turning nProbe down:
+    * `emb_truncation_recall`'s sibling for the cell-probe lever). Both
+    * rankings are the library's own declared, hash-verified queries;
+    * this composes them and counts the per-query overlap — integers,
+    * plus one recall divide. */
+  def simSearchIvfRecall(embeddings: DataFrame, nQueries: Int = 10,
+                         k: Int = 10): DataFrame = {
+    val exact = simSearchCosineTopk(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = simSearchIvf(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val overlap = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k_exact"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("k_exact").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Sign-bucket key over the first `bits` dimensions — a deterministic
     * hyperplane-LSH stand-in (axis-aligned planes). */
   private def signBucket(v: Column, bits: Int): Column =
@@ -548,9 +572,10 @@ object Similarity {
     * cells' population — the sub-linear form both operators' docs
     * promise composes exactly as claimed, and `IvfAdcSpec` PROVES it:
     * this ranking is bit-identical to brute ADC restricted to the same
-    * probed (query, vector) candidate set. Not a declared query (the
-    * unrolled SQL oracle of IVF∘PQ∘ADC would be pages; its two halves
-    * are each hash-match-gated on their own). */
+    * probed (query, vector) candidate set. Declared query since r8
+    * (`sim_search_ivf_adc`): the oracle SPLICES the two halves' own CTE
+    * bodies (IVF through `probes`, PQ through `dt`) into one WITH — the
+    * FUNNEL_NEAR_CTES technique — instead of unrolling pages of SQL. */
   def simSearchIvfAdc(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
                       nCells: Int = 16, nProbe: Int = 4,
                       nSub: Int = 8, nCents: Int = 16): DataFrame = {

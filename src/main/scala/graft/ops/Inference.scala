@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** r8: classical inference / effect-size statistics over the event stream —
+  * the normality / outlier / association screens a data-quality pipeline
+  * runs on top of the moment machinery (`stat_moments_per_type`) and the
+  * hourly-traffic frames (`stat_corr_hourly`): Jarque–Bera (is the value
+  * distribution even plausibly Gaussian — gating every t/F-test upstream),
+  * Grubbs (single-outlier identification with the offending row),
+  * Cohen's d (HOW different are two classes, where Welch only says
+  * whether), paired sign test and Kendall τ-b (distribution-free
+  * co-movement next to `stat_spearman_hourly`), and Ljung–Box (is the
+  * hourly series white noise at all — the gate before trusting
+  * `stat_autocorr_lag`'s point estimates). Reference anchor: the
+  * heartbeat monitor's fixed-threshold screens (`AIRWISEv0.py:73-103`)
+  * generalized to distribution-level testing, as `ops/RankStats.scala`.
+  *
+  * Exactness contract (the library's standard recipe): values quantize to
+  * integer cents once, every sum accumulates in DECIMAL(38,0)/HUGEINT
+  * (order-free), sums cross to double via the base-2^53 split
+  * ([[graft.Det.decToDouble]]), and every remaining op is one fixed
+  * IEEE chain mirrored verbatim in the DuckDB oracle — so even the
+  * test statistics hash-match bit for bit. */
+object Inference {
+
+  private val dec = DecimalType(38, 0)
+  private def d2(c: Column): Column = graft.Det.decToDouble(c)
+  private def centsDec(v: Column): Column =
+    (v.cast(DecimalType(28, 2)) * 100).cast(dec)
+
+  /** Jarque–Bera normality test per event class: JB = n·(S²/6 + K²/24)
+    * from the same exact central-moment chain as
+    * [[Aggs.statMomentsPerType]] (integer power sums in cents; S and K
+    * are unit-free so the cents scale cancels). Large JB ⇒ reject
+    * normality ⇒ the Gaussian tests (`stat_welch_t`, `stat_anova_f`)
+    * upstream are on thin ice and the rank family applies. One hash agg
+    * on the class key; 5-row output. */
+  def statJarqueBera(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), centsDec(col("value")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("c"))).as("s1"),
+        d2(sum(col("c") * col("c"))).as("s2"),
+        d2(sum(col("c") * col("c") * col("c"))).as("s3"),
+        d2(sum(col("c") * col("c") * col("c") * col("c"))).as("s4"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / col("n") -
+        lit(3.0) * col("mean") * (col("s2") / col("n")) +
+        lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4", col("s4") / col("n") -
+        lit(4.0) * col("mean") * (col("s3") / col("n")) +
+        lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n")) -
+        lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .withColumn("skewness", when(col("m2") > 0,
+        col("m3") / (col("m2") * sqrt(col("m2")))))
+      .withColumn("kurtosis_excess", when(col("m2") > 0,
+        col("m4") / (col("m2") * col("m2")) - lit(3.0)))
+      .select(col("event_type"), col("n"), col("skewness"),
+        col("kurtosis_excess"),
+        when(col("m2") > 0,
+          (col("skewness") * col("skewness") / lit(6.0) +
+            col("kurtosis_excess") * col("kurtosis_excess") / lit(24.0)) *
+            col("n")).as("jb_stat"))
+      .orderBy("event_type")
+
+  /** Grubbs single-outlier test per event class: G = max|x − x̄| / s, WITH
+    * the offending row identified (`window_hampel` despikes; this names
+    * the one reading to go look at). The max deviation is a SELECTION
+    * over deterministic doubles (exact under any merge order); the
+    * argmax row is pinned by the (dev DESC, event_id ASC) total order.
+    * One class-key agg broadcast back + one class-key window. */
+  def statGrubbs(events: DataFrame): DataFrame = {
+    val sample = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        centsDec(col("value")).as("c"))
+    val stats = sample.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("c"))).as("sd"),
+        d2(sum(col("c") * col("c"))).as("s2d"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mean", col("sd") / col("nd"))
+      .withColumn("vars", when(col("n") >= 3,
+        (col("s2d") - col("sd") * col("sd") / col("nd")) / (col("nd") - lit(1.0))))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev").desc, col("event_id"))
+    sample.join(broadcast(stats), "event_type")
+      .withColumn("dev", abs(col("c").cast("double") - col("mean")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n"),
+        (col("mean") / lit(100.0)).as("mean_value"),
+        when(col("vars") > 0, sqrt(col("vars")) / lit(100.0)).as("stddev"),
+        col("event_id").as("outlier_event_id"),
+        col("value").as("outlier_value"),
+        when(col("vars") > 0, col("dev") / sqrt(col("vars"))).as("g_stat"))
+      .orderBy("event_type")
+  }
+
+  /** Cohen's d between the click and purchase value distributions —
+    * the effect-size companion to `stat_welch_t` (a significant t on
+    * 10⁹ rows can be a meaningless 0.001σ shift; d says HOW big).
+    * Pooled-variance form from the two classes' integer power sums:
+    * d = (x̄₁ − x̄₂) / s_p, s_p² = (SS₁ + SS₂)/(n₁ + n₂ − 2). One
+    * conditional-sum hash agg; 1-row output. */
+  def statCohensD(events: DataFrame,
+                  typeA: String = "click", typeB: String = "purchase"): DataFrame =
+    events.filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), centsDec(col("value")).as("c"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n_a"),
+        d2(sum(when(col("event_type") === typeA, col("c")))).as("sa"),
+        d2(sum(when(col("event_type") === typeA, col("c") * col("c")))).as("s2a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n_b"),
+        d2(sum(when(col("event_type") === typeB, col("c")))).as("sb"),
+        d2(sum(when(col("event_type") === typeB, col("c") * col("c")))).as("s2b"))
+      .withColumn("nad", col("n_a").cast("double"))
+      .withColumn("nbd", col("n_b").cast("double"))
+      .withColumn("ma", col("sa") / col("nad"))
+      .withColumn("mb", col("sb") / col("nbd"))
+      .withColumn("sp2", when(col("n_a") >= 2 && col("n_b") >= 2,
+        ((col("s2a") - col("sa") * col("sa") / col("nad")) +
+          (col("s2b") - col("sb") * col("sb") / col("nbd"))) /
+          (col("nad") + col("nbd") - lit(2.0))))
+      .select(col("n_a").as("n_click"), col("n_b").as("n_purchase"),
+        (col("ma") / lit(100.0)).as("mean_click"),
+        (col("mb") / lit(100.0)).as("mean_purchase"),
+        when(col("sp2") > 0, sqrt(col("sp2")) / lit(100.0)).as("pooled_sd"),
+        when(col("sp2") > 0,
+          (col("ma") - col("mb")) / sqrt(col("sp2"))).as("cohens_d"))
+
+  /** Paired sign test on the hourly (click, purchase) count series — the
+    * assumption-free "is one feed systematically ahead of the other"
+    * check under `stat_corr_hourly`'s frame: count hours where clicks
+    * exceed purchases vs the reverse (ties dropped, the standard
+    * convention); z = (pos − neg)/√(pos + neg). Pure integer counts +
+    * one fixed chain; 1-row output. */
+  def statSignTest(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("x") > col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("x") < col("y"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("x") === col("y"), 1L).otherwise(0L)).as("n_tie"))
+      .select(col("n_hours"), col("n_pos"), col("n_neg"), col("n_tie"),
+        when(col("n_pos") + col("n_neg") > 0,
+          (col("n_pos").cast("double") - col("n_neg").cast("double")) /
+            sqrt(col("n_pos").cast("double") + col("n_neg").cast("double")))
+          .as("z_stat"))
+
+  /** Kendall τ-b between the hourly click and purchase series — the
+    * third rank-correlation face next to Pearson (`stat_corr_hourly`)
+    * and Spearman (`stat_spearman_hourly`): concordant-vs-discordant
+    * PAIR counting, the most outlier-robust of the three and the one
+    * with a clean tie correction (τ-b). All counts integer; τ finishes
+    * in one fixed two-sqrt chain.
+    *
+    * Scale posture: the pair join is hour-pairs over the HOURLY frame —
+    * time-bounded, not data-scaled (the documented allowed class; same
+    * argument as `stat_chi_square`'s dense-grid cross). The broadcast
+    * inequality join is O(H²) in hours, independent of event volume;
+    * for decade-scale hourly history the merge-based inversion count is
+    * the escape, documented here as the known growth path. */
+  def statKendallTau(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val nRow = hourly.agg(count(lit(1)).as("n_hours"))
+    val pairs = hourly.as("a")
+      .join(broadcast(hourly.as("b")), col("a.hour") < col("b.hour"))
+      .agg(
+        sum(when((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")) > 0, 1L)
+          .otherwise(0L)).as("n_concordant"),
+        sum(when((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")) < 0, 1L)
+          .otherwise(0L)).as("n_discordant"),
+        sum(when(col("a.x") === col("b.x"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("a.y") === col("b.y"), 1L).otherwise(0L)).as("ties_y"))
+    pairs.crossJoin(broadcast(nRow))
+      .withColumn("n0",
+        call_function("div", col("n_hours") * (col("n_hours") - 1), lit(2L)))
+      .select(col("n_hours"), col("n0").as("n_pairs"),
+        col("n_concordant"), col("n_discordant"),
+        col("ties_x"), col("ties_y"),
+        when(col("n0") > col("ties_x") && col("n0") > col("ties_y"),
+          (col("n_concordant").cast("double") - col("n_discordant").cast("double")) /
+            (sqrt(col("n0").cast("double") - col("ties_x").cast("double")) *
+              sqrt(col("n0").cast("double") - col("ties_y").cast("double"))))
+          .as("tau_b"))
+  }
+
+  /** Ljung–Box portmanteau test per event class: is the hourly count
+    * series white noise at all? Q = n(n+2)·Σ_{k≤m} r_k²/(n−k) over the
+    * DENSIFIED series (gaps are real zero-traffic hours — skipping them,
+    * as `stat_autocorr_lag` documents it does, biases a whiteness test).
+    * The grid is never materialized: on a zero-filled series every
+    * autocovariance term involving a gap hour vanishes, so
+    * Σ x_t·x_{t+k} is an equi-join of OBSERVED rows on the shifted hour
+    * key, and the edge corrections (Σ over the first/last k grid slots)
+    * are conditional sums against the per-class [mn, mx] bounds —
+    * algebraic densification, all integer. r_k = (P_k − x̄(2S−T_k−H_k) +
+    * (n−k)x̄²) / (S₂ − x̄S); the m per-class r² terms re-accumulate in
+    * pico-unit DECIMAL(38,0) (the `stat_kruskal_wallis` pattern) so lag
+    * order cannot matter. Plan: one (class, hour) agg, one 6× fan-out
+    * equi-join on the tiny hourly frame, two class-key aggs. */
+  def statLjungBox(events: DataFrame, m: Int = 6): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = hourly.groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        sum(col("c").cast(dec)).as("ss"),
+        sum(col("c").cast(dec) * col("c")).as("ss2"))
+    val lagArr = array((1 to m).map(l => lit(l.toLong)): _*)
+    val pk = hourly
+      .select(col("event_type"), col("hu"), col("c"), explode(lagArr).as("lag"))
+      .withColumn("hu2", col("hu") + col("lag"))
+      .join(hourly.select(col("event_type"), col("hu").as("hu2"),
+        col("c").as("y")), Seq("event_type", "hu2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("c").cast(dec) * col("y")).as("sp"))
+    val ht = hourly.join(broadcast(bounds.select("event_type", "mn", "mx")),
+        "event_type")
+      .select(col("event_type"), col("hu"), col("c"), col("mn"), col("mx"),
+        explode(lagArr).as("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(
+        sum(when(col("hu") > col("mx") - col("lag"), col("c")).otherwise(0L)
+          .cast(dec)).as("st"),
+        sum(when(col("hu") < col("mn") + col("lag"), col("c")).otherwise(0L)
+          .cast(dec)).as("sh"))
+    val terms = ht
+      .join(pk, Seq("event_type", "lag"), "left")
+      .join(broadcast(bounds), "event_type")
+      .withColumn("n", col("mx") - col("mn") + 1)
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("kd", col("lag").cast("double"))
+      .withColumn("pd", d2(coalesce(col("sp"), lit(0L).cast(dec))))
+      .withColumn("td", d2(col("st")))
+      .withColumn("hd", d2(col("sh")))
+      .withColumn("sd", d2(col("ss")))
+      .withColumn("s2d", d2(col("ss2")))
+      .withColumn("mean", col("sd") / col("nd"))
+      .withColumn("den", col("s2d") - col("mean") * col("sd"))
+      .withColumn("num", col("pd") -
+        col("mean") * ((col("sd") - col("td")) + (col("sd") - col("hd"))) +
+        (col("nd") - col("kd")) * col("mean") * col("mean"))
+      .withColumn("rk",
+        when(col("den") > 0 && col("n") > col("lag"), col("num") / col("den")))
+      .withColumn("termq",
+        floor(col("rk") * col("rk") / (col("nd") - col("kd")) *
+          lit(1000000000000.0) + lit(0.5)).cast(dec))
+    terms.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_hours"), count(col("termq")).as("m_used"),
+        d2(sum(col("termq"))).as("tsum"),
+        max(when(col("lag") === 1L, col("rk"))).as("r1"))
+      .select(col("event_type"), col("n_hours"), lit(m.toLong).as("m_lags"),
+        col("r1"),
+        when(col("m_used") === m,
+          col("n_hours").cast("double") *
+            (col("n_hours").cast("double") + lit(2.0)) *
+            (col("tsum") / lit(1000000000000.0))).as("q_stat"))
+      .orderBy("event_type")
+  }
+}

@@ -599,4 +599,45 @@ object Windows {
         when(col("dev") > 0, lit("above")).otherwise(lit("below")).as("side"))
       .orderBy("user_id", "event_id")
   }
+
+  /** r8: Average True Range over hourly value bars per event class — the
+    * volatility gauge that pairs [[windowRsi]] (momentum) and
+    * [[windowBollinger]] (band breakouts): TR = max(high−low, |high−prev
+    * close|, |low−prev close|) captures gap moves a plain high−low range
+    * misses; ATR is its n-bar mean. Bars come from the
+    * [[graft.ops.Aggs.aggOhlcHourly]] recipe in integer CENTS (open/close
+    * are row_number selections, high/low min/max selections — all exact);
+    * TR is greatest/abs on integers, the rolling sum stays integer, and
+    * the only arithmetic is the final /n/100 fixed divide chain. Plan:
+    * one (class, hour) window+agg collapses the facts to bars, then one
+    * class-key window over the tiny time-bounded bar frame. */
+  def windowAtr(events: DataFrame, n: Int = 14): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val part = Window.partitionBy(col("event_type"), col("hr"))
+    val wb = part.orderBy(col("ts"), col("event_id"))
+    val bars = events.filter(col("value").isNotNull)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("c0",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(dec).cast("long"))
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(col("c0")).as("h"), min(col("c0")).as("l"),
+        max(when(col("rn") === col("cnt"), col("c0"))).as("cl"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    bars
+      .withColumn("pc", lag(col("cl"), 1).over(wOrd))
+      .withColumn("tr", when(col("pc").isNotNull,
+        greatest(col("h") - col("l"),
+          abs(col("h") - col("pc")), abs(col("l") - col("pc")))))
+      .withColumn("ntr", count(col("tr")).over(wN))
+      .withColumn("trs", sum(col("tr")).over(wN))
+      .filter(col("ntr") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("tr").as("tr_cents"), col("trs").as("tr_sum_cents"),
+        (col("trs").cast("double") / lit(n.toDouble) / lit(100.0)).as("atr"))
+      .orderBy("event_type", "hour_s")
+  }
 }

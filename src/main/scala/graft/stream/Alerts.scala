@@ -57,18 +57,39 @@ object Alerts {
   def label(e: NodeEvent): String =
     s"node ${e.node} is ${e.event} (at ${e.at_ms} ms)"
 
-  /** Wire a NodeEvent stream to a sink. The per-epoch batch is tiny
-    * (transitions only), so collect-to-driver is the right shape — the
-    * same place the reference did its single-threaded HTTP POST, but
-    * batched per epoch. */
+  /** Wire a NodeEvent stream to a sink. The per-epoch batch is tiny by
+    * construction (edge-triggered transitions only), so delivering from
+    * the driver is the right shape — the same place the reference did its
+    * single-threaded HTTP POST, but batched per epoch.
+    *
+    * r8 hardening (verdict #7): the collect is CAPPED. A misconfigured
+    * threshold at fleet scale can turn one epoch's "transitions" into the
+    * whole fleet — an unbounded `collect()` then sizes the alert set to
+    * the driver heap, and a pager flood helps nobody anyway. Each epoch
+    * delivers the first `maxPerEpoch` events in deterministic
+    * (at_ms, node, event) order, then ONE synthetic summary event
+    * (`node = -1, event = "suppressed <K> more alerts"`), so the
+    * receiving channel still learns the true magnitude. The count and
+    * the limited collect are two jobs over the same tiny frame; the
+    * limit bounds driver memory no matter what upstream does. */
   def deliverStream(events: Dataset[NodeEvent], sink: AlertSink,
-                    checkpoint: String): StreamingQuery =
+                    checkpoint: String,
+                    maxPerEpoch: Int = 1000): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[NodeEvent], _: Long) =>
-        batch.collect().foreach(sink.deliver)
+        import org.apache.spark.sql.functions.col
+        val total = batch.count()
+        val head = batch
+          .orderBy(col("at_ms"), col("node"), col("event"))
+          .limit(maxPerEpoch).collect()
+        head.foreach(sink.deliver)
+        if (total > maxPerEpoch)
+          sink.deliver(NodeEvent(-1L,
+            s"suppressed ${total - maxPerEpoch} more alerts",
+            head.last.at_ms))
       }
       .start()
 }

@@ -43,7 +43,10 @@ class PlanLintSpec extends SparkSpec {
     "emb_truncation_recall",                             // ≤nQueries-row query sides (r7)
     "events_growth_accounting",                          // 1-row data-end cap (r7)
     "sample_priority_weighted",                          // 1-row tau frame (r7)
-    "sample_hamilton_alloc"                              // 1-row total/extra frames (r7)
+    "sample_hamilton_alloc",                             // 1-row total/extra frames (r7)
+    "stat_kendall_tau",                                  // hour-pair inequality join over the time-bounded hourly frame (r8)
+    "events_type_affinity",                              // 1-row n_baskets frame (r8)
+    "sim_search_ivf_recall"                              // ≤nQueries-row query side via sim_search_cosine_topk (r8)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {

@@ -36,4 +36,20 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set(NodeEvent(1L, "OFFLINE", 1000L), NodeEvent(2L, "ONLINE", 2000L)))
     assert(Alerts.label(NodeEvent(1L, "OFFLINE", 1000L)).contains("node 1 is OFFLINE"))
   }
+
+  test("alert sink caps an epoch flood: first N delivered + one summary") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_alerts_cap").toString
+    val input = MemoryStream[NodeEvent]
+    // a "misconfigured threshold" epoch: 25 transitions, cap at 10
+    input.addData((1 to 25).map(i => NodeEvent(i.toLong, "OFFLINE", 1000L + i)))
+    val sink = new Alerts.MemorySink
+    val q = Alerts.deliverStream(input.toDS(), sink, s"$dir/ckpt", maxPerEpoch = 10)
+    q.awaitTermination(60000)
+    val got = sink.delivered.toArray(Array.empty[NodeEvent]).toSeq
+    val (summary, real) = got.partition(_.node == -1L)
+    // deterministic head of the at_ms order, not an arbitrary 10
+    assert(real.map(_.node).sorted == (1L to 10L))
+    assert(summary.map(_.event) == Seq("suppressed 15 more alerts"))
+  }
 }
