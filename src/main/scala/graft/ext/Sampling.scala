@@ -79,6 +79,25 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** r8: systematic sample — every k-th document under the hash order
+    * (the survey-sampling classic: one global stride instead of
+    * per-row coin flips, so the sample is maximally spread over the
+    * hash axis and its size is exactly ⌈n/k⌉, where Bernoulli sampling
+    * only hits the rate in expectation). The hash order is the same
+    * md5-u64 family as [[corpusShuffleOrder]], and the global rank
+    * rides [[graft.Dist.rankByRange]]'s two-phase range-exchange rank —
+    * no partition-less window on the data-scaled frame. Map-side
+    * stride filter after the rank. */
+  def sampleSystematic(documents: DataFrame, k: Int = 20): DataFrame = {
+    val u64 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16), 16, 10)
+      .cast("decimal(38,0)")
+    val keyed = documents.select(col("doc_id"), u64.as("hkey"))
+    graft.Dist.rankByRange(keyed, "rnk", col("hkey"), col("doc_id"))
+      .filter((col("rnk") % k) === 1L)
+      .select(col("rnk").as("rank"), col("doc_id"))
+      .orderBy("rank")
+  }
+
   /** Stratified quota sample: at most k docs per group (lang), lowest
     * doc_id first — deterministic per-stratum downsampling (class
     * balancing). One shuffle on the group key. */

@@ -1867,6 +1867,80 @@ object Aggs {
         (col("st")(0) + col("st")(1) + col("st")(2)).as("forecast_next"))
       .orderBy("event_type")
 
+  /** r8: MACD over the densified hourly count series per event class —
+    * the momentum-vs-trend divergence read (fast EMA12 − slow EMA26,
+    * signaled by its own EMA9) that completes the TA family's fold tier
+    * next to [[statHoltWinters]]: three EMA recursions advance TOGETHER
+    * in one aggregate-HOF fold (the signal consumes the diff of the two
+    * newly-updated EMAs in the same step, textually expanded so the
+    * fold's expansion stays finite). Same engine-exactness contract as
+    * the other folds: every update is a fixed IEEE chain DuckDB's
+    * `list_reduce` reproduces in identical order; the α constants are
+    * written as the division expressions 2/(n+1) in BOTH engines so both
+    * evaluate the identical correctly-rounded double. Seeding: both EMAs
+    * = x₁ (diff₁ = 0), signal = 0. Plan: one (class, hour) hash agg, one
+    * fold per class. */
+  def tsMacd(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
+      .withColumn("xs", expr(
+        "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
+        expr("""aggregate(
+                  slice(xs, 2, size(xs) - 1),
+                  array(element_at(xs, 1), element_at(xs, 1), 0.0d),
+                  (acc, x) -> array(
+                    acc[0] + (2.0d / 13.0d) * (x - acc[0]),
+                    acc[1] + (2.0d / 27.0d) * (x - acc[1]),
+                    acc[2] + (2.0d / 10.0d) * (((acc[0] + (2.0d / 13.0d) * (x - acc[0])) - (acc[1] + (2.0d / 27.0d) * (x - acc[1]))) - acc[2])))""")
+          .as("st"))
+      .select(col("event_type"), col("n_hours"),
+        col("st")(0).as("ema_fast"), col("st")(1).as("ema_slow"),
+        (col("st")(0) - col("st")(1)).as("macd"),
+        col("st")(2).as("signal"),
+        ((col("st")(0) - col("st")(1)) - col("st")(2)).as("histogram"))
+      .orderBy("event_type")
+
+  /** r8: runs test ON SUCCESSIVE DIFFERENCES per event class (runs
+    * up/down) — [[statRunsTest]] screens clumping around the MEDIAN;
+    * this screens short-range oscillation/trend persistence the median
+    * split cannot see (a perfectly median-balanced sawtooth passes the
+    * median runs test and fails this one). Zero diffs drop (the
+    * standard convention); with N = diffs + 1 effective observations,
+    * E[R] = (2N−1)/3 and Var[R] = (16N−29)/90 — integers and one fixed
+    * z chain. Plan: two lags on one class-key window, one hash agg. */
+  def statRunsUpDown(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val diffs = events.filter(col("value").isNotNull)
+      .withColumn("c",
+        (col("value").cast(DecimalType(28, 2)) * 100)
+          .cast(DecimalType(38, 0)).cast("long"))
+      .withColumn("d", col("c") - lag(col("c"), 1).over(wOrd))
+      .filter(col("d").isNotNull && col("d") =!= 0L)
+      .withColumn("s", when(col("d") > 0, lit(1)).otherwise(lit(-1)))
+      .withColumn("prev_s", lag(col("s"), 1).over(wOrd))
+    diffs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_diffs"),
+        sum(when(col("prev_s").isNotNull && col("s") =!= col("prev_s"), 1L)
+          .otherwise(0L)).as("n_changes"))
+      .withColumn("n_runs", col("n_changes") + 1)
+      .withColumn("nn", (col("n_diffs") + 1).cast("double"))
+      .select(col("event_type"), col("n_diffs"), col("n_runs"),
+        ((lit(2.0) * col("nn") - lit(1.0)) / lit(3.0)).as("expected_runs"),
+        when(lit(16.0) * col("nn") - lit(29.0) > 0,
+          (col("n_runs").cast("double") -
+            (lit(2.0) * col("nn") - lit(1.0)) / lit(3.0)) /
+            sqrt((lit(16.0) * col("nn") - lit(29.0)) / lit(90.0))).as("z_stat"))
+      .orderBy("event_type")
+  }
+
   /** r7: mergeable banded-histogram quantile SKETCH — the one-pass,
     * bounded-state sibling [[aggQuantilesBanded]]'s exact two-pass form
     * trades away: per (type, power-of-2 value band) counts are the whole

@@ -260,4 +260,55 @@ object RankStats {
           sqrt(col("n_hours") * col("syy") - col("sy") * col("sy"))))
         .as("spearman_rho"))
   }
+
+  /** r8: Friedman test — the repeated-measures rank ANOVA the family still
+    * lacked: blocks = hours, treatments = event classes, "do the classes
+    * keep the same traffic ORDERING hour after hour?" (Kruskal–Wallis
+    * pools all rows and a lively hour would drown a quiet one; Friedman
+    * ranks WITHIN each hour, so every hour votes equally — the paired
+    * design). The (class × hour) grid is DENSIFIED (a class silent in an
+    * hour is rank-relevant zero traffic, exactly the `stat_ljung_box`
+    * densification argument); ties take midranks, carried ×2 so every
+    * rank is an exact INTEGER (r2 = 2·rank + ties − 1, a fixed
+    * convention both engines spell with rank() + a tie count — no
+    * fractional midrank ever materializes). Q = 3·ΣR₂ⱼ²/(n·k·(k+1)) −
+    * 3·n·(k+1) after substituting Rⱼ = R₂ⱼ/2 into the classic statistic
+    * (uncorrected for ties, stated as such — it is a screening
+    * statistic, not a p-value). ΣR₂ⱼ² accumulates in DECIMAL(38,0).
+    * Plan: one (class, hour) hash agg, the bounded classes×hours grid,
+    * one per-hour rank window (hour-keyed — parallel by block), two tiny
+    * aggs. Per-class rows carry the shared Q plus each class's mean
+    * midrank — the effect direction. */
+  def statFriedman(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val classes = hourly.select(col("event_type")).distinct()
+    val hours = hourly.select(col("hr")).distinct()
+    val grid = hours.crossJoin(broadcast(classes))
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wRank = Window.partitionBy(col("hr")).orderBy(col("n"))
+    val wTies = Window.partitionBy(col("hr"), col("n"))
+    val ranked = grid
+      .withColumn("rk", rank().over(wRank).cast("long"))
+      .withColumn("ties", count(lit(1)).over(wTies))
+      .withColumn("r2", lit(2L) * col("rk") + col("ties") - 1)
+    val perClass = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("r2").cast(DecimalType(38, 0))).as("rs2"))
+    val d2 = graft.Det.decToDouble _
+    val totals = perClass.agg(count(lit(1)).as("k"),
+      max(col("n_blocks")).as("nb"),
+      d2(sum(col("rs2") * col("rs2"))).as("srr"))
+    perClass.crossJoin(broadcast(totals))
+      .withColumn("kd", col("k").cast("double"))
+      .withColumn("nd", col("nb").cast("double"))
+      .select(col("event_type"), col("n_blocks"), col("k"),
+        col("rs2").cast("long").as("rank_sum_x2"),
+        (d2(col("rs2")) / (lit(2.0) * col("nd"))).as("mean_midrank"),
+        (lit(3.0) * col("srr") / (col("nd") * col("kd") * (col("kd") + lit(1.0))) -
+          lit(3.0) * col("nd") * (col("kd") + lit(1.0))).as("q_stat"))
+      .orderBy("event_type")
+  }
 }

@@ -1369,7 +1369,12 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, "click", f"2024-01-0${3 + h / 24}%d ${h % 24}%02d:${i % 60}%02d:00", 0.0)))
     val alarmed = graft.ops.Aggs.statPageHinkley(ev(jump: _*)).collect()(0)
     assert(alarmed.getAs[Boolean]("drift_detected"))
-    assert(alarmed.getAs[Long]("first_alarm_hour") > 30L)
+    // r8: the alarm is wall-clock-anchored (mn + idx - 1); the grid
+    // starts at 2024-01-01 00:00 UTC and the jump begins at grid hour 30,
+    // so the alarm must land after that wall-clock hour
+    val gridStartHu = 1704067200L / 3600 // 2024-01-01T00:00:00Z in hour units
+    assert(alarmed.getAs[Long]("first_alarm_hu") > gridStartHu + 30L)
+    assert(alarmed.getAs[String]("first_alarm_ts").startsWith("2024-01-0"))
   }
 
   test("hamilton allocation: largest remainders round the exact budget") {

@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSpec {
     "sample_hamilton_alloc",                             // 1-row total/extra frames (r7)
     "stat_kendall_tau",                                  // hour-pair inequality join over the time-bounded hourly frame (r8)
     "events_type_affinity",                              // 1-row n_baskets frame (r8)
-    "sim_search_ivf_recall"                              // ≤nQueries-row query side via sim_search_cosine_topk (r8)
+    "sim_search_ivf_recall",                             // ≤nQueries-row query side via sim_search_cosine_topk (r8)
+    "stat_friedman"                                      // ≤k-row class dim grid cross + 1-row totals frame (r8)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
