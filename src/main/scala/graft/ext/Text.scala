@@ -559,4 +559,56 @@ object Text {
         expr("CAST(n_novel AS DECIMAL(38,0)) * 1000000000 DIV n_shingles").cast("long"))
       .orderBy("doc_id")
   }
+
+  /** r8: RAKE keyphrase extraction per document (Rose et al. 2010) — the
+    * unsupervised "what is this document ABOUT" op that completes the
+    * text family above tf-idf's single tokens: candidate phrases are the
+    * maximal stopword-free runs (gaps-and-islands on a per-doc running
+    * stopword count), scored by Σ_w deg(w)/freq(w) over member words
+    * where deg counts phrase-length-weighted occurrences within the SAME
+    * document. Exactness: the per-word ratio quantizes to integer
+    * micro-units via integer division ((deg·10⁶) div freq — no double
+    * ever sums), phrase scores are then integer sums, and the one
+    * emitted double is a single final divide. Plan: one map-side
+    * posexplode, one per-doc running-sum window (partitions bounded by
+    * doc length), three (doc-keyed) hash aggs, top-k per doc by
+    * (score, phrase) total order. */
+  def textKeyphraseRake(documents: DataFrame, topK: Int = 3,
+                        maxLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val stops = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+    val toks = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .withColumn("is_stop", col("token").isin(stops: _*))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrased = toks
+      .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+    val ph = phrased.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_words"),
+        array_sort(collect_list(struct(col("pos"), col("token")))).as("ts"))
+      .filter(col("n_words") <= maxLen)
+      .withColumn("words", expr("transform(ts, x -> x.token)"))
+      .withColumn("phrase", array_join(col("words"), " "))
+    val mem = ph.select(col("doc_id"), col("grp"), col("phrase"),
+      col("n_words"), explode(col("words")).as("token"))
+    val ws = mem.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .withColumn("score_q", idiv(col("deg") * lit(1000000L), col("freq")))
+    val sc = mem.join(ws.select(col("doc_id"), col("token"), col("score_q")),
+        Seq("doc_id", "token"))
+      .groupBy(col("doc_id"), col("grp"), col("phrase"), col("n_words"))
+      .agg(sum(col("score_q")).as("sq"))
+    val dd = sc.groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("n_occ"),
+        max(col("sq")).as("sq"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sq").desc, col("phrase"))
+    dd.withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("doc_id"), col("rn"), col("phrase"), col("n_words"),
+        col("n_occ"), (col("sq").cast("double") / lit(1000000.0)).as("rake_score"))
+      .orderBy("doc_id", "rn")
+  }
 }
