@@ -25,8 +25,14 @@ def main() -> int:
         a, b = old[q], new[q]
         if a > 0 and (b / a >= ratio or a / b >= ratio) and max(a, b) >= 0.3:
             movers.append((b / a, q, a, b))
-    for r, q, a, b in sorted(movers, reverse=True):
-        print(f"{'SLOWER' if r > 1 else 'faster'} {q:34s} {a:6.2f} -> {b:6.2f}  ({r:.2f}x)")
+    regressions = sorted((m for m in movers if m[0] > 1), reverse=True)
+    improvements = sorted((m for m in movers if m[0] <= 1))
+    print(f"== REGRESSIONS (> {ratio}x slower, >= 0.3s): {len(regressions)} ==")
+    for r, q, a, b in regressions:
+        print(f"SLOWER {q:34s} {a:6.2f} -> {b:6.2f}  ({r:.2f}x)")
+    print(f"== improvements (> {ratio}x faster): {len(improvements)} ==")
+    for r, q, a, b in improvements:
+        print(f"faster {q:34s} {a:6.2f} -> {b:6.2f}  ({r:.2f}x)")
     for q in sorted(set(new) - set(old)):
         print(f"new    {q:34s}          {new[q]:6.2f}")
     for q in sorted(set(old) - set(new)):

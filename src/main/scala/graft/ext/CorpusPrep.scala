@@ -320,15 +320,22 @@ object CorpusPrep {
       .withColumn("exact",
         col("budget").cast("double") * col("weight") / col("w_total"))
       .withColumn("target_tokens", floor(col("exact")))
-      .withColumn("epochs",
+      // r9 (ADVICE): a source whose documents tokenize to ZERO tokens is
+      // degenerate but reachable (empty/whitespace-only docs) — unguarded,
+      // Spark's `div` nulls silently while DuckDB's `//` raises, a
+      // cross-engine divergence. Its weight is already 0 (√0), so the
+      // plan is explicit: 0 epochs, no partial pass, null oversample.
+      .withColumn("epochs", when(col("n_tokens") > 0,
         idiv(col("target_tokens") + col("n_tokens") - 1, col("n_tokens")))
+        .otherwise(lit(0L)))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("target_tokens"), col("epochs").as("n_epochs"),
         when(col("epochs") > 0,
           col("target_tokens") - (col("epochs") - 1) * col("n_tokens"))
           .as("last_epoch_tokens"),
-        idiv(col("target_tokens").cast(dec) * lit(1000000000L), col("n_tokens"))
-          .cast("long").as("oversample_ppb"))
+        when(col("n_tokens") > 0,
+          idiv(col("target_tokens").cast(dec) * lit(1000000000L), col("n_tokens"))
+            .cast("long")).as("oversample_ppb"))
       .orderBy("source")
   }
 

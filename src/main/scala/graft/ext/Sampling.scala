@@ -93,7 +93,11 @@ object Sampling {
       .cast("decimal(38,0)")
     val keyed = documents.select(col("doc_id"), u64.as("hkey"))
     graft.Dist.rankByRange(keyed, "rnk", col("hkey"), col("doc_id"))
-      .filter((col("rnk") % k) === 1L)
+      // r9 (ADVICE): (rnk − 1) % k == 0, not rnk % k == 1 — equivalent for
+      // k ≥ 2 but correct at the take-everything setting k = 1, where
+      // rnk % 1 is always 0 and the old form returned an EMPTY sample,
+      // inverting the ⌈n/k⌉ size contract.
+      .filter(((col("rnk") - 1) % k) === 0L)
       .select(col("rnk").as("rank"), col("doc_id"))
       .orderBy("rank")
   }

@@ -570,7 +570,7 @@ object Similarity {
     * broadcast distance tables. Per-query work drops from linear in the
     * corpus ([[simSearchPqAdc]]'s contract) to linear in the probed
     * cells' population — the sub-linear form both operators' docs
-    * promise composes exactly as claimed, and `IvfAdcSpec` PROVES it:
+    * promise composes exactly as claimed, and `ScaleLayoutSpec` PROVES it:
     * this ranking is bit-identical to brute ADC restricted to the same
     * probed (query, vector) candidate set. Declared query since r8
     * (`sim_search_ivf_adc`): the oracle SPLICES the two halves' own CTE

@@ -38,16 +38,41 @@ object Inference {
     * are unit-free so the cents scale cancels). Large JB ⇒ reject
     * normality ⇒ the Gaussian tests (`stat_welch_t`, `stat_anova_f`)
     * upstream are on thin ice and the rank family applies. One hash agg
-    * on the class key; 5-row output. */
+    * on the class key; 5-row output.
+    *
+    * Magnitude bound (r9, ADVICE): the 4th-power cent sums accumulate in
+    * DECIMAL(38,0), so the chain is exact only while n·max|c|⁴ < 10³⁸
+    * (DuckDB's HUGEINT tops out at the same decade, ~1.7·10³⁸). In value
+    * units: |value| ≤ 10⁴ keeps the chain exact to n ≈ 10¹⁴ rows;
+    * |value| ~ 10⁶ (c ~ 10⁸) only to n ≈ 10⁶. Past the bound Spark
+    * (non-ANSI) would NULL the sums silently while DuckDB hard-errors — a
+    * silent-vs-loud cross-engine divergence, exactly the class this
+    * library polices — so the bound is now ENFORCED: max|c| rides the
+    * same agg for free and a violated bound raises loudly instead of
+    * shipping plausible nulls. (The scale escape, if a corpus ever needs
+    * it, is pre-centering the moments about a first-pass approximate
+    * mean, which collapses the magnitudes; not shipped — no fixture or
+    * realistic sensor range comes within 20 decades of the bound.) */
   def statJarqueBera(events: DataFrame): DataFrame =
     events.filter(col("value").isNotNull)
       .select(col("event_type"), centsDec(col("value")).as("c"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
+        max(abs(col("c"))).as("maxc"),
         d2(sum(col("c"))).as("s1"),
         d2(sum(col("c") * col("c"))).as("s2"),
         d2(sum(col("c") * col("c") * col("c"))).as("s3"),
         d2(sum(col("c") * col("c") * col("c") * col("c"))).as("s4"))
+      // overflow guard: fires BEFORE any downstream math can consume a
+      // silently-nulled sum (conservative double comparison — one decade
+      // of margin below the 38-digit capacity)
+      .withColumn("s4", when(
+        pow(col("maxc").cast("double"), lit(4.0)) * col("n") >= lit(1e37),
+        raise_error(format_string(
+          "stat_jarque_bera: 4th-moment DECIMAL(38,0) sum would overflow " +
+            "(n=%s, max|cents|=%s); pre-center the moments before testing " +
+            "values of this magnitude", col("n"), col("maxc"))).cast("double")
+      ).otherwise(col("s4")))
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
       .withColumn("m3", col("s3") / col("n") -
@@ -168,14 +193,16 @@ object Inference {
     * time-bounded, not data-scaled (the documented allowed class; same
     * argument as `stat_chi_square`'s dense-grid cross). The broadcast
     * inequality join is O(H²) in hours, independent of event volume;
-    * for decade-scale hourly history the merge-based inversion count is
-    * the escape, documented here as the known growth path. */
+    * for decade-scale hourly history [[statKendallTauMerge]] is the
+    * shipped O(H log H) escape (r9, verdict #6) — identical output,
+    * proven equal by `KendallMergeSpec` AND by sharing this query's
+    * DuckDB oracle as the declared twin `stat_kendall_tau_merge`.
+    * Threshold guidance: the pair join materializes H²/2 candidate rows
+    * — fine to H ≈ 10⁴ hours (~14 months; 5·10⁷ pairs), past that call
+    * the merge form (a century of hours is 8.8·10⁵ rows ⇒ 3.8·10¹¹
+    * pairs for the join vs ~2·10⁷ comparisons for the merge). */
   def statKendallTau(events: DataFrame): DataFrame = {
-    val hourly = events
-      .groupBy(date_trunc("hour", col("ts")).as("hour"))
-      .agg(
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val hourly = kendallHourly(events)
     val nRow = hourly.agg(count(lit(1)).as("n_hours"))
     val pairs = hourly.as("a")
       .join(broadcast(hourly.as("b")), col("a.hour") < col("b.hour"))
@@ -189,6 +216,139 @@ object Inference {
     pairs.crossJoin(broadcast(nRow))
       .withColumn("n0",
         call_function("div", col("n_hours") * (col("n_hours") - 1), lit(2L)))
+      .select(col("n_hours"), col("n0").as("n_pairs"),
+        col("n_concordant"), col("n_discordant"),
+        col("ties_x"), col("ties_y"),
+        when(col("n0") > col("ties_x") && col("n0") > col("ties_y"),
+          (col("n_concordant").cast("double") - col("n_discordant").cast("double")) /
+            (sqrt(col("n0").cast("double") - col("ties_x").cast("double")) *
+              sqrt(col("n0").cast("double") - col("ties_y").cast("double"))))
+          .as("tau_b"))
+  }
+
+  /** The shared hourly (x, y) series both Kendall forms consume. */
+  private def kendallHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+
+  /** Mergesort counting STRICT inversions (y_i > y_j for i < j) in one
+    * block; returns (inversions, ascending-sorted copy). O(m log m). */
+  private[graft] def mergeCountInv(ys: Array[Long]): (Long, Array[Long]) = {
+    if (ys.length < 2) return (0L, ys.clone())
+    var inv = 0L
+    var src = ys.clone(); var dst = new Array[Long](ys.length)
+    var width = 1
+    while (width < src.length) {
+      var lo = 0
+      while (lo < src.length) {
+        val mid = math.min(lo + width, src.length)
+        val hi = math.min(lo + 2 * width, src.length)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (src(i) <= src(j)) { dst(k) = src(i); i += 1 }
+          else { dst(k) = src(j); j += 1; inv += (mid - i).toLong }
+          k += 1
+        }
+        while (i < mid) { dst(k) = src(i); i += 1; k += 1 }
+        while (j < hi) { dst(k) = src(j); j += 1; k += 1 }
+        lo = hi
+      }
+      val t = src; src = dst; dst = t
+      width *= 2
+    }
+    (inv, src)
+  }
+
+  private def mergeSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { out(k) = a(i); i += 1 } else { out(k) = b(j); j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    out
+  }
+
+  /** r9 (verdict #6): Kendall τ-b by MERGE-BASED INVERSION COUNTING —
+    * the decade-scale escape [[statKendallTau]] documents, shipped.
+    * Knight's O(H log H) algorithm, distributed:
+    *
+    * After sorting the hourly series by (x asc, y asc), a pair {i, j}
+    * with strictly different x is DISCORDANT iff the y sequence has a
+    * strict inversion at it — and pairs with equal x can never invert
+    * (the y tie-break sorts them ascending), so the total strict
+    * inversion count of the y sequence IS n_discordant. Tie pairs come
+    * from three tiny per-key aggs (Σ t(t−1)/2 over x, y, and (x, y)
+    * groups), and n_concordant = n0 − ties_x − ties_y + ties_xy − n_d
+    * (every pair is exactly one of: concordant, discordant, x-tie-only,
+    * y-tie-only, both-tie). τ-b then finishes in the pair-join form's
+    * identical double chain, so equal integers ⇒ bit-equal output.
+    *
+    * Plan: phase 1 range-exchanges the H-row hourly frame on (x, y)
+    * (`repartitionByRange` + in-partition sort — the `graft.Dist`
+    * two-phase-scan shape) and counts each block's internal inversions
+    * in parallel (mapPartitions, the documented sequential-kernel
+    * class); phase 2 is ONE bounded task over the ≤ nRanges block
+    * summaries: blocks concatenate in range order into the full sorted
+    * sequence, so cross-block inversions fall out of a cumulative
+    * two-pointer merge over the pre-sorted block arrays (O(H·nRanges)
+    * comparisons, ~2·10⁷ even for a century of hours). Nothing is ever
+    * O(H²); no driver-side data. Output schema identical to
+    * [[statKendallTau]] — same oracle SQL, hash-match. */
+  def statKendallTauMerge(events: DataFrame, nRanges: Int = 32): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = kendallHourly(events)
+
+    def tiePairs(keys: Seq[String], name: String): DataFrame =
+      hourly.groupBy(keys.map(col): _*).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(call_function("div",
+          col("t") * (col("t") - 1), lit(2L))), lit(0L)).as(name))
+
+    val nRow = hourly.agg(count(lit(1)).as("n_hours"))
+
+    // phase 1: per-range local inversion counts + sorted y blocks
+    val blocks = hourly.select(col("x"), col("y"))
+      .repartitionByRange(nRanges, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val ys = it.map(_.getLong(1)).toArray
+        val (inv, sorted) = mergeCountInv(ys)
+        Iterator.single((pid, inv, sorted))
+      }
+
+    // phase 2: one bounded task folds blocks in range order
+    val invRow = blocks.repartition(1).sortWithinPartitions(col("_1"))
+      .mapPartitions { it =>
+        var total = 0L
+        var acc = Array.emptyLongArray
+        it.foreach { case (_, localInv, ys) =>
+          total += localInv
+          var ai = 0; var bi = 0
+          while (bi < ys.length) { // both ascending: ai only moves forward
+            while (ai < acc.length && acc(ai) <= ys(bi)) ai += 1
+            total += (acc.length - ai).toLong
+            bi += 1
+          }
+          acc = mergeSorted(acc, ys)
+        }
+        Iterator.single(total)
+      }.toDF("n_discordant")
+
+    nRow.crossJoin(invRow)
+      .crossJoin(tiePairs(Seq("x"), "ties_x"))
+      .crossJoin(tiePairs(Seq("y"), "ties_y"))
+      .crossJoin(tiePairs(Seq("x", "y"), "ties_xy"))
+      .withColumn("n0",
+        call_function("div", col("n_hours") * (col("n_hours") - 1), lit(2L)))
+      .withColumn("n_concordant",
+        col("n0") - col("ties_x") - col("ties_y") + col("ties_xy") - col("n_discordant"))
       .select(col("n_hours"), col("n0").as("n_pairs"),
         col("n_concordant"), col("n_discordant"),
         col("ties_x"), col("ties_y"),

@@ -108,54 +108,119 @@ object MqttCodec {
   * SUBSCRIBE (QoS 0), then a daemon read loop delivering each PUBLISH to
   * `onMessage`. Keep-alive 0 = disabled (spec §3.1.2.10), so no ping
   * scheduling is needed; brokers that require liveness get PINGRESP echoed
-  * if they probe. */
+  * if they probe.
+  *
+  * r9 hardening (verdict #8 — the reference's resilience is a systemd
+  * restart loop around its single client, `AIRWISEv0.py:365-375`; this
+  * subscriber now carries the same contract in-process):
+  *
+  *  - **First connect is synchronous and loud**: an unreachable broker or
+  *    a refused CONNACK (rc 1–5: bad credentials, not authorized, …)
+  *    throws to the CALLER — misconfiguration must fail the job start,
+  *    never retry silently in a daemon thread.
+  *  - **Mid-stream disconnects reconnect with exponential backoff**
+  *    (`reconnect = true`): on EOF / socket error the reader redoes the
+  *    full CONNECT/SUBSCRIBE handshake after `baseBackoffMs`, doubling up
+  *    to `maxBackoffMs` (systemd's RestartSec, capped), resetting after a
+  *    successful handshake; `maxReconnects` consecutive failures end the
+  *    stream (observable via [[isRunning]]). QoS-0 messages published
+  *    during the gap are lost — exactly the reference's gap semantics,
+  *    and why the epoch-idempotent sinks, not source replay, own
+  *    delivery guarantees.
+  *  - [[reconnectCount]] counts successful re-handshakes (spec + metric
+  *    observability). */
 final class MqttSubscriber(host: String, port: Int, topicFilter: String,
                            clientId: String,
-                           onMessage: (String, Array[Byte]) => Unit) {
+                           onMessage: (String, Array[Byte]) => Unit,
+                           reconnect: Boolean = false,
+                           baseBackoffMs: Long = 200L,
+                           maxBackoffMs: Long = 30000L,
+                           maxReconnects: Int = Int.MaxValue) {
   import MqttCodec._
 
-  private val socket = new Socket(host, port)
-  private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-  private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
   @volatile private var closed = false
+  @volatile private var socket: Socket = _
+  @volatile private var out: DataOutputStream = _
+  @volatile private var reconnectsDone = 0
 
-  writePacket(out, CONNECT, 0, connectBody(clientId, keepAliveSec = 0))
-  locally {
-    val ack = readPacket(in)
-    require(ack.ptype == CONNACK && ack.body(1) == 0,
-      s"mqtt: CONNACK refused (rc=${if (ack.body.length > 1) ack.body(1) else -1})")
+  /** Successful re-handshakes since start (0 on a healthy connection). */
+  def reconnectCount: Int = reconnectsDone
+
+  /** Full connect: socket + CONNECT/CONNACK + SUBSCRIBE/SUBACK. Throws on
+    * refusal; on success swaps the live socket/out and returns the input. */
+  private def connect(): DataInputStream = {
+    val s = new Socket(host, port)
+    try {
+      val i = new DataInputStream(new BufferedInputStream(s.getInputStream))
+      val o = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+      writePacket(o, CONNECT, 0, connectBody(clientId, keepAliveSec = 0))
+      val ack = readPacket(i)
+      require(ack.ptype == CONNACK && ack.body(1) == 0,
+        s"mqtt: CONNACK refused (rc=${if (ack.body.length > 1) ack.body(1) else -1})")
+      writePacket(o, SUBSCRIBE, 0x2, subscribeBody(1, topicFilter))
+      val sack = readPacket(i)
+      require(sack.ptype == SUBACK && (sack.body(2) & 0xff) <= 2, "mqtt: SUBACK refused")
+      socket = s; out = o
+      i
+    } catch { case e: Throwable =>
+      try s.close() catch { case _: Throwable => () }
+      throw e
+    }
   }
-  writePacket(out, SUBSCRIBE, 0x2, subscribeBody(1, topicFilter))
-  locally {
-    val ack = readPacket(in)
-    require(ack.ptype == SUBACK && (ack.body(2) & 0xff) <= 2, "mqtt: SUBACK refused")
-  }
+
+  // first connect: synchronous, so refusal surfaces at the call site
+  private val firstIn = connect()
 
   private val reader = new Thread(() => {
-    try {
-      while (!closed) {
-        val p = readPacket(in)
-        p.ptype match {
-          case PUBLISH =>
-            val (topic, payload) = decodePublish(p.body)
-            onMessage(topic, payload)
-          case PINGREQ => writePacket(out, PINGRESP, 0, Array.emptyByteArray)
-          case _ => () // PINGRESP / unexpected: ignore
+    var in = firstIn
+    var live = true
+    while (!closed && live) {
+      try {
+        while (!closed) {
+          val p = readPacket(in)
+          p.ptype match {
+            case PUBLISH =>
+              val (topic, payload) = decodePublish(p.body)
+              onMessage(topic, payload)
+            case PINGREQ => writePacket(out, PINGRESP, 0, Array.emptyByteArray)
+            case _ => () // PINGRESP / unexpected: ignore
+          }
         }
+      } catch {
+        case _: Throwable if closed => live = false // shutdown race
+        case _: Throwable if !reconnect => live = false // legacy: stream ends
+        case _: Throwable =>
+          // mid-stream disconnect: backoff-and-rehandshake loop
+          try socket.close() catch { case _: Throwable => () }
+          var backoff = baseBackoffMs
+          var attempts = 0
+          var connected = false
+          while (!closed && !connected && attempts < maxReconnects) {
+            attempts += 1
+            try Thread.sleep(backoff) catch { case _: InterruptedException => () }
+            backoff = math.min(backoff * 2, maxBackoffMs)
+            try {
+              in = connect()
+              connected = true
+              reconnectsDone += 1
+            } catch { case _: Throwable => () } // unreachable/refused: retry
+          }
+          if (!connected) live = false
       }
-    } catch {
-      case _: Throwable if closed => () // shutdown race: socket closed under the read
-      case _: EOFException => ()        // broker went away: stream ends
-      case _: java.net.SocketException => ()
     }
   }, s"graft-mqtt-$clientId")
   reader.setDaemon(true)
   reader.start()
 
+  /** False once the reader has given up (close() called, non-reconnecting
+    * disconnect, or maxReconnects exhausted). */
+  def isRunning: Boolean = reader.isAlive
+
   def close(): Unit = {
     closed = true
     try writePacket(out, DISCONNECT, 0, Array.emptyByteArray) catch { case _: Throwable => () }
     try socket.close() catch { case _: Throwable => () }
+    reader.interrupt()
   }
 }
 
@@ -233,11 +298,15 @@ private[sources] class MqttMicroBatchStream(host: String, port: Int,
   @GuardedBy("this")
   private var committedBase = 0L // messages trimmed from the buffer head
 
+  // r9: the streaming source rides the reconnecting subscriber — a broker
+  // blip heals in-process with backoff (the reference's systemd-restart
+  // semantics); the count-based offsets are connection-agnostic, and gap
+  // loss is the documented QoS-0 contract
   private val client = new MqttSubscriber(host, port, topic, clientId,
     (t, payload) => synchronized {
       buffer += ((t, new String(payload, UTF_8), System.currentTimeMillis() * 1000L))
       received += 1
-    })
+    }, reconnect = true)
 
   override def initialOffset(): Offset = MqttOffset(0L)
   override def deserializeOffset(json: String): Offset = MqttOffset(json.toLong)

@@ -74,7 +74,14 @@ object Alerts {
     * limit bounds driver memory no matter what upstream does. */
   def deliverStream(events: Dataset[NodeEvent], sink: AlertSink,
                     checkpoint: String,
-                    maxPerEpoch: Int = 1000): StreamingQuery =
+                    maxPerEpoch: Int = 1000): StreamingQuery = {
+    // r9 (ADVICE): maxPerEpoch <= 0 would make `head` empty while
+    // total > 0, and the summary event's head.last would throw
+    // NoSuchElementException — turning the flood-cap safety valve into a
+    // stream-killing crash on a misconfigured cap. Reject it up front.
+    require(maxPerEpoch >= 1,
+      s"maxPerEpoch must be >= 1 (got $maxPerEpoch); a zero or negative " +
+        "cap would suppress every alert and crash the summary event")
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -92,4 +99,5 @@ object Alerts {
             head.last.at_ms))
       }
       .start()
+  }
 }

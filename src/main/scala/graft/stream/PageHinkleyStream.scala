@@ -84,15 +84,27 @@ object PageHinkleyStream {
       }
 
       sorted.foreach { r =>
-        // densify the interior gap exactly like the batch grid
-        if (lastHu >= 0) {
-          var h = lastHu + 1
-          while (h < r.hu) { step(0.0, h); h += 1 }
+        if (lastHu >= 0 && r.hu <= lastHu) {
+          // Late, duplicate, or replayed hour: the grid has already stepped
+          // past it. Folding it as the NEXT step would double-count an hour
+          // the densifier already emitted (as 0 or its real count) and
+          // silently diverge from the batch dual forever. Degrade
+          // idempotently instead: leave state untouched and re-emit the
+          // current trajectory point so the violation is visible downstream
+          // (same hu seen twice) without corrupting (t, Σx, m, M).
+          out += PhRow(cls, r.hu, t.toLong, m, mMin, m - mMin,
+            alarmHu >= 0, if (alarmHu >= 0) Some(alarmHu) else None)
+        } else {
+          // densify the interior gap exactly like the batch grid
+          if (lastHu >= 0) {
+            var h = lastHu + 1
+            while (h < r.hu) { step(0.0, h); h += 1 }
+          }
+          step(r.n.toDouble, r.hu)
+          lastHu = r.hu
+          out += PhRow(cls, r.hu, t.toLong, m, mMin, m - mMin,
+            alarmHu >= 0, if (alarmHu >= 0) Some(alarmHu) else None)
         }
-        step(r.n.toDouble, r.hu)
-        lastHu = r.hu
-        out += PhRow(cls, r.hu, t.toLong, m, mMin, m - mMin,
-          alarmHu >= 0, if (alarmHu >= 0) Some(alarmHu) else None)
       }
       st.update(ser(t, sumx, m, mMin, lastHu, alarmHu))
       out.iterator

@@ -101,4 +101,60 @@ class PageHinkleyStreamSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("replayed / out-of-order hours degrade idempotently, never corrupting state") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // hand-built feed with a gap (h=3 silent): batch 1 in order, batch 2
+      // replays an already-folded hour AND an hour older than lastHu
+      // before delivering the genuinely-new one
+      val b1 = Seq(HourCount("a", 0L, 4L), HourCount("a", 1L, 6L), HourCount("a", 2L, 5L))
+      val b2 = Seq(HourCount("a", 2L, 5L),  // exact duplicate (replay)
+                   HourCount("a", 1L, 99L), // late row with a DIFFERENT count
+                   HourCount("a", 4L, 7L))  // the real next hour (gap at 3)
+      val delta = 0.2; val lambda = 3.0
+
+      val input = MemoryStream[HourCount]
+      val q = PageHinkleyStream.pageHinkleyStream(input.toDS(), delta, lambda)
+        .writeStream.format("memory").queryName("ph_ooo")
+        .outputMode("append").start()
+      try {
+        input.addData(b1)
+        pollUntil(60000)(spark.table("ph_ooo").count() >= b1.length)
+        input.addData(b2)
+        pollUntil(60000)(spark.table("ph_ooo").count() >= b1.length + b2.length)
+        val rows = spark.table("ph_ooo").collect()
+        assert(rows.length == b1.length + b2.length, "every input row emits")
+
+        // reference: the clean in-order fold over the deduped feed
+        def fold(xs: Seq[(Long, Long)]): (Double, Double, Double) = {
+          var t = 0.0; var sumx = 0.0; var m = 0.0; var mMin = 0.0; var last = -1L
+          def step(x: Double): Unit =
+            if (t == 0.0) { t = 1.0; sumx = x; m = -delta; mMin = -delta }
+            else {
+              val mN = m + (x - (sumx + x) / (t + 1.0) - delta)
+              mMin = math.min(mMin, mN); m = mN; t += 1.0; sumx += x
+            }
+          xs.foreach { case (hu, n) =>
+            if (last >= 0) { var h = last + 1; while (h < hu) { step(0.0); h += 1 } }
+            step(n.toDouble); last = hu
+          }
+          (t, m, mMin)
+        }
+        val (tExp, mExp, minExp) =
+          fold(Seq(0L -> 4L, 1L -> 6L, 2L -> 5L, 4L -> 7L))
+
+        val latest = rows.filter(_.getAs[Long]("hu") == 4L).head
+        assert(latest.getAs[Long]("n_hours") == tExp.toLong)
+        assert(latest.getAs[Double]("m_final") == mExp)
+        assert(latest.getAs[Double]("m_min") == minExp)
+
+        // the two out-of-contract rows re-emitted the pre-batch-2 state
+        // (t after h=2 is 3 steps) rather than folding
+        val stale = rows.filter(r => r.getAs[Long]("hu") < 2L &&
+          r.getAs[Long]("n_hours") == 3L)
+        assert(stale.length == 1, s"late row re-emits current state: ${rows.mkString(";")}")
+      } finally q.stop()
+    }
+  }
 }

@@ -20,6 +20,21 @@ class SamplingSpec extends SparkSpec {
     assert(a.forall { r => val x = r.getAs[Int]("bucket"); x >= 0 && x < 100 })
   }
 
+  test("systematic sample size is exactly ceil(n/k), including k = 1") {
+    val n = docs.count()
+    // r9 (ADVICE): k = 1 must return EVERYTHING — the old rnk % 1 == 1
+    // stride was always-false and inverted the size contract
+    assert(Sampling.sampleSystematic(docs, k = 1).count() == n)
+    Seq(2, 7, 20).foreach { k =>
+      val out = Sampling.sampleSystematic(docs, k = k).collect()
+      assert(out.length == ((n + k - 1) / k),
+        s"k=$k: expected ceil($n/$k) rows, got ${out.length}")
+      // selected ranks are exactly the 1, 1+k, 1+2k, ... stride
+      val ranks = out.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == 1L + i.toLong * k })
+    }
+  }
+
   test("per-group sample keeps at most k lowest-id docs per lang") {
     val out = Sampling.samplePerGroup(docs, k = 10).collect()
     out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>

@@ -52,4 +52,17 @@ class SourcesSpec extends SparkSpec {
     assert(real.map(_.node).sorted == (1L to 10L))
     assert(summary.map(_.event) == Seq("suppressed 15 more alerts"))
   }
+
+  test("alert sink rejects a non-positive cap up front (r9 ADVICE)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_alerts_zero").toString
+    val input = MemoryStream[NodeEvent]
+    val sink = new Alerts.MemorySink
+    // maxPerEpoch = 0 used to crash mid-epoch on head.last; now it is an
+    // explicit configuration error before the stream ever starts
+    val e = intercept[IllegalArgumentException] {
+      Alerts.deliverStream(input.toDS(), sink, s"$dir/ckpt", maxPerEpoch = 0)
+    }
+    assert(e.getMessage.contains("maxPerEpoch"))
+  }
 }
