@@ -28,9 +28,14 @@ def main() -> int:
             check=True, cwd="/root/repo")
 
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; GenData (r9 seed-fuzz/sf1)
+        # writes Spark-style directories — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)

@@ -16,15 +16,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    // r9: the context is a VAR so one pathological query cannot take the
+    // rest of the run hostage — the sf1 slope experiment saw a runaway
+    // wedge join kill the SparkContext and turn 192 later queries into
+    // "stopped SparkContext" errors. After any failure the loop now
+    // checks for a dead context and rebuilds the session before moving on.
+    var spark = newSession()
     // Warm up JVM/codegen/parquet-reader paths so the first timed query
     // doesn't absorb ~4s of JIT cost.
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
@@ -43,6 +52,10 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
+        if (spark.sparkContext.isStopped) {
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          spark = newSession()
+        }
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}")
       }
     }

@@ -92,7 +92,8 @@ object GenData {
       col("id").as("event_id"),
       timestamp_micros(lit(EPOCH_2024_US) +
         ((col("id").cast("double") / nEvents) * spanUs).cast("long") +
-        (u(seed, 1) * 60000000.0).cast("long")).as("ts"),
+        (u(seed, 1) * 60000000.0).cast("long"))
+        .cast("timestamp_ntz").as("ts"), // naive us — the fixture encoding
       (u(seed, 2) * nUsers).cast("long").as("user_id"),
       pick(seed, 3, Seq("click", "view", "purchase", "signup", "error")).as("event_type"),
       greatest(round(lit(-50.0) * log(lit(1.0) - u(seed, 4)), 2), lit(0.01)).as("value"),
@@ -162,7 +163,8 @@ object GenData {
       pick(seed, 25, Seq("P", "O", "F")).as("o_orderstatus"),
       round(lit(1000.0) + u(seed, 26) * 499000.0, 2).as("o_totalprice"),
       timestamp_micros(lit(EPOCH_1995_US) +
-        (u(seed, 27) * orderSpanDays).cast("long") * DAY_US).as("o_orderdate"),
+        (u(seed, 27) * orderSpanDays).cast("long") * DAY_US)
+        .cast("timestamp_ntz").as("o_orderdate"),
       pick(seed, 28, Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
@@ -182,7 +184,8 @@ object GenData {
       pick(seed, 37, Seq("A", "N", "R")).as("l_returnflag"),
       pick(seed, 38, Seq("O", "F")).as("l_linestatus"),
       timestamp_micros(lit(EPOCH_1995_US) + DAY_US +
-        (u(seed, 39) * shipSpanDays).cast("long") * DAY_US).as("l_shipdate"))
+        (u(seed, 39) * shipSpanDays).cast("long") * DAY_US)
+        .cast("timestamp_ntz").as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     println(s"generated sf=$sf seed=$seed at $out: events=$nEvents lineitem=$nLine " +

@@ -421,15 +421,24 @@ object Sessions {
     * one long/long double divide. */
   /** The co-activity edge frame shared by [[graphTriangles]] and
     * [[graphLinkJaccard]]: DISTINCT ordered user pairs (a < b) active in
-    * the same minute. One computation, many consumers (wedge legs,
+    * the same time bucket. One computation, many consumers (wedge legs,
     * closing-edge probe, degree census, neighbor lists) — memoized +
     * persisted via the Dedup shared cache (same lifecycle:
     * clearSharedCache / application end); without it Spark re-derives
-    * the distinct-pair build per consumer. */
-  private def coActivityEdges(events: DataFrame): DataFrame =
-    Dedup.memo(events, "triangle-edges") {
+    * the distinct-pair build per consumer.
+    *
+    * r9: `bucket` is the REAL density knob the census docs promise (the
+    * sf1 slope experiment measured it: 10× per-minute fleet density →
+    * 97× edges (110 k → 10.7 M) → m^1.5 wedge work 500× — the graph
+    * itself densifies quadratically, so at fleet scale the bucket
+    * narrows to keep "co-activity" meaning COINCIDENCE, not "both alive
+    * that minute"). Memo key carries the bucket so differently-bucketed
+    * graphs never alias. */
+  private def coActivityEdges(events: DataFrame,
+                              bucket: String = "minute"): DataFrame =
+    Dedup.memo(events, s"triangle-edges-$bucket") {
       val active = events
-        .select(col("user_id"), date_trunc("minute", col("ts")).as("hr"))
+        .select(col("user_id"), date_trunc(bucket, col("ts")).as("hr"))
         .distinct()
       active.as("x")
         .join(active.as("y"), col("x.hr") === col("y.hr") &&
@@ -461,15 +470,15 @@ object Sessions {
     edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
 
-  def graphTriangles(events: DataFrame): DataFrame = {
-    val edges = coActivityEdges(events)
+  def graphTriangles(events: DataFrame, bucket: String = "minute"): DataFrame = {
+    val edges = coActivityEdges(events, bucket)
     // deg and oriented each feed multiple consumers (orientation joins,
     // wedge self-join legs, the closing probe, the census) — memoized like
     // the edge frame itself so the plan references ONE cached build instead
     // of re-deriving the degree join per consumer (measured 3× at sf0.1).
     // Sequential memo calls, never nested (Dedup.memo contract).
-    val deg = Dedup.memo(events, "triangle-degrees") { edgeDegrees(edges) }
-    val oriented = Dedup.memo(events, "triangle-oriented") {
+    val deg = Dedup.memo(events, s"triangle-degrees-$bucket") { edgeDegrees(edges) }
+    val oriented = Dedup.memo(events, s"triangle-oriented-$bucket") {
       orientedEdges(edges, deg)
     }
     // wedge at the order-minimal vertex: out-neighbors u ≺ w of the same
@@ -563,10 +572,10 @@ object Sessions {
     * enumeration order, so the oracle's simpler id-ordered (a<b<c)
     * spelling lands the identical credits. Right-joined to the degree
     * frame so zero-triangle nodes keep their row. */
-  def graphLocalClustering(events: DataFrame): DataFrame = {
-    val edges = coActivityEdges(events)
-    val deg = Dedup.memo(events, "triangle-degrees") { edgeDegrees(edges) }
-    val oriented = Dedup.memo(events, "triangle-oriented") {
+  def graphLocalClustering(events: DataFrame, bucket: String = "minute"): DataFrame = {
+    val edges = coActivityEdges(events, bucket)
+    val deg = Dedup.memo(events, s"triangle-degrees-$bucket") { edgeDegrees(edges) }
+    val oriented = Dedup.memo(events, s"triangle-oriented-$bucket") {
       orientedEdges(edges, deg)
     }
     val wedges = oriented.as("o1")
@@ -606,14 +615,63 @@ object Sessions {
     * is correctly rounded in both engines ⇒ hash-match. Top-k via
     * TakeOrderedAndProject (sort+limit — no global window on the
     * unbounded candidate frame); the rank column rides a window over the
-    * ≤k surviving rows. */
-  def graphLinkJaccard(events: DataFrame, k: Int = 20): DataFrame = {
+    * ≤k surviving rows.
+    *
+    * r9 density hardening (the sf1 slope experiment, SURVEY §6): the
+    * wedge join materializes Σ deg(w)² candidate hits, and that sum is
+    * QUADRATIC in per-minute fleet density — the generated sf1 fixture
+    * (10× events in the same 30-day window = 10× occupancy) measured
+    * 10.7 M edges and Σ deg² = 3.1·10¹⁰, whose shuffle spill killed the
+    * whole local context (and took the rest of the bench with it). Two
+    * defenses, both shipped:
+    *
+    *  - **Pre-flight wedge budget** (`wedgeBudget`, default 2·10⁹): one
+    *    cheap agg over the memoized degree frame BEFORE the wedge join;
+    *    over budget throws an actionable error naming the escape instead
+    *    of grinding the cluster into a 100×-spill death. The same
+    *    pre-flight-before-committing-a-shuffle discipline as
+    *    `profile_join_cardinality`.
+    *  - **Capped-witness escape** (`maxWitnessDeg` > 0, declared as
+    *    `graph_link_jaccard_capped` at cap 64, oracle hash-matched):
+    *    common-neighbor WITNESSES are restricted to deg(w) ≤ cap, so
+    *    wedge work is bounded by Σ_{deg≤cap} deg² ≤ cap·Σdeg = 2·cap·|E|
+    *    — LINEAR in edges at any density. Full degrees still enter the
+    *    union term, so capped jaccard is a LOWER bound of the exact
+    *    score that discounts hub-mediated similarity — the standard
+    *    link-prediction practice (a shared broadcast hub says nothing
+    *    about two accounts; a shared 3-neighbor clique says a lot).
+    *    `KendallMergeSpec`'s sibling `GraphCapSpec` proves cap ≥ max
+    *    degree reproduces the exact form bit-for-bit. */
+  def graphLinkJaccard(events: DataFrame, k: Int = 20,
+                       maxWitnessDeg: Long = 0L,
+                       wedgeBudget: Long = 2000000000L): DataFrame = {
     val edges = coActivityEdges(events)
     val nbrs = edges.select(col("a").as("v"), col("b").as("w"))
       .union(edges.select(col("b").as("v"), col("a").as("w")))
     val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val common = nbrs.as("n1")
-      .join(nbrs.as("n2"), col("n1.w") === col("n2.w") &&
+    val witnessNbrs =
+      if (maxWitnessDeg > 0)
+        nbrs.join(deg.filter(col("deg") <= maxWitnessDeg)
+          .select(col("v").as("w")), Seq("w"))
+      else {
+        if (wedgeBudget > 0) {
+          val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+          val wedges = deg.agg(coalesce(sum(col("deg").cast(dec) * col("deg")),
+            lit(java.math.BigDecimal.ZERO).cast(dec)).as("w"))
+            .head().getDecimal(0)
+          if (wedges.compareTo(java.math.BigDecimal.valueOf(wedgeBudget)) > 0)
+            throw new IllegalStateException(
+              s"graph_link_jaccard: wedge work Σdeg² = $wedges exceeds the " +
+                s"$wedgeBudget budget — the co-activity graph is too dense for " +
+                "the exact wedge join (work is quadratic in per-minute fleet " +
+                "density). Use the capped-witness escape (maxWitnessDeg, " +
+                "declared as graph_link_jaccard_capped) or raise wedgeBudget " +
+                "knowingly.")
+        }
+        nbrs
+      }
+    val common = witnessNbrs.as("n1")
+      .join(witnessNbrs.as("n2"), col("n1.w") === col("n2.w") &&
         col("n1.v") < col("n2.v"))
       .groupBy(col("n1.v").as("a"), col("n2.v").as("b"))
       .agg(count(lit(1)).as("common"))
@@ -651,7 +709,7 @@ object Sessions {
   def graphDegreeAssortativity(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val edges = coActivityEdges(events)
-    val deg = Dedup.memo(events, "triangle-degrees") { edgeDegrees(edges) }
+    val deg = Dedup.memo(events, "triangle-degrees-minute") { edgeDegrees(edges) }
     val dec0 = DecimalType(38, 0)
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     edges

@@ -433,4 +433,197 @@ object Inference {
             (col("tsum") / lit(1000000000000.0))).as("q_stat"))
       .orderBy("event_type")
   }
+
+  /** r9: Dickey–Fuller unit-root screen per event class — the
+    * stationarity gate for the trend/forecast tier: [[Aggs.statMannKendall]]
+    * asks "is there a monotone trend", [[statLjungBox]] asks "is it white
+    * noise"; DF asks the question between them — "does the level mean-revert
+    * at all, or is this a random walk" (forecasting a unit-root series with
+    * [[Aggs.statHoltForecast]] extrapolates noise). The regression form with
+    * drift: Δy_t = a + φ·y_{t−1} + ε over CONSECUTIVE observed hours (a gap
+    * breaks the pair — Δ across a gap is not a one-step difference; same
+    * observed-series contract as `stat_autocorr_lag`, documented there), and
+    * DF = φ/se(φ), tested against the −2.86 asymptotic 5% critical value
+    * (the constant-only table). φ ≈ 0 ⇒ random walk; φ « 0 ⇒ mean-reverting.
+    *
+    * Exactness: pairs are integer (y_{t−1}, Δy); the five power sums
+    * accumulate in DECIMAL(38,0) (order-free), cross to double via the
+    * base-2^53 split, and the OLS t chain is one fixed IEEE sequence
+    * mirrored verbatim in the oracle — n·SSE is computed as
+    * n·syy − sy² − φ·(n·sxy − sx·sy) so no intermediate ever divides by n
+    * before the final ratio. Plan: one (class, hour) hash agg collapses the
+    * scan, one self-equi-join on the +1 hour key (hour-frame-sized, never
+    * events-sized), one class-key agg; 5-row output. */
+  def statDickeyFuller(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000 - 473352").as("hu"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = hourly.as("p")
+      .join(hourly.as("c"),
+        col("p.event_type") === col("c.event_type") &&
+          col("c.hu") === col("p.hu") + 1)
+      .select(col("p.event_type").as("event_type"), col("p.y").as("yl"),
+        (col("c.y") - col("p.y")).as("dy"))
+    val sums = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_pairs"),
+      d2(sum(col("yl").cast(dec))).as("sx"),
+      d2(sum(col("dy").cast(dec))).as("sy"),
+      d2(sum((col("yl") * col("dy")).cast(dec))).as("sxy"),
+      d2(sum((col("yl") * col("yl")).cast(dec))).as("sxx"),
+      d2(sum((col("dy") * col("dy")).cast(dec))).as("syy"))
+    val nd = col("n_pairs").cast("double")
+    val det = nd * col("sxx") - col("sx") * col("sx")
+    val nb = nd * col("sxy") - col("sx") * col("sy")
+    val phi = nb / det
+    val sseN = nd * col("syy") - col("sy") * col("sy") - phi * nb
+    sums
+      .withColumn("phi", when(det > 0, phi))
+      .withColumn("df_stat",
+        when(det > 0 && col("n_pairs") > 2 && sseN > 0,
+          col("phi") / sqrt(sseN / ((nd - lit(2.0)) * det))))
+      .select(col("event_type"), col("n_pairs"), col("phi"), col("df_stat"),
+        when(col("df_stat").isNotNull,
+          when(col("df_stat") < lit(-2.86), 1L).otherwise(0L))
+          .as("stationary_5pct"))
+      .orderBy("event_type")
+  }
+
+  /** r9: Durbin–Watson autocorrelation-of-residuals diagnostic per event
+    * class — the validity check ON [[Aggs.statRegressionHourly]]'s own fit:
+    * DW = Σ(e_t − e_{t−1})²/Σe_t² ≈ 2 means the linear-trend residuals are
+    * independent (the fit's standard errors are trustworthy); DW → 0 means
+    * positive serial correlation (the series drifts around the line and the
+    * regression is over-confident — reach for [[statDickeyFuller]]).
+    *
+    * Exactness — the INTEGER-RESIDUAL trick: the OLS solution over integer
+    * (x, y) has rational coefficients with the common denominator
+    * D = n·sxx − sx², so D·e_t = D·y_t − Na − Nb·x_t (Na = sy·sxx − sx·sxy,
+    * Nb = n·sxy − sx·sy) is an exact DECIMAL(38,0) integer — both DW sums
+    * run over integers (D² cancels in the ratio) and the single final
+    * divide is engine-exact. Magnitude bound (the Jarque–Bera class,
+    * documented not enforced: D ~ n²·x̄², so (D·e)² stays inside 38 digits
+    * while n·max(y)·x_span < ~10¹⁷ — decades of headroom for hourly
+    * counts). Numerator pairs are CONSECUTIVE observed hours (gap breaks
+    * the pair), denominator is all observed hours — the standard treatment,
+    * same contract as [[statDickeyFuller]]. Plan: one (class, hour) agg,
+    * one 5-row broadcast of the sums, one +1-hour self-equi-join on the
+    * hour frame, two class-key aggs. */
+  def statDurbinWatson(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000 - 473352").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val sums = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val withRes = hourly.join(broadcast(sums), "event_type")
+      .withColumn("det",
+        col("n_hours").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .filter(col("det") > 0 && col("n_hours") > 2)
+      .withColumn("de",
+        col("det") * col("y").cast(dec) -
+          (col("sy") * col("sxx") - col("sx") * col("sxy")) -
+          (col("n_hours").cast(dec) * col("sxy") - col("sx") * col("sy")) * col("x").cast(dec))
+    val den = withRes.groupBy(col("event_type")).agg(
+      max(col("n_hours")).as("n_hours"),
+      sum(col("de") * col("de")).as("den"))
+    val num = withRes.as("p")
+      .join(withRes.as("c"),
+        col("p.event_type") === col("c.event_type") &&
+          col("c.x") === col("p.x") + 1)
+      .select(col("p.event_type").as("event_type"),
+        (col("c.de") - col("p.de")).as("dd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dd") * col("dd")).as("num"))
+    den.join(num, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_hours"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(d2(col("den")) > 0, d2(coalesce(col("num"), lit(0).cast(dec))) / d2(col("den")))
+          .as("dw"))
+      .orderBy("event_type")
+  }
+
+  /** r9: Granger causality (lag 1, both directions) between the hourly
+    * click and purchase series — the step past correlation the whole
+    * co-movement tier ([[Aggs.statCorrHourly]], `stat_spearman_hourly`,
+    * [[statKendallTau]]) stops short of: does knowing LAST hour's clicks
+    * improve the prediction of THIS hour's purchases beyond purchases'
+    * own history? F = (SSE_r − SSE_u)·(n−3)/SSE_u comparing the
+    * restricted AR(1) fit against the unrestricted fit with the cross
+    * lag added, tested against the F(1, ∞) 5% critical value 3.84;
+    * both directions from ONE pass (feedback loops show up as both
+    * flags set).
+    *
+    * Exactness: triples (this-hour, last-hour) come from one +1-hour
+    * self-equi-join on the hourly frame (consecutive observed hours, the
+    * [[statDickeyFuller]] contract); the 14 moment sums accumulate in
+    * DECIMAL(38,0), cross via the 2^53 split, and both F statistics are
+    * one fixed IEEE chain over n-scaled centered moments (Â = n·Σab −
+    * Σa·Σb — no divide before the closed-form 2×2 solve, whose
+    * determinant arithmetic is textually mirrored in the oracle). The
+    * restricted-model denominators double as the guards: a constant
+    * series or collinear lags null the statistic rather than 0/0. Plan:
+    * one (hour) hash agg, one hour-frame self-join, one 14-sum agg;
+    * 1-row output. */
+  def statGranger(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val tri = hourly.as("p")
+      .join(hourly.as("c"), col("c.hu") === col("p.hu") + 1)
+      .select(col("c.x").as("cx"), col("c.y").as("cy"),
+        col("p.x").as("px"), col("p.y").as("py"))
+    def s2(a: String, b: String) =
+      d2(sum((col(a) * col(b)).cast(dec))).as(s"s_$a$b")
+    val sums = tri.agg(
+      count(lit(1)).as("n_pairs"),
+      d2(sum(col("cx").cast(dec))).as("s_cx"),
+      d2(sum(col("cy").cast(dec))).as("s_cy"),
+      d2(sum(col("px").cast(dec))).as("s_px"),
+      d2(sum(col("py").cast(dec))).as("s_py"),
+      s2("cx", "cx"), s2("cy", "cy"), s2("px", "px"), s2("py", "py"),
+      s2("cx", "px"), s2("cx", "py"), s2("cy", "px"), s2("cy", "py"),
+      s2("px", "py"))
+    val nd = col("n_pairs").cast("double")
+    def a(sab: Column, sa: Column, sb: Column): Column = nd * sab - sa * sb
+    // F for target t with own lag o and cross lag g (n-scaled centered
+    // moments; the 2×2 normal-equation solve in closed form)
+    def f(ayy: Column, ayl: Column, axl: Column,
+          byl: Column, bxl: Column, bylxl: Column): Column = {
+      val det = byl * bxl - bylxl * bylxl
+      val b = (ayl * bxl - axl * bylxl) / det
+      val c = (byl * axl - bylxl * ayl) / det
+      val sseR = ayy - (ayl * ayl) / byl
+      val sseU = ayy - b * ayl - c * axl
+      when(byl > 0 && det > 0 && sseU > 0 && col("n_pairs") > 3,
+        (sseR - sseU) * (nd - lit(3.0)) / sseU)
+    }
+    val bxx = a(col("s_pxpx"), col("s_px"), col("s_px"))
+    val byy = a(col("s_pypy"), col("s_py"), col("s_py"))
+    val bxy = a(col("s_pxpy"), col("s_px"), col("s_py"))
+    sums
+      .withColumn("f_x_to_y", f(
+        a(col("s_cycy"), col("s_cy"), col("s_cy")),
+        a(col("s_cypy"), col("s_cy"), col("s_py")),
+        a(col("s_cypx"), col("s_cy"), col("s_px")),
+        byy, bxx, bxy))
+      .withColumn("f_y_to_x", f(
+        a(col("s_cxcx"), col("s_cx"), col("s_cx")),
+        a(col("s_cxpx"), col("s_cx"), col("s_px")),
+        a(col("s_cxpy"), col("s_cx"), col("s_py")),
+        bxx, byy, bxy))
+      .select(col("n_pairs"), col("f_x_to_y"), col("f_y_to_x"),
+        when(col("f_x_to_y").isNotNull,
+          when(col("f_x_to_y") > lit(3.84), 1L).otherwise(0L))
+          .as("x_causes_y_5pct"),
+        when(col("f_y_to_x").isNotNull,
+          when(col("f_y_to_x") > lit(3.84), 1L).otherwise(0L))
+          .as("y_causes_x_5pct"))
+  }
 }

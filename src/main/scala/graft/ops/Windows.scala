@@ -640,4 +640,48 @@ object Windows {
         (col("trs").cast("double") / lit(n.toDouble) / lit(100.0)).as("atr"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** r9: stochastic oscillator %K/%D per user — the range-position read
+    * completing the TA family's fourth face (RSI = momentum magnitude,
+    * Bollinger = band breakout, ATR = range size; %K says WHERE in the
+    * trailing range the value sits, the overbought/oversold screen):
+    * %K = 100·(c − loN)/(hiN − loN) over the trailing n readings,
+    * %D = the 3-reading smoothing of %K. The reference eyeballs exactly
+    * this on its comparison plots (`graphdata.py:98-192` — "is the
+    * reading near its recent high"); this is the queryable form.
+    *
+    * Exactness: hi/lo/close are SELECTIONS over integer cents (exact
+    * under any merge order); %K is one integer-difference divide; %D is
+    * the explicit lag chain (k₋₂ + k₋₁ + k)/3 — NOT a windowed avg over
+    * doubles (a frame-sum of doubles is fold-order-sensitive; the lag
+    * spelling fixes the add order textually in both engines). Warm-up
+    * rows (fewer than n in frame) are filtered AFTER the lag chain, so
+    * %D's first values smooth over the same partial-window %Ks in both
+    * engines — mirrored exactly. Flat windows (hi = lo) yield null %K
+    * (and propagate null into %D), not a 0/0. Plan: one user-keyed
+    * window stack (count/max/min, one frame) + two lags on the same
+    * sort — a single exchange, all map-side after it. */
+  def windowStochastic(events: DataFrame, n: Int = 14): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    events.filter(col("value").isNotNull)
+      .withColumn("c",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).cast("long"))
+      .withColumn("nd", count(col("c")).over(wN))
+      .withColumn("hi", max(col("c")).over(wN))
+      .withColumn("lo", min(col("c")).over(wN))
+      .withColumn("k", when(col("hi") > col("lo"),
+        lit(100.0) * (col("c") - col("lo")).cast("double") /
+          (col("hi") - col("lo")).cast("double")))
+      .withColumn("kd",
+        (lag(col("k"), 2).over(wOrd) + lag(col("k"), 1).over(wOrd) + col("k")) /
+          lit(3.0))
+      .filter(col("nd") === n)
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        col("value"), col("hi").as("hi_cents"), col("lo").as("lo_cents"),
+        col("k").as("pct_k"), col("kd").as("pct_d"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -32,7 +32,7 @@ class PlanLintSpec extends SparkSpec {
     "agg_distinct_union_kmv",                            // 1-row theta/exact frames
     "agg_distinct_diff_kmv",                             // 1-row theta/exact frames
     "stat_chi_square",                                   // classes×4 dense grid cross
-    "graph_triangles",                                   // 1-row census frames
+    "graph_triangles", "graph_triangles_fine",           // 1-row census frames
     "events_rfm_scores",                                 // 1-row n_users frame (r6 banded ntile)
     "events_pareto_deciles",                             // 1-row max-rank frame (r6)
     "agg_quantiles_sketch",                              // 3-row quantile dim (r7)
@@ -47,7 +47,8 @@ class PlanLintSpec extends SparkSpec {
     "stat_kendall_tau",                                  // hour-pair inequality join over the time-bounded hourly frame (r8)
     "events_type_affinity",                              // 1-row n_baskets frame (r8)
     "sim_search_ivf_recall",                             // ≤nQueries-row query side via sim_search_cosine_topk (r8)
-    "stat_friedman"                                      // ≤k-row class dim grid cross + 1-row totals frame (r8)
+    "stat_friedman",                                     // ≤k-row class dim grid cross + 1-row totals frame (r8)
+    "stat_kendall_tau_merge"                             // 1-row crosses: count × inversion-total × 3 tie frames (r9)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
