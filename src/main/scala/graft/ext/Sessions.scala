@@ -1112,6 +1112,60 @@ object Sessions {
       .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
       .orderBy("component_size")
   }
+
+  /** r9: stationary distribution of the event-type Markov chain — the
+    * long-run answer [[eventsTransitionMatrix]] only implies: where does
+    * a user's session settle if the observed transition dynamics run
+    * forever (the PageRank-without-teleport of the behavioral chain, and
+    * the baseline mix that makes a transition-matrix drift alarm
+    * actionable). Power iteration x ← xP, `iters` rounds UNROLLED.
+    * EXACTNESS — the floating trap here is real: Σᵢ xᵢ·pᵢⱼ sums doubles
+    * in group order, which no engine pins. So the iteration runs in
+    * INTEGER FIXED-POINT: x is parts-per-billion (long), each
+    * contribution is floor(xᵢ·nᵢⱼ / rowsumᵢ) — the product exact in
+    * DECIMAL(38,0) (xᵢ ≤ 10⁹ but nᵢⱼ is row-scaled; at 10¹² transitions
+    * the product needs 21 digits — decades of headroom), the floor-div
+    * deterministic, and the per-state Σ over exact integers
+    * order-independent. The ≤ k·(k−1) ppb of mass the floors shave per
+    * round is a deterministic truncation BOTH engines reproduce
+    * bit for bit — the `emb_quantize_int8` philosophy: quantize once,
+    * exactly, rather than trust cross-engine float folds. States with no
+    * outgoing edges shed their mass (the chain's true absorbing-loss
+    * semantics, explicit). SCALE: one data-scaled user-window pass
+    * builds the ≤k² count matrix; the 8 unrolled rounds are joins/aggs
+    * on that k²-row frame — volume-independent after the first agg. */
+  def eventsMarkovStationary(events: DataFrame, iters: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val rowsums = trans.groupBy(col("src")).agg(sum(col("n")).as("rn"))
+    // persist the ≤k² matrix and ≤k state dim: every unrolled round
+    // references both, and without the cache each reference re-runs the
+    // data-scaled lead-window pass — 8× the fact scans for a frame of a
+    // few dozen rows (ContextCleaner reclaims on reference drop, the
+    // rankByRange pattern)
+    val tmat = trans.join(rowsums, "src").persist()
+    val states = trans.select(col("src").as("state"))
+      .union(trans.select(col("dst").as("state"))).distinct().persist()
+    var x = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select(col("state"), idiv(lit(1000000000L), col("k")).as("x"))
+    for (_ <- 1 to iters) {
+      val contrib = x.join(tmat, x("state") === tmat("src"))
+        .select(col("dst").as("state"),
+          idiv(col("x").cast(dec) * col("n"), col("rn")).as("t"))
+        .groupBy(col("state")).agg(sum(col("t")).as("xn"))
+      x = states.join(contrib, Seq("state"), "left")
+        .select(col("state"), coalesce(col("xn"), lit(0L)).as("x"))
+    }
+    x.select(col("state"), col("x").as("stationary_ppb")).orderBy("state")
+  }
 }
 
 /** The per-day linear sweep behind [[Sessions.joinIntervalOverlap]]:

@@ -2155,4 +2155,201 @@ object Aggs {
           .as("seasonal_strength"))
       .orderBy("event_type")
   }
+
+  /** r9: theta-method one-step forecast per event class — the
+    * M3-competition workhorse, completing the forecaster tier between
+    * [[statEwmaHourly]] (level only, lags trends) and
+    * [[statHoltForecast]] (level + adaptive trend): by the standard
+    * decomposition the θ=2 method IS simple exponential smoothing plus
+    * half the linear-trend slope as drift, so it reuses this library's
+    * two proven exactness recipes VERBATIM — the SES fold is
+    * `stat_ewma_hourly`'s aggregate-HOF recursion (DuckDB `list_reduce`
+    * reproduces the IEEE chain in identical order), and the slope is
+    * `stat_regression_hourly`'s integer-power-sum chain. Observed hourly
+    * series (gaps fold nothing — the EWMA dual's contract). One hash agg
+    * collapses the scan; the fold and the sums ride two class-key aggs
+    * joined on the 5-row class dim. */
+  def tsThetaForecast(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000 - 473352").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val sums = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+    val ses = hourly
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("series"))
+      .select(col("event_type"),
+        expr("""aggregate(
+                  slice(transform(series, s -> cast(s.y as double)), 2, size(series) - 1),
+                  cast(element_at(series, 1).y as double),
+                  (acc, v) -> (v + acc) / 2.0d)""").as("ses_level"))
+    val det = col("n_hours") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n_hours") * col("sxy") - col("sx") * col("sy")) / det
+    sums.join(ses, "event_type")
+      .filter(det > 0)
+      .withColumn("slope", slope)
+      .select(col("event_type"), col("n_hours"), col("ses_level"), col("slope"),
+        (col("ses_level") + col("slope") / lit(2.0)).as("forecast_next"))
+      .orderBy("event_type")
+  }
+
+  /** r9: total-variation drift screen per event class — the BINNED
+    * drift distance next to [[statKsDrift]]'s CDF-based one: KS is the
+    * max vertical CDF gap (sensitive to one sharp shift), TVD =
+    * ½Σ|p_i − q_i| over value bins is the mass that MOVED (sensitive to
+    * spread-out reshaping KS under-weights) — the standard pairing on a
+    * data-quality dashboard, and the log-free member of the
+    * PSI/KL family (this library's transcendental-free exactness recipe
+    * rules out ln; TVD needs none). Same halves split as KS; bins are
+    * width-10 value buckets (floor(v/10), one deterministic IEEE op).
+    * The numerator Σ|c1_i·n2 − c2_i·n1| is exact integers with the
+    * common denominator n1·n2 factored out; ONE divide at the edge.
+    * A bin observed on only one side contributes its full one-sided
+    * mass automatically (the other count is 0). One (class, bin) hash
+    * agg, one class agg — no windows. */
+  def statTvDrift(events: DataFrame,
+                  cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cut = lit(cutoff).cast("timestamp")
+    val cells = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(10.0)).cast("long").as("bin"))
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("c2"))
+    val totals = cells.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cells.join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_bins")).as("n_bins"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1")).cast(dec))
+          .as("tvq"))
+      .select(col("event_type"), col("n_bins"), col("n1"), col("n2"),
+        graft.Det.decToDouble(col("tvq")).as("tv_num"),
+        when(col("n1") > 0 && col("n2") > 0,
+          graft.Det.decToDouble(col("tvq")) /
+            (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+          .as("tvd"))
+      .orderBy("event_type")
+  }
+
+  /** r9: lagged cross-correlation between the hourly click and purchase
+    * series — the LEAD/LAG structure read the co-movement tier stops
+    * short of: [[statCorrHourlyCounts]] asks "do they move together",
+    * `stat_granger` asks "does one PREDICT the other at lag 1"; the
+    * cross-correlogram asks WHICH lag carries the relationship (negative
+    * lag = purchases lead clicks, positive = clicks lead purchases —
+    * the conversion-delay fingerprint, and the lag-picker that chooses
+    * `stat_granger`'s lag). Pairs (x at t, y at t+lag) come from a
+    * self-equi-join of the tiny hourly frame on the SHIFTED hour key
+    * (exact epoch micros arithmetic — the [[statAutocorrLag]] contract:
+    * gaps drop out rather than silently pairing non-adjacent hours as a
+    * LAG window would). Pearson r per lag from exact DECIMAL(38,0)
+    * power sums + the fixed-order double chain; zero-variance lags
+    * excluded by the same predicate in both engines. SCALE: the hourly
+    * frame is bounded by the span; the lag fan-out is a fixed ×7
+    * map-side explode — one fact scan, two small shuffles. */
+  def tsCrossCorr(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hu"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val lags = Seq(-24L, -6L, -1L, 0L, 1L, 6L, 24L)
+    val left = hourly
+      .select(col("hu"), col("x"),
+        explode(array(lags.map(lit(_)): _*)).as("lag"))
+      .withColumn("hu2", col("hu") + col("lag") * lit(3600000000L))
+    val right = hourly.select(col("hu").as("hu2"), col("y"))
+    val sums = left.join(right, "hu2")
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+    sums
+      .filter(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n_pairs") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_pairs") * col("syy") - col("sy") * col("sy"))))
+          .as("xcorr"))
+      .orderBy("lag")
+  }
+
+  /** r9: partial autocorrelation (lags 1–3) of hourly traffic per event
+    * class — the AR-order picker [[statAutocorrLag]] cannot be: a pure
+    * AR(1) series shows raw autocorrelation at EVERY lag (r_k = r₁^k
+    * leaks through), while its PACF cuts off sharply after lag 1 — the
+    * Box–Jenkins identification read that says which `ml_lag_features`
+    * columns carry signal and which are echo. Lag correlations come
+    * from the [[statAutocorrLag]] recipe (shifted-hour equi-join, exact
+    * DECIMAL(38,0) power sums, fixed Pearson chain — gaps drop out);
+    * the Durbin–Levinson recursion to level 3 is then a FIXED chain of
+    * correctly-rounded double ops on those bit-identical r values:
+    *   φ₁₁ = r₁,  φ₂₂ = (r₂ − r₁²)/(1 − r₁²),  φ₂₁ = r₁ − φ₂₂r₁,
+    *   φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂)
+    * — mirrored op for op in the oracle, so even the recursion
+    * hash-matches. Degenerate denominators null out via the same
+    * predicate in both engines; a class missing a lag (too few hours)
+    * propagates null through the chain identically. SCALE: the hourly
+    * frame is span-bounded; fixed ×3 lag fan-out; one fact scan. */
+  def statPacf(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hu"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = hourly
+      .select(col("event_type"), col("hu"), col("n"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("lag"))
+      .withColumn("hu2", col("hu") + col("lag") * lit(3600000000L))
+    val right = hourly.select(col("event_type"), col("hu").as("hu2"),
+      col("n").as("y"))
+    val sums = lagged.join(right, Seq("event_type", "hu2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(
+        count(lit(1)).as("np"),
+        sum(col("n").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("n") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("n") * col("n")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+    val rs = sums
+      .filter(col("np") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("np") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("event_type"), col("lag"),
+        ((col("np") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("np") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("np") * col("syy") - col("sy") * col("sy")))).as("r"))
+    rs.groupBy(col("event_type"))
+      .agg(max(when(col("lag") === 1L, col("r"))).as("r1"),
+        max(when(col("lag") === 2L, col("r"))).as("r2"),
+        max(when(col("lag") === 3L, col("r"))).as("r3"))
+      .withColumn("den2", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("phi22", when(col("den2") =!= 0.0,
+        (col("r2") - col("r1") * col("r1")) / col("den2")))
+      .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+      .withColumn("den3",
+        lit(1.0) - col("phi21") * col("r1") - col("phi22") * col("r2"))
+      .withColumn("phi33", when(col("den3") =!= 0.0,
+        (col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1")) /
+          col("den3")))
+      .select(col("event_type"), col("r1"), col("r2"), col("r3"),
+        col("r1").as("pacf1"), col("phi22").as("pacf2"),
+        col("phi33").as("pacf3"))
+      .orderBy("event_type")
+  }
 }

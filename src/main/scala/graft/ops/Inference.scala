@@ -547,6 +547,81 @@ object Inference {
       .orderBy("event_type")
   }
 
+  /** r9: Engle–Granger cointegration screen between the hourly click and
+    * purchase series — the long-run counterpart of [[statGranger]]: two
+    * individually drifting series can still be chained to a COMMON
+    * stochastic trend (demand), and a pipeline that models their ratio is
+    * only sound if they are. Step 1 regresses y on x (with intercept);
+    * step 2 runs the [[statDickeyFuller]] regression on the residuals —
+    * residuals that mean-revert ⇒ cointegrated. Tested against the
+    * Engle–Granger 2-variable 5% asymptotic critical value −3.34 (more
+    * negative than plain DF's −2.86 because the residuals come from a
+    * fitted line).
+    *
+    * Exactness — the two tricks COMPOSE: [[statDurbinWatson]]'s
+    * integer-residual scaling (D·e_t = D·y_t − Na − Nb·x_t, one exact
+    * DECIMAL(38,0) integer per hour) feeds [[statDickeyFuller]]'s ADF
+    * chain unchanged, because the DF statistic is scale-invariant — the
+    * common denominator D multiplies both the regressand and regressor of
+    * the residual regression, so φ and its t are IDENTICAL on D·e and e,
+    * with no divide until the final chain. β itself divides the exact
+    * integers Nb/D once at the edge. Magnitude bound (documented, the
+    * Jarque–Bera class): the residual power sums square D·e, so the chain
+    * holds while n·(D·max|e|)² < 10³⁸ — hourly-count magnitudes clear it
+    * by ~10 decades. Plan: one hourly agg, one 1-row sums broadcast, one
+    * +1-hour self-join on the residual frame, one 5-sum agg; 1-row
+    * output. */
+  def statCointegration(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000 - 473352").as("hu"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val sums = hourly.agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val res = hourly.crossJoin(broadcast(sums))
+      .withColumn("det",
+        col("n_hours").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .filter(col("det") > 0 && col("n_hours") > 3)
+      .withColumn("de",
+        col("det") * col("y").cast(dec) -
+          (col("sy") * col("sxx") - col("sx") * col("sxy")) -
+          (col("n_hours").cast(dec) * col("sxy") - col("sx") * col("sy")) * col("x").cast(dec))
+    val pairs = res.as("p")
+      .join(res.as("c"), col("c.hu") === col("p.hu") + 1)
+      .select(col("p.n_hours").as("n_hours"),
+        col("p.det").as("det0"),
+        (col("p.n_hours").cast(dec) * col("p.sxy") - col("p.sx") * col("p.sy")).as("nb0"),
+        col("p.de").as("el"), (col("c.de") - col("p.de")).as("dd"))
+    val s = pairs.groupBy(col("n_hours"), col("det0"), col("nb0")).agg(
+      count(lit(1)).as("n_pairs"),
+      d2(sum(col("el"))).as("sl"),
+      d2(sum(col("dd"))).as("sd"),
+      d2(sum(col("el") * col("dd"))).as("sld"),
+      d2(sum(col("el") * col("el"))).as("sll"),
+      d2(sum(col("dd") * col("dd"))).as("sdd"))
+    val nd = col("n_pairs").cast("double")
+    val det = nd * col("sll") - col("sl") * col("sl")
+    val nb = nd * col("sld") - col("sl") * col("sd")
+    val phi = nb / det
+    val sseN = nd * col("sdd") - col("sd") * col("sd") - phi * nb
+    s
+      .withColumn("beta", d2(col("nb0")) / d2(col("det0")))
+      .withColumn("phi", when(det > 0, phi))
+      .withColumn("adf_stat",
+        when(det > 0 && col("n_pairs") > 2 && sseN > 0,
+          col("phi") / sqrt(sseN / ((nd - lit(2.0)) * det))))
+      .select(col("n_hours"), col("n_pairs"), col("beta"), col("phi"),
+        col("adf_stat"),
+        when(col("adf_stat").isNotNull,
+          when(col("adf_stat") < lit(-3.34), 1L).otherwise(0L))
+          .as("cointegrated_5pct"))
+  }
+
   /** r9: Granger causality (lag 1, both directions) between the hourly
     * click and purchase series — the step past correlation the whole
     * co-movement tier ([[Aggs.statCorrHourly]], `stat_spearman_hourly`,

@@ -311,4 +311,64 @@ object RankStats {
           lit(3.0) * col("nd") * (col("kd") + lit(1.0))).as("q_stat"))
       .orderBy("event_type")
   }
+
+  /** r9: Wilcoxon signed-rank test on the PAIRED hourly click/purchase
+    * counts — the missing cell in the nonparametric grid:
+    * [[statMannWhitney]] compares two INDEPENDENT samples,
+    * `stat_sign_test` compares paired samples but throws away magnitude;
+    * Wilcoxon keeps the pairing AND the magnitude ranks (the standard
+    * pre/post or A/B-on-the-same-units test; reference anchor: the
+    * per-branch message tallies compared across branches,
+    * `AIRWISEv0v1comb.py:240-321`). Per hour d = clicks − purchases;
+    * zero diffs drop (the classic Wilcoxon convention, shared with the
+    * sign test); ranks are over |d| with tie averaging; normal
+    * approximation with tie-corrected variance:
+    *   W⁺ = Σ_{d>0} r̄(|d|),   E[W⁺] = n(n+1)/4,
+    *   Var = n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+    * EXACTNESS: the pooled |d| sample is never row-ranked — the same
+    * contingency-cell identity as the other rank tests (2r̄(v) =
+    * 2·cntLess(v) + t(v) + 1 via [[rankedValues]]), so 2W⁺ is an exact
+    * DECIMAL(38,0); 2·E = n(n+1)/2 and 48·Var = 2n(n+1)(2n+1) − Σ(t³−t)
+    * are exact integers; one base-2^53 split each, then a single fixed
+    * IEEE chain (sub, halve, divide-by-√). SCALE: the hourly frame is
+    * bounded by the time span (not the row count) and the cells frame by
+    * the |d| vocabulary; one fact-table scan, two tiny aggs, no windows
+    * over data-scaled frames. One row out. */
+  def statWilcoxonSignedRank(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val diffs = hourly.select((col("x") - col("y")).as("d"))
+      .filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("c"), (col("d") > 0).as("pos"))
+    val cells = diffs.groupBy(col("c"), col("pos")).agg(count(lit(1)).as("mv"))
+    val rv = rankedValues(cells)
+    val d2 = graft.Det.decToDouble _
+    val wplus = cells.filter(col("pos")).join(rv, "c")
+      .agg(coalesce(sum(col("mv").cast(dec38) *
+        (lit(2L) * col("cnt_less") + col("tv") + lit(1L))), lit(0L).cast(dec38))
+        .as("w2"))
+    val totals = rv.agg(
+      sum(col("tv")).as("n"),
+      sum(col("tv").cast(dec38) * col("tv") * col("tv") - col("tv")).as("t3t"))
+    totals.crossJoin(broadcast(wplus))
+      // 2E[W⁺] = n(n+1)/2 and 48·Var = 2n(n+1)(2n+1) − Σ(t³−t), both
+      // exact integers (n(n+1) is always even); one split cast each
+      .withColumn("mean2",
+        idiv(col("n").cast(dec38) * (col("n") + lit(1L)), lit(2L)))
+      .withColumn("varnum",
+        lit(2L) * col("n").cast(dec38) * (col("n") + lit(1L)) *
+          (lit(2L) * col("n") + lit(1L)) - col("t3t"))
+      .withColumn("wd", d2(col("w2")))
+      .withColumn("md", d2(col("mean2")))
+      .withColumn("vd", d2(col("varnum")) / lit(48.0))
+      .select(col("n").as("n_pairs"),
+        (col("wd") / lit(2.0)).as("w_plus"),
+        (col("md") / lit(2.0)).as("mean_w"),
+        col("vd").as("var_w"),
+        when(col("vd") > 0,
+          (col("wd") - col("md")) / lit(2.0) / sqrt(col("vd"))).as("z_score"))
+  }
 }

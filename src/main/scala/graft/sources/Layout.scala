@@ -75,8 +75,10 @@ object Layout {
     * production path is a range-partitioned write of the same key,
     * [[compactTimePartitioned]]-style); everything downstream is
     * integer-exact. */
-  def zorderSkipping(events: DataFrame, blockRows: Int = 512,
-                     probeUser: Long = 42L): DataFrame = {
+  /** The 256×256-bucketed (user, hour) frame both curve layouts index:
+    * min-max normalization bounds from a 1-row agg broadcast back over
+    * the input, bucket = (x−lo)·256 div (hi−lo+1) pure integer. */
+  private def curveBase(events: DataFrame): DataFrame = {
     val raw = events.select(col("event_id"), col("user_id"), col("ts"),
       expr("unix_micros(ts) div 3600000000").as("hu"))
     val bounds = raw.agg(
@@ -84,26 +86,92 @@ object Layout {
       min(col("hu")).as("h_lo"), max(col("hu")).as("h_hi"))
     def bucket(x: String, lo: String, hi: String): Column =
       expr(s"(($x - $lo) * 256) div ($hi - $lo + 1)")
-    val base = raw.crossJoin(broadcast(bounds))
+    raw.crossJoin(broadcast(bounds))
       .withColumn("ub", bucket("user_id", "u_lo", "u_hi"))
       .withColumn("hb", bucket("hu", "h_lo", "h_hi"))
       .withColumn("z",
         spread16(col("ub")).bitwiseOR(shiftleft(spread16(col("hb")), 1)))
-    def layoutStats(name: String, order: Seq[Column]): DataFrame =
-      base
-        .withColumn("rk", row_number().over(Window.orderBy(order: _*)))
-        .withColumn("blk", expr(s"(rk - 1) div $blockRows"))
-        .groupBy(col("blk"))
-        .agg(min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
-          count(lit(1)).as("n"))
-        .withColumn("hit", col("u_min") <= probeUser && col("u_max") >= probeUser)
-        .agg(count(lit(1)).as("n_blocks"),
-          sum(when(col("hit"), 1L).otherwise(0L)).as("blocks_hit"),
-          sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_hit"))
-        .select(lit(name).as("layout"), col("n_blocks"), col("blocks_hit"),
-          col("rows_hit"))
-    layoutStats("time_sorted", Seq(col("ts"), col("event_id")))
-      .unionByName(layoutStats("z_sorted", Seq(col("z"), col("event_id"))))
+  }
+
+  /** Slice a total order into `blockRows`-row "files" and report the
+    * min/max-pruning outcome for `user_id = probeUser` (the simulated
+    * footer-stats skip a real writer's range sort would produce). */
+  private def layoutStats(base: DataFrame, blockRows: Int, probeUser: Long,
+                          name: String, order: Seq[Column]): DataFrame =
+    base
+      .withColumn("rk", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("blk", expr(s"(rk - 1) div $blockRows"))
+      .groupBy(col("blk"))
+      .agg(min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+        count(lit(1)).as("n"))
+      .withColumn("hit", col("u_min") <= probeUser && col("u_max") >= probeUser)
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("blocks_hit"),
+        sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_hit"))
+      .select(lit(name).as("layout"), col("n_blocks"), col("blocks_hit"),
+        col("rows_hit"))
+
+  def zorderSkipping(events: DataFrame, blockRows: Int = 512,
+                     probeUser: Long = 42L): DataFrame = {
+    val base = curveBase(events)
+    layoutStats(base, blockRows, probeUser, "time_sorted",
+        Seq(col("ts"), col("event_id")))
+      .unionByName(layoutStats(base, blockRows, probeUser, "z_sorted",
+        Seq(col("z"), col("event_id"))))
+      .orderBy("layout")
+  }
+
+  /** r9: Hilbert-curve layout next to the Z-order one — the curve every
+    * production clustering service has been migrating TO (Delta's
+    * liquid clustering, BigQuery clustering): Z-order's bit interleave
+    * has "seams" where consecutive keys jump across the key space (at
+    * every power-of-two boundary the curve teleports), so a block of
+    * consecutive z values can span a wide (user, hour) rectangle; the
+    * Hilbert curve is continuous (every consecutive pair of d values is
+    * an adjacent cell), giving tighter per-file min/max bounds for the
+    * same file size. The standard xy2d walk — per bit level s:
+    * quadrant = (3·rx) XOR ry, d += s²·quadrant, then the reflect/swap
+    * rotation — UNROLLED into 8 per-stage projections (one per bit of
+    * the 256-cell grid): each stage materializes (hx, hy, hd) once, so
+    * the expression tree stays linear instead of branching 3^8 ways,
+    * and the whole chain is pure integer CASE/AND/XOR arithmetic —
+    * bit-identical in any engine, fully inside one codegen stage, zero
+    * extra exchanges over the z query (the curve index is map-side).
+    * Output: the same three-way skipping decision table as
+    * [[zorderSkipping]] plus the `hilbert_sorted` row — n_blocks /
+    * blocks_hit / rows_hit per layout for the point probe, the
+    * numbers that pick the write layout at 100 TB. */
+  /** Append `hd` = the Hilbert-curve index of the 8-bit (`xCol`, `yCol`)
+    * pair (256×256 grid, d ∈ [0, 65535]) — one materialized projection
+    * per bit level so the expression tree stays linear. The curve laws
+    * (bijectivity over the grid, unit-step adjacency of consecutive d)
+    * are pinned by `HilbertSpec`. */
+  def hilbertIndex(df0: DataFrame, xCol: String, yCol: String): DataFrame = {
+    var df = df0.withColumn("hx", col(xCol)).withColumn("hy", col(yCol))
+      .withColumn("hd", lit(0L))
+    for (s <- Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)) {
+      val rx = when(col("hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      df = df.withColumns(Map(
+        "hd" -> (col("hd") + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)),
+        "hx" -> when(ry === 0L, when(rx === 1L, lit(s - 1) - col("hy"))
+          .otherwise(col("hy"))).otherwise(col("hx")),
+        "hy" -> when(ry === 0L, when(rx === 1L, lit(s - 1) - col("hx"))
+          .otherwise(col("hx"))).otherwise(col("hy"))))
+    }
+    df.drop("hx", "hy")
+  }
+
+  def hilbertSkipping(events: DataFrame, blockRows: Int = 512,
+                      probeUser: Long = 42L): DataFrame = {
+    val base = hilbertIndex(curveBase(events), "ub", "hb")
+      .select(col("event_id"), col("user_id"), col("ts"), col("z"), col("hd"))
+    layoutStats(base, blockRows, probeUser, "time_sorted",
+        Seq(col("ts"), col("event_id")))
+      .unionByName(layoutStats(base, blockRows, probeUser, "z_sorted",
+        Seq(col("z"), col("event_id"))))
+      .unionByName(layoutStats(base, blockRows, probeUser, "hilbert_sorted",
+        Seq(col("hd"), col("event_id"))))
       .orderBy("layout")
   }
 

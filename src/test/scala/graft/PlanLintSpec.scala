@@ -48,7 +48,11 @@ class PlanLintSpec extends SparkSpec {
     "events_type_affinity",                              // 1-row n_baskets frame (r8)
     "sim_search_ivf_recall",                             // ≤nQueries-row query side via sim_search_cosine_topk (r8)
     "stat_friedman",                                     // ≤k-row class dim grid cross + 1-row totals frame (r8)
-    "stat_kendall_tau_merge"                             // 1-row crosses: count × inversion-total × 3 tie frames (r9)
+    "stat_kendall_tau_merge",                            // 1-row crosses: count × inversion-total × 3 tie frames (r9)
+    "stat_cointegration",                                // 1-row step-1 sums frame crossed onto the hourly frame (r9)
+    "layout_hilbert_skipping",                           // 1-row bounds agg × 3 layout orders (r9)
+    "stat_wilcoxon_signed_rank",                         // 1-row W⁺ frame crossed onto the 1-row totals frame (r9)
+    "events_markov_stationary"                           // 1-row state-count frame crossed onto the ≤k-row state dim (r9)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
