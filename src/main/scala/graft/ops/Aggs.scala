@@ -2352,4 +2352,130 @@ object Aggs {
         col("phi33").as("pacf3"))
       .orderBy("event_type")
   }
+
+  /** r9: rescaled-range (R/S) table per event class — the long-memory
+    * screen the correlation tier cannot see: [[statAutocorrLag]] reads
+    * SHORT-range dependence at fixed lags; Hurst-style R/S asks whether
+    * deviations from the mean ACCUMULATE across scales (persistent
+    * load builds, H > ½) or mean-revert (H < ½) — the difference
+    * between a capacity plan that sums independent hours and one that
+    * must budget for runs. Output is the R/S decision table (mean R/S
+    * per block size 8/16/32 observed hours); the classical Hurst slope
+    * needs log-log regression and ln is off the exactness recipe, so
+    * the table IS the deliverable — doubling ratios read directly.
+    * EXACTNESS — the two float traps both removed by integerizing:
+    * (1) per-block cumulative deviations multiply through by n:
+    * cumdev′_t = n·S_t − t·T is an EXACT integer (S_t = prefix sum,
+    * T = block total), so R′ = max−min = n·R exactly, and n²·Var =
+    * n·Σc² − T² exactly, giving R/S = R′/√(n²·Var) = d2(R′)/√d2(V′) in
+    * one fixed chain (the prefix sum is over integers, so even a
+    * segment-tree window fold cannot reorder it into different bits);
+    * (2) the cross-block mean quantizes each block's R/S to micro-units
+    * (floor ×10⁶ — deterministic in both engines) and averages exact
+    * integers — the `stat_kruskal_wallis` re-accumulation trick, so
+    * block order cannot matter. Constant blocks (V′ = 0) are excluded
+    * by the same predicate in both engines. SCALE: one fact scan to the
+    * span-bounded hourly frame; the ×3 block-size fan-out and all
+    * windows ride class-key partitions of that tiny frame. */
+  def tsRescaledRange(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val d2 = graft.Det.decToDouble _
+    val hourly = events
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hu"))
+      .agg(count(lit(1)).as("c"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+    val fan = hourly
+      .withColumn("rn", row_number().over(wSeq).cast("long"))
+      .select(col("event_type"), col("rn"), col("c"),
+        explode(array(lit(8L), lit(16L), lit(32L))).as("bn"))
+      .withColumn("blk", expr("(rn - 1) div bn"))
+      .withColumn("t", col("rn") - col("blk") * col("bn"))
+    val wBlk = Window.partitionBy(col("event_type"), col("bn"), col("blk"))
+    val wPre = wBlk.orderBy(col("t"))
+    val rows = fan
+      .withColumn("nb", count(lit(1)).over(wBlk))
+      .filter(col("nb") === col("bn"))
+      .withColumn("s", sum(col("c").cast(dec)).over(wPre))
+      .withColumn("tt", sum(col("c").cast(dec)).over(wBlk))
+      .withColumn("sq", sum((col("c") * col("c")).cast(dec)).over(wBlk))
+      .withColumn("cd", col("bn").cast(dec) * col("s") -
+        col("t").cast(dec) * col("tt"))
+      .withColumn("vq", col("bn").cast(dec) * col("sq") - col("tt") * col("tt"))
+    val blocks = rows
+      .groupBy(col("event_type"), col("bn"), col("blk"))
+      .agg((max(col("cd")) - min(col("cd"))).as("rq"), max(col("vq")).as("vqm"))
+      .withColumn("rd", d2(col("rq")))
+      .withColumn("vd", d2(col("vqm")))
+      .filter(col("vd") > 0)
+      .withColumn("rs", col("rd") / sqrt(col("vd")))
+      .withColumn("rsm", floor(col("rs") * lit(1000000.0)))
+    blocks
+      .groupBy(col("event_type"), col("bn"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rsm").cast(dec)).as("smq"))
+      .select(col("event_type"), col("bn").as("block_n"), col("n_blocks"),
+        (d2(col("smq")) / lit(1000000.0) / col("n_blocks").cast("double"))
+          .as("mean_rs"))
+      .orderBy("event_type", "block_n")
+  }
+
+  /** r9: Lo–MacKinlay variance-ratio test per event class at horizons
+    * q ∈ {2, 4, 8} — the random-walk test that completes the
+    * stationarity tier from the OTHER side: [[tsRescaledRange]] reads
+    * long-memory structure, `stat_dickey_fuller` asks "does the level
+    * mean-revert"; VR(q) asks whether VARIANCE scales linearly with
+    * horizon, the defining property of a random walk (VR < 1 =
+    * mean-reversion, VR > 1 = momentum — and the z-test says whether
+    * the deviation is real). VR(q) = Var(X_t − X_{t−q}) / (q·Var(X_t −
+    * X_{t−1})) over the hourly count series, both increments from
+    * exact-epoch shifted self-joins (the `stat_dickey_fuller`
+    * consecutive-hours contract — gaps break pairs, never silently
+    * pair); population variances from DECIMAL(38,0) power sums via one
+    * fixed chain each (n·Σd² − (Σd)²)/n², the ratio one divide, and the
+    * homoskedastic-null z = (VR − 1)/√(2(2q−1)(q−1)/(3q·n_q)) a fixed
+    * sqrt chain — every step mirrored op for op, so the test statistic
+    * hash-matches. SCALE: span-bounded hourly frame, fixed ×3 horizon
+    * fan-out, one fact scan. */
+  def statVarianceRatio(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hu"))
+      .agg(count(lit(1)).as("x"))
+    def diffs(q: Long) = {
+      val right = hourly.select(col("event_type"),
+        (col("hu") + lit(q * 3600000000L)).as("hu2"), col("x").as("x0"))
+      hourly.select(col("event_type"), col("hu").as("hu2"), col("x"))
+        .join(right, Seq("event_type", "hu2"))
+        .select(col("event_type"), lit(q).as("q"), (col("x") - col("x0")).as("d"))
+    }
+    def varSums(df: DataFrame) = df.groupBy(col("event_type"), col("q"))
+      .agg(count(lit(1)).as("nd"),
+        sum(col("d").cast(dec)).cast("double").as("sd"),
+        sum((col("d") * col("d")).cast(dec)).cast("double").as("sdd"))
+    val base = varSums(diffs(1L))
+      .select(col("event_type"), col("nd").as("n1"),
+        ((col("nd") * col("sdd") - col("sd") * col("sd")) /
+          (col("nd").cast("double") * col("nd").cast("double"))).as("var1"))
+    val horizons = varSums(diffs(2L).unionByName(diffs(4L)).unionByName(diffs(8L)))
+      .select(col("event_type"), col("q"), col("nd").as("nq"),
+        ((col("nd") * col("sdd") - col("sd") * col("sd")) /
+          (col("nd").cast("double") * col("nd").cast("double"))).as("varq"))
+    horizons.join(base, "event_type")
+      .filter(col("var1") > 0 && col("nq") > 1)
+      .withColumn("vr",
+        col("varq") / (col("q").cast("double") * col("var1")))
+      .withColumn("qd", col("q").cast("double"))
+      .withColumn("phi",
+        lit(2.0) * (lit(2.0) * col("qd") - lit(1.0)) * (col("qd") - lit(1.0)) /
+          (lit(3.0) * col("qd") * col("nq").cast("double")))
+      .select(col("event_type"), col("q"), col("n1"), col("nq"), col("var1"),
+        col("varq"), col("vr"),
+        when(col("phi") > 0,
+          (col("vr") - lit(1.0)) / sqrt(col("phi"))).as("z_stat"))
+      .withColumn("random_walk_rejected_5pct",
+        when(col("z_stat").isNotNull, abs(col("z_stat")) > lit(1.96)))
+      .orderBy("event_type", "q")
+  }
 }

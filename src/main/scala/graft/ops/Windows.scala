@@ -684,4 +684,59 @@ object Windows {
         col("k").as("pct_k"), col("kd").as("pct_d"))
       .orderBy("user_id", "event_id")
   }
+
+  /** r9: Keltner channel per event class — the band read BETWEEN
+    * [[windowBollinger]] (σ bands — widen on ANY volatility, including
+    * gaps) and [[windowAtr]] (range size alone, no center): a trailing
+    * center line of TYPICAL price with bands at the trailing mean RANGE,
+    * the envelope that says "is this close outside what the recent bar
+    * geometry supports". Deliberately Chester Keltner's ORIGINAL
+    * formulation (SMA of typical price ± SMA of high−low range) rather
+    * than the modern EMA±ATR variant: the original is ALL integer sums
+    * (exact under any merge order — no per-row running EMA, whose
+    * arbitrary-α form needs pow(), off the exactness recipe; the live
+    * EMA fold is the stream-twin tier's territory). Per class-hour bar
+    * (h, l, cl integer cents — the [[windowAtr]] bar build): 3·typical
+    * = h+l+cl stays integer; trailing-n sums S_typ and S_rng are exact;
+    * mid = S_typ/(3n·100), band = S_rng/(n·100), upper/lower one fixed
+    * chain each. The breakout FLAGS clear denominators entirely:
+    * close > upper ⟺ 3n·cl > S_typ + 3·S_rng — an exact integer
+    * predicate, immune to the band doubles. SCALE: bars collapse to
+    * class-hour cardinality before any window (the documented allowed
+    * class); one exchange. */
+  def windowKeltner(events: DataFrame, n: Int = 14): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val part = Window.partitionBy(col("event_type"), col("hr"))
+    val wb = part.orderBy(col("ts"), col("event_id"))
+    val bars = events.filter(col("value").isNotNull)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("c0",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(dec).cast("long"))
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(col("c0")).as("h"), min(col("c0")).as("l"),
+        max(when(col("rn") === col("cnt"), col("c0"))).as("cl"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    bars
+      .withColumn("typ3", col("h") + col("l") + col("cl"))
+      .withColumn("rng", col("h") - col("l"))
+      .withColumn("nb", count(lit(1)).over(wN))
+      .withColumn("st", sum(col("typ3").cast(dec)).over(wN).cast("long"))
+      .withColumn("sr", sum(col("rng").cast(dec)).over(wN).cast("long"))
+      .filter(col("nb") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("st").cast("double") / lit(3.0 * n) / lit(100.0)).as("mid"),
+        (col("st").cast("double") / lit(3.0 * n) / lit(100.0) +
+          col("sr").cast("double") / lit(n.toDouble) / lit(100.0)).as("upper"),
+        (col("st").cast("double") / lit(3.0 * n) / lit(100.0) -
+          col("sr").cast("double") / lit(n.toDouble) / lit(100.0)).as("lower"),
+        (lit(3L * n) * col("cl") > col("st") + lit(3L) * col("sr"))
+          .as("above_upper"),
+        (lit(3L * n) * col("cl") < col("st") - lit(3L) * col("sr"))
+          .as("below_lower"))
+      .orderBy("event_type", "hour_s")
+  }
 }
