@@ -2478,4 +2478,52 @@ object Aggs {
         when(col("z_stat").isNotNull, abs(col("z_stat")) > lit(1.96)))
       .orderBy("event_type", "q")
   }
+
+  /** r9: process-capability indices (Cp/Cpk) per event class against a
+    * fixed spec band — the manufacturing-statistics face of the quality
+    * tier: [[statMomentsPerType]] says what the distribution IS,
+    * `stat_tukey_outliers` flags individual escapes; Cp/Cpk say whether
+    * the PROCESS fits the tolerance band at all (Cp = band width over
+    * 6σ of spread) and whether it is centered in it (Cpk = distance of
+    * the mean to the NEARER limit over 3σ) — the one-number answers a
+    * fleet operator quotes ("the sensor family is 4σ capable"). The
+    * observed out-of-band rate rides along as exact integer ppm — the
+    * empirical check on the index's normality assumption. EXACTNESS:
+    * mean and sample variance from integer-cent DECIMAL(38,0) power
+    * sums (the [[statMomentsPerType]] recipe) through one fixed chain;
+    * the ppm numerator is an integer-predicate count (cents vs integer
+    * limit cents) times 10⁶ with one integral divide. One hash agg, one
+    * 1-row-per-class finish. */
+  def statProcessCapability(events: DataFrame, lsl: Double = 10.0,
+                            usl: Double = 90.0): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val lslC = Math.round(lsl * 100); val uslC = Math.round(usl * 100)
+    val d2 = graft.Det.decToDouble _
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(28, 2)) * 100).cast(dec).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("c"))).as("s1"),
+        d2(sum(col("c") * col("c"))).as("s2"),
+        sum(when(col("c") < lit(lslC) || col("c") > lit(uslC), 1L)
+          .otherwise(0L)).as("bad"))
+      .filter(col("n") > 1)
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mu", col("s1") / col("nd") / lit(100.0))
+      .withColumn("sd",
+        sqrt((col("nd") * col("s2") - col("s1") * col("s1")) /
+          (col("nd") * (col("nd") - lit(1.0)))) / lit(100.0))
+      .withColumn("cp", when(col("sd") > 0,
+        lit(usl - lsl) / (lit(6.0) * col("sd"))))
+      .withColumn("cpu", when(col("sd") > 0,
+        (lit(usl) - col("mu")) / (lit(3.0) * col("sd"))))
+      .withColumn("cpl", when(col("sd") > 0,
+        (col("mu") - lit(lsl)) / (lit(3.0) * col("sd"))))
+      .select(col("event_type"), col("n"), col("mu").as("mean"),
+        col("sd").as("stddev"), col("cp"),
+        least(col("cpu"), col("cpl")).as("cpk"),
+        expr("div(bad * 1000000, n)").as("observed_oob_ppm"))
+      .orderBy("event_type")
+  }
 }

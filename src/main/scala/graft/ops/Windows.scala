@@ -739,4 +739,49 @@ object Windows {
           .as("below_lower"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** r9: Donchian channel per event class — the band family's PURE
+    * SELECTION member ([[windowBollinger]] = σ bands, [[windowKeltner]]
+    * = mean-range bands, Donchian = the trailing n-bar high/low
+    * envelope itself, the turtle-trader breakout rule): upper = highest
+    * high and lower = lowest low of the PRIOR n bars (current bar
+    * excluded — the breakout question is "did this bar escape the range
+    * set BEFORE it"), mid = their midpoint. EXACTNESS: upper/lower are
+    * selections over integer cents (exact under any merge order), the
+    * breakout flags are integer comparisons of the bar's close against
+    * them, and mid's halving plus the /100 rescale is one two-op fixed
+    * chain — nothing here can drift, making this the cheapest band to
+    * keep bit-identical cross-engine. Same class-hour bar build and
+    * plan shape as [[windowAtr]]: bars collapse to class-hour
+    * cardinality before the window, one exchange. */
+  def windowDonchian(events: DataFrame, n: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val part = Window.partitionBy(col("event_type"), col("hr"))
+    val wb = part.orderBy(col("ts"), col("event_id"))
+    val bars = events.filter(col("value").isNotNull)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("c0",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(dec).cast("long"))
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(col("c0")).as("h"), min(col("c0")).as("l"),
+        max(when(col("rn") === col("cnt"), col("c0"))).as("cl"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wPrior = wOrd.rowsBetween(-n, -1)
+    bars
+      .withColumn("nb", count(lit(1)).over(wPrior))
+      .withColumn("up", max(col("h")).over(wPrior))
+      .withColumn("lo", min(col("l")).over(wPrior))
+      .filter(col("nb") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("up").cast("double") / lit(100.0)).as("upper"),
+        (col("lo").cast("double") / lit(100.0)).as("lower"),
+        ((col("up") + col("lo")).cast("double") / lit(2.0) / lit(100.0))
+          .as("mid"),
+        (col("cl") > col("up")).as("breakout_up"),
+        (col("cl") < col("lo")).as("breakout_down"))
+      .orderBy("event_type", "hour_s")
+  }
 }
