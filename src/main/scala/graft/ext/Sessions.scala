@@ -1166,6 +1166,50 @@ object Sessions {
     }
     x.select(col("state"), col("x").as("stationary_ppb")).orderBy("state")
   }
+
+  /** r9: conversion-lag deciles by first-click DAY cohort — the funnel
+    * tier's missing TIME dimension: [[eventsFunnelStages]] says WHO
+    * reached purchase, `events_window_funnel` says who converted inside
+    * a deadline; this says HOW FAST the converting population moves
+    * (p10/p50/p90 of click→purchase delay), per acquisition-day cohort
+    * so a slowing checkout shows up as cohort-over-cohort drift — the
+    * conversion-velocity read growth teams actually track. Per user:
+    * first click, then first purchase STRICTLY after it (the funnel's
+    * stage contract, whole-partition window minima — one shuffle, no
+    * self-join); lag is exact integer micros → seconds by integral
+    * divide. Deciles are the `agg_quantiles` discrete-selection
+    * contract (value at ceil(q·n), never interpolated) under a
+    * (lag, user) total order, windowed PER COHORT DAY — partitions are
+    * cohort-bounded, never a partition-less window over the converting
+    * population. All selections and integer arithmetic ⇒ trivially
+    * hash-match. */
+  def eventsConversionLagDeciles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val firsts = events
+      .withColumn("tc", min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("tc"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("tc")).as("tc"), max(col("tp")).as("tp"))
+      .filter(col("tc").isNotNull && col("tp").isNotNull)
+      .select(col("user_id"), date_trunc("day", col("tc")).as("cohort_day"),
+        (unix_micros(col("tp")) - unix_micros(col("tc"))).as("lag_us"))
+    val wd = Window.partitionBy(col("cohort_day"))
+    val wo = wd.orderBy(col("lag_us"), col("user_id"))
+    def at(q: Double) = max(when(col("rn") === ceil(col("n") * q), col("lag_s")))
+    firsts
+      .withColumn("lag_s", expr("div(lag_us, 1000000)"))
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .withColumn("n", count(lit(1)).over(wd))
+      .groupBy(col("cohort_day"))
+      .agg(max(col("n")).as("n_converted"),
+        at(0.1).as("lag_p10_s"), at(0.5).as("lag_p50_s"),
+        at(0.9).as("lag_p90_s"))
+      .select(fmtTsSec(col("cohort_day")).as("cohort_day_s"),
+        col("n_converted"), col("lag_p10_s"), col("lag_p50_s"),
+        col("lag_p90_s"))
+      .orderBy("cohort_day_s")
+  }
 }
 
 /** The per-day linear sweep behind [[Sessions.joinIntervalOverlap]]:

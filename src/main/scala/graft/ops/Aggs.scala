@@ -2526,4 +2526,57 @@ object Aggs {
         expr("div(bad * 1000000, n)").as("observed_oob_ppm"))
       .orderBy("event_type")
   }
+
+  /** r9: Western Electric control-rule screen per event class — the SPC
+    * run rules that catch what a plain 3σ alarm misses: a process can
+    * drift for a DAY without one point leaving the band. Over the
+    * hourly count series, z against the class's own mean/σ, then the
+    * four classic rules as trailing-window counts: R1 = |z|>3 (point
+    * out), R2 = ≥2 of last 3 beyond 2σ SAME side, R3 = ≥4 of last 5
+    * beyond 1σ same side, R4 = 8 consecutive same side of center.
+    * Output = only the violating hours with their rule bits — the alarm
+    * feed, not a full-series dump (and the batch dual of what
+    * [[graft.stream.PageHinkleyStream]]-style monitors watch live).
+    * EXACTNESS: mean/σ from DECIMAL(38,0) power sums via one fixed
+    * chain (the population-variance spelling); every z is the same
+    * fixed chain of bit-identical inputs in both engines, so threshold
+    * comparisons agree; rule counts are integer sums of boolean
+    * predicates over exact ROWS frames. SCALE: span-bounded hourly
+    * frame, class-key windows, 1-row-per-class moments broadcast back —
+    * one fact scan, no data-scaled window. */
+  def statControlRules(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hu"))
+      .agg(count(lit(1)).as("x"))
+    val moments = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("x").cast(dec)).cast("double").as("s1"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("s2"))
+      .withColumn("nd", col("nh").cast("double"))
+      .withColumn("mu", col("s1") / col("nd"))
+      .withColumn("sd", sqrt((col("nd") * col("s2") - col("s1") * col("s1")) /
+        (col("nd") * col("nd"))))
+      .select(col("event_type"), col("mu"), col("sd"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+    def cnt(pred: Column, lo: Int) =
+      sum(when(pred, 1L).otherwise(0L)).over(wOrd.rowsBetween(lo, 0))
+    hourly.join(broadcast(moments), "event_type")
+      .filter(col("sd") > 0)
+      .withColumn("z", (col("x").cast("double") - col("mu")) / col("sd"))
+      .withColumn("r1", abs(col("z")) > 3.0)
+      .withColumn("r2",
+        cnt(col("z") > 2.0, -2) >= 2 || cnt(col("z") < -2.0, -2) >= 2)
+      .withColumn("r3",
+        cnt(col("z") > 1.0, -4) >= 4 || cnt(col("z") < -1.0, -4) >= 4)
+      .withColumn("r4",
+        cnt(col("z") > 0.0, -7) === 8 || cnt(col("z") < 0.0, -7) === 8)
+      .filter(col("r1") || col("r2") || col("r3") || col("r4"))
+      .select(col("event_type"), col("hu"), col("z"),
+        col("r1").as("rule1_3sigma"), col("r2").as("rule2_2of3"),
+        col("r3").as("rule3_4of5"), col("r4").as("rule4_run8"))
+      .orderBy("event_type", "hu")
+  }
 }
