@@ -611,4 +611,101 @@ object Text {
         col("n_occ"), (col("sq").cast("double") / lit(1000000.0)).as("rake_score"))
       .orderBy("doc_id", "rn")
   }
+
+  /** r9: content-defined chunk dedup — the shift-robust member of the
+    * passage-dedup family: [[textPassageDedup]]'s fixed windows miss a
+    * duplicated span the moment ONE token is inserted upstream of it
+    * (every window boundary shifts); content-defined chunking cuts at
+    * ANCHOR tokens chosen by a hash predicate, so boundaries travel
+    * WITH the content and a shared span chunks identically in every
+    * document that contains it — the CDC idea storage dedup is built
+    * on, applied at token level. A token is an anchor when its portable
+    * 32-bit md5 prefix ≡ 0 mod `mask` (expected chunk length = mask
+    * tokens, the knob); chunk id = exclusive prefix count of anchors
+    * (one doc-keyed window over the posexploded tokens); each chunk is
+    * carried as md5-of-joined-tokens so full chunk bytes never ship.
+    * Output: chunks appearing in more than one document, with
+    * occurrence counts — the cross-doc boilerplate table. EXACTNESS:
+    * anchors, prefix counts, and md5s are all integer/deterministic —
+    * trivially hash-match. SCALE: everything is map-side or doc-keyed
+    * (the posexplode fan-out is the corpus token count, the same cost
+    * [[textPassageDedup]] pays); the final agg groups by chunk hash —
+    * an equi-shuffle bounded by distinct chunks, never all-pairs. */
+  def dedupCdcChunks(documents: DataFrame, mask: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val g = conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("anchor", (g % lit(mask)) === 0L)
+      .withColumn("chunk",
+        coalesce(sum(when(col("anchor"), 1L).otherwise(0L)).over(wPre), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("token")))),
+            s => s.getField("token"))).cast("binary")).as("chunk_hash"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk_hash")
+  }
+
+  /** r9: distinctive vocabulary per source — the corpus-mix face of
+    * keyword extraction: [[textTfidfTopk]] scores tokens against the
+    * whole corpus per DOCUMENT; this scores them per SOURCE with a 2×2
+    * χ² on document frequency ("which terms does THIS slice of the mix
+    * over-use?"), the standard register/domain-shift report a training
+    * mix is audited with. For token t and source s the contingency is
+    * (docs-in-s-with-t, rest), and the χ² collapses algebraically to
+    * N(N·df_s − S·T)² / (S(N−S)·T(N−T)) with S = docs in s, T = total
+    * df — four counts, one INTEGER numerator Δ = N·df_s − S·T whose
+    * sign is the over/under-representation direction (only over-
+    * represented terms are reported). EXACTNESS: Δ and both products
+    * accumulate in DECIMAL(38,0), one split-cast divide — exact while
+    * N·T² < 10³⁸ (N·T < ~3·10¹⁹ doc-pairs; pre-aggregating df to
+    * per-mille quantization is the documented escape far past any real
+    * corpus). Rare-noise guard: T ≥ minDf; T = N (a token in every
+    * doc) has zero χ² information and is excluded by the T < N guard.
+    * SCALE: doc-frequency aggs on (source, token) and (token) — vocab-
+    * bounded equi-shuffles; the per-source top-k window rides the
+    * vocab frame, never the corpus. */
+  def textDistinctiveTerms(documents: DataFrame, minDf: Long = 5L,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d2 = graft.Det.decToDouble _
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dfS = documents
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("df_s"))
+    val dfT = dfS.groupBy(col("token")).agg(sum(col("df_s")).as("df_t"))
+    val srcN = documents.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("s_docs"))
+    val totN = documents.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("token"))
+    dfS.join(dfT, "token")
+      .join(broadcast(srcN), "source")
+      .crossJoin(broadcast(totN))
+      .filter(col("df_t") >= minDf && col("df_t") < col("n_docs"))
+      .withColumn("delta", col("n_docs").cast(dec) * col("df_s") -
+        col("s_docs").cast(dec) * col("df_t"))
+      .filter(col("delta") > 0)
+      .withColumn("chi2", d2(col("n_docs").cast(dec) * col("delta") * col("delta")) /
+        d2(col("s_docs").cast(dec) * (col("n_docs") - col("s_docs")) *
+          col("df_t") * (col("n_docs") - col("df_t"))))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("source"), col("rn"), col("token"), col("df_s"),
+        col("df_t"), col("chi2"))
+      .orderBy("source", "rn")
+  }
 }

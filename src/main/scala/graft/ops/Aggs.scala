@@ -2546,20 +2546,8 @@ object Aggs {
     * one fact scan, no data-scaled window. */
   def statControlRules(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dec = DecimalType(38, 0)
-    val hourly = events
-      .groupBy(col("event_type"),
-        unix_micros(date_trunc("hour", col("ts"))).as("hu"))
-      .agg(count(lit(1)).as("x"))
-    val moments = hourly.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("nh"),
-        sum(col("x").cast(dec)).cast("double").as("s1"),
-        sum((col("x") * col("x")).cast(dec)).cast("double").as("s2"))
-      .withColumn("nd", col("nh").cast("double"))
-      .withColumn("mu", col("s1") / col("nd"))
-      .withColumn("sd", sqrt((col("nd") * col("s2") - col("s1") * col("s1")) /
-        (col("nd") * col("nd"))))
-      .select(col("event_type"), col("mu"), col("sd"))
+    val hourly = controlHourly(events)
+    val moments = controlMoments(events)
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hu"))
     def cnt(pred: Column, lo: Int) =
       sum(when(pred, 1L).otherwise(0L)).over(wOrd.rowsBetween(lo, 0))
@@ -2578,5 +2566,119 @@ object Aggs {
         col("r1").as("rule1_3sigma"), col("r2").as("rule2_2of3"),
         col("r3").as("rule3_4of5"), col("r4").as("rule4_run8"))
       .orderBy("event_type", "hu")
+  }
+
+  /** The hourly count series [[statControlRules]] screens. */
+  private def controlHourly(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+      unix_micros(date_trunc("hour", col("ts"))).as("hu"))
+      .agg(count(lit(1)).as("x"))
+
+  /** The (μ, σ) baseline [[statControlRules]] z-scores against —
+    * population moments of the class's own hourly counts via the
+    * DECIMAL(38,0) power-sum chain. Public so the STREAMING twin
+    * ([[graft.stream.ControlRulesStream]]) can be armed with the
+    * batch-trained baseline: same spelling ⇒ bit-identical z chains
+    * live and offline. */
+  def controlMoments(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    controlHourly(events).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("x").cast(dec)).cast("double").as("s1"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("s2"))
+      .withColumn("nd", col("nh").cast("double"))
+      .withColumn("mu", col("s1") / col("nd"))
+      .withColumn("sd", sqrt((col("nd") * col("s2") - col("s1") * col("s1")) /
+        (col("nd") * col("nd"))))
+      .select(col("event_type"), col("mu"), col("sd"))
+  }
+
+  /** r9: Pettitt changepoint test per event class — the nonparametric
+    * single-changepoint locator completing the changepoint pair:
+    * [[statChangepointCusum]] finds WHERE the mean shifted assuming
+    * Gaussian noise; Pettitt assumes NOTHING about the distribution
+    * (it's Mann–Whitney run at every split point) and is the standard
+    * first screen on hydrology/sensor series. U_t = Σ_{i≤t}Σ_{j>t}
+    * sgn(x_i − x_j); the changepoint is argmax|U_t|, K = max|U_t|.
+    * THE EXACT FORM: with midranks r_i over the class's hourly counts,
+    * Σ_j sgn(x_i − x_j) = 2r_i − n − 1 EXACTLY (including ties), so
+    * U_t = Σ_{i≤t}(2r_i) − t(n+1) — and 2·midrank = 2·rank() + ties − 1
+    * is INTEGER, making every U_t an exact integer cumsum (never the
+    * O(n²) pair join, never a double). Significance rides along as
+    * −ln(p/2) = 6K²/(n³+n²), one integer-ratio divide (the exp() that
+    * would finish the p-value is libm-divergent cross-engine, so the
+    * exact exponent IS the contract — p = 2e^(−x) is the caller's one
+    * keystroke). SCALE: hourly counts are span-bounded; both windows
+    * (rank by value, cumsum by hour) are class-keyed — one fact-scale
+    * hash agg, no data-scaled window, no pair join. */
+  def statPettitt(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val wVal = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val wTie = Window.partitionBy(col("event_type"), col("x"))
+    val wHr = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wCls = Window.partitionBy(col("event_type"))
+    val u = hourly
+      .withColumn("r2",
+        lit(2L) * rank().over(wVal) + count(lit(1)).over(wTie) - lit(1L))
+      .withColumn("w2", sum(col("r2"))
+        .over(wHr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(wHr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wCls))
+      .withColumn("u", col("w2") - col("t") * (col("n") + lit(1L)))
+    u.withColumn("ka", max(abs(col("u"))).over(wCls))
+      .filter(abs(col("u")) === col("ka"))
+      .withColumn("rn", row_number().over(wHr))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_hours"),
+        col("ka").as("k_stat"), col("u").as("u_at_cp"),
+        fmtTsSec(col("hr")).as("cp_hour_s"),
+        when(col("n") > 1,
+          (lit(6L) * col("ka") * col("ka")).cast("double") /
+            (col("n") * col("n") * col("n") + col("n") * col("n"))
+              .cast("double")).as("neg_ln_half_p"))
+      .orderBy("event_type")
+  }
+
+  /** r9: Cochran's Q across event classes — the k-treatment test for
+    * BINARY outcomes that completes the repeated-measures pair:
+    * [[graft.ops.RankStats.statFriedman]] ranks graded responses per
+    * subject; Q asks the coarser question on mere participation — "do
+    * the k event classes differ in the fraction of users who touch them
+    * at all?" — the engagement-breadth screen (McNemar's test is its
+    * k = 2 case). Subjects = users, treatments = classes, x_uj = 1 iff
+    * user u ever fired class j. Q = (k−1)(k·ΣC_j² − N²)/(kN − ΣR_u²)
+    * with C_j = per-class user counts, R_u = per-user class counts,
+    * N = ΣR = ΣC — every term an INTEGER from two hash aggs over the
+    * distinct (user, class) marks, squares accumulated in
+    * DECIMAL(38,0) (C_j ~ user count ⇒ C² overflows long at fleet
+    * scale), one split-cast divide at the end. Degenerate saturation
+    * (every user fired every class ⇒ denominator 0) yields null, never
+    * 0/0. SCALE: one distinct-shuffle on (user, class), then user- and
+    * class-keyed aggs — nothing wider than the marks frame; the k×1
+    * and user×1 summaries meet in a broadcast cross of three 1-row
+    * frames. */
+  def statCochranQ(events: DataFrame): DataFrame = {
+    val d2 = graft.Det.decToDouble _
+    val dec = DecimalType(38, 0)
+    val marks = events.select(col("user_id"), col("event_type")).distinct()
+    val byUser = marks.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("r"))
+      .agg(count(lit(1)).as("n_users"), sum(col("r")).as("n_marks"),
+        sum((col("r") * col("r")).cast(dec)).as("sr2"))
+    val byClass = marks.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("c"))
+      .agg(count(lit(1)).as("k"), sum(col("c") * col("c")).as("sc2"))
+    byUser.crossJoin(broadcast(byClass))
+      .withColumn("num", (col("k") - lit(1L)).cast(dec) *
+        (col("k").cast(dec) * col("sc2") -
+          col("n_marks").cast(dec) * col("n_marks").cast(dec)))
+      .withColumn("den",
+        col("k").cast(dec) * col("n_marks").cast(dec) - col("sr2"))
+      .select(col("n_users"), col("k").as("k_types"), col("n_marks"),
+        (col("k") - lit(1L)).as("df"),
+        when(col("den") > 0, d2(col("num")) / d2(col("den"))).as("q_stat"))
   }
 }

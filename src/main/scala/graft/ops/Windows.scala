@@ -784,4 +784,129 @@ object Windows {
         (col("cl") < col("lo")).as("breakout_down"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** The class-hour OHLCV bar build shared by the r9 TA additions — the
+    * [[windowAtr]] recipe plus a volume column: per (class, hour), high/
+    * low/close in integer cents (close = the row_number-selected last
+    * reading, high/low min/max selections — all exact under any merge
+    * order) and vol = the reading count. One (class, hour) window+agg
+    * collapses the fact scan to class-hour cardinality before anything
+    * else touches it — the documented allowed frame for trailing-bar
+    * windows. */
+  private def classHourBarsV(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val part = Window.partitionBy(col("event_type"), col("hr"))
+    val wb = part.orderBy(col("ts"), col("event_id"))
+    events.filter(col("value").isNotNull)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("c0",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(dec).cast("long"))
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(col("c0")).as("h"), min(col("c0")).as("l"),
+        max(when(col("rn") === col("cnt"), col("c0"))).as("cl"),
+        count(lit(1)).as("vol"))
+  }
+
+  /** r9: on-balance volume per event class — the TA family's first
+    * VOLUME member (everything so far reads price geometry; OBV asks
+    * whether volume CONFIRMS the move): each bar contributes its volume
+    * signed by the close-to-close direction, and the running total is
+    * the accumulation/distribution line — divergence between OBV slope
+    * and price slope is the classic early-warning read. Here volume =
+    * readings per class-hour bar, so OBV doubles as a load-vs-level
+    * monitor: a rising value level on THINNING reports reads very
+    * differently from one on a thickening stream. EXACTNESS: direction
+    * is a three-way integer comparison of close cents, flow = dir·vol
+    * and the cumulative sum are all integers — nothing can drift; the
+    * only double is the /100 close rescale. SCALE: the one fact-scale
+    * shuffle is the bar build's class-hour agg; the cumulative window
+    * rides the span-bounded bar frame (class-key partitions). */
+  def windowObv(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    classHourBarsV(events)
+      .withColumn("pc", lag(col("cl"), 1).over(wOrd))
+      .withColumn("dir",
+        when(col("pc").isNull, 0L)
+          .when(col("cl") > col("pc"), 1L)
+          .when(col("cl") < col("pc"), -1L)
+          .otherwise(0L))
+      .withColumn("flow", col("dir") * col("vol"))
+      .withColumn("obv", sum(col("flow"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        col("vol"), col("flow").as("signed_flow"), col("obv"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r9: Williams %R per event class — the stochastic oscillator's
+    * mirror read ([[windowStochastic]] runs per USER on raw readings;
+    * %R runs on the class-hour bars and measures distance from the
+    * trailing HIGH instead of the low): %R = −100·(hiN − close)/(hiN −
+    * loN) ∈ [−100, 0], the overbought/oversold screen in its bar-level
+    * form (−20 ceiling = overbought, −80 floor = oversold). EXACTNESS:
+    * hi/lo are selections over integer cents, the ratio is ONE fixed
+    * integer-difference divide (the [[windowStochastic]] recipe), flat
+    * windows (hi = lo) yield null — never 0/0. SCALE: same one-exchange
+    * class-hour bar posture as [[windowDonchian]]. */
+  def windowWilliamsR(events: DataFrame, n: Int = 14): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("nb", count(lit(1)).over(wN))
+      .withColumn("hi", max(col("h")).over(wN))
+      .withColumn("lo", min(col("l")).over(wN))
+      .withColumn("wr", when(col("hi") > col("lo"),
+        lit(-100.0) * (col("hi") - col("cl")).cast("double") /
+          (col("hi") - col("lo")).cast("double")))
+      .filter(col("nb") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("hi").as("hi_cents"), col("lo").as("lo_cents"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        col("wr").as("williams_r"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r9: Commodity Channel Index per event class — the band family's
+    * MEAN-DEVIATION member ([[windowBollinger]] scales by σ, CCI by the
+    * mean ABSOLUTE deviation of typical price, the robust-dispersion
+    * choice that doesn't square outliers into the denominator):
+    * CCI = (tp − SMA_n(tp)) / (0.015 · MD_n). The textbook form is
+    * double soup; this one clears every denominator first. With T =
+    * 3·tp = h+l+cl (integer cents) and S = Σ_frame T: tp − SMA = (nT −
+    * S)/(3n) and MD = Σ|nT_i − S|/(3n²), so CCI = n·(nT_c − S) /
+    * (0.015·Σ|nT_i − S|) — an INTEGER numerator and an integer sum in
+    * the denominator, one fixed double divide at the end, bit-identical
+    * cross-engine. The per-row frame sum Σ|nT_i − S| needs each frame
+    * member against the frame's OWN S — not expressible as a second
+    * window — so the frame is carried as a collect_list and folded with
+    * a codegen'd higher-order `aggregate` (n ≤ 20 longs per row, map-
+    * side, no extra exchange). Flat frames (all T equal ⇒ Σ|·| = 0)
+    * yield null, never 0/0. SCALE: one exchange to class-hour bars;
+    * the list fold rides the span-bounded bar frame. */
+  def windowCci(events: DataFrame, n: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("t3", col("h") + col("l") + col("cl"))
+      .withColumn("nb", count(lit(1)).over(wN))
+      .withColumn("s", sum(col("t3").cast(dec)).over(wN).cast("long"))
+      .withColumn("lst", collect_list(col("t3")).over(wN))
+      .withColumn("dc", lit(n.toLong) * col("t3") - col("s"))
+      .withColumn("sabs", aggregate(
+        transform(col("lst"), x => abs(lit(n.toLong) * x - col("s"))),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("nb") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("t3").cast("double") / lit(3.0) / lit(100.0)).as("typical"),
+        col("dc").as("dev_n2"), col("sabs").as("abs_dev_sum"),
+        when(col("sabs") > 0,
+          (lit(n.toLong) * col("dc")).cast("double") /
+            (lit(0.015) * col("sabs").cast("double"))).as("cci"))
+      .orderBy("event_type", "hour_s")
+  }
 }
