@@ -870,6 +870,195 @@ object Windows {
       .orderBy("event_type", "hour_s")
   }
 
+  /** r9: rolling VWAP per event class — the volume family's CENTER line
+    * ([[windowObv]] reads volume's direction; VWAP is the volume-weighted
+    * level the market actually transacted at, the institutional
+    * fair-value anchor): VWAP_n = Σ(tp_i·vol_i)/Σvol_i over the trailing
+    * n class-hour bars. Here vol = readings per bar, so VWAP doubles as
+    * the report-weighted sensor level — hours with more reports pull the
+    * anchor harder than thin ones, which a plain SMA ignores. EXACTNESS:
+    * with T = 3·tp = h+l+cl (integer cents), money = T·vol and both
+    * trailing sums stay integer (DECIMAL(38,0) accumulation); VWAP is
+    * ONE fixed divide (/3/100 folded into the denominator), and the
+    * above/below flag clears the denominator entirely — 3·cl·Σvol vs
+    * Σ(T·vol) is an exact integer predicate immune to the double. SCALE:
+    * one fact-scale exchange to class-hour bars ([[classHourBarsV]]);
+    * the window rides the span-bounded bar frame. */
+  def windowVwap(events: DataFrame, n: Int = 14): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("t3", col("h") + col("l") + col("cl"))
+      .withColumn("money3", col("t3") * col("vol"))
+      .withColumn("nb", count(lit(1)).over(wN))
+      .withColumn("sm", sum(col("money3").cast(dec)).over(wN).cast("long"))
+      .withColumn("sv", sum(col("vol").cast(dec)).over(wN).cast("long"))
+      .filter(col("nb") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        col("vol"), col("sm").as("money3_sum_cents"), col("sv").as("vol_sum"),
+        (col("sm").cast("double") / (lit(300.0) * col("sv").cast("double")))
+          .as("vwap"),
+        (lit(3L) * col("cl") * col("sv") > col("sm")).as("above_vwap"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r9: Money Flow Index per event class — [[windowRsi]] with volume in
+    * the numerator (RSI weights every bar equally; MFI weights each move
+    * by the volume that made it, so a thin-volume spike can't read as
+    * conviction): raw money flow = tp·vol signed by the typical-price
+    * direction, MFI = 100·ΣMF⁺/(ΣMF⁺ + ΣMF⁻) over the trailing n flows.
+    * EXACTNESS: T = 3·tp and MF3 = T·vol stay integer; direction is an
+    * integer comparison of T against its lag; the two trailing sums are
+    * integer and MFI is ONE fixed divide — flat stretches (no signed
+    * flow at all) yield null, never 0/0; unchanged bars contribute to
+    * NEITHER sum (the textbook convention). Warm-up: rows emitted once
+    * the frame holds n DIRECTED flows (the [[windowRsi]] n-diffs
+    * contract). SCALE: same one-exchange bar posture as [[windowVwap]]. */
+  def windowMfi(events: DataFrame, n: Int = 14): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("t3", col("h") + col("l") + col("cl"))
+      .withColumn("pt3", lag(col("t3"), 1).over(wOrd))
+      .withColumn("mfp", when(col("pt3").isNotNull && (col("t3") > col("pt3")),
+        col("t3") * col("vol")).otherwise(
+        when(col("pt3").isNotNull, lit(0L))))
+      .withColumn("mfn", when(col("pt3").isNotNull && (col("t3") < col("pt3")),
+        col("t3") * col("vol")).otherwise(
+        when(col("pt3").isNotNull, lit(0L))))
+      .withColumn("nf", count(col("mfp")).over(wN))
+      .withColumn("sp", sum(col("mfp").cast(dec)).over(wN).cast("long"))
+      .withColumn("sn", sum(col("mfn").cast(dec)).over(wN).cast("long"))
+      .filter(col("nf") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        col("vol"), col("sp").as("pos_flow3"), col("sn").as("neg_flow3"),
+        when(col("sp") + col("sn") > 0,
+          lit(100.0) * col("sp").cast("double") /
+            (col("sp") + col("sn")).cast("double")).as("mfi"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r9: Chande Momentum Oscillator per event class — the RSI family's
+    * SYMMETRIC member: where RSI = 100·g/(g+l) compresses into [0,100]
+    * around 50, CMO = 100·(sU−sD)/(sU+sD) is zero-centered in
+    * [−100,100], making the sign itself the trend read and ±50 the
+    * overbought/oversold lines. Runs on class-hour bar closes (RSI runs
+    * per user on raw readings — different granularity, deliberately).
+    * EXACTNESS: up/down moves are integer cent diffs of closes, the two
+    * trailing sums integer, CMO one fixed divide; flat frames (sU+sD=0)
+    * null. SCALE: one exchange to bars, class-keyed window after. */
+  def windowChandeMomentum(events: DataFrame, n: Int = 14): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("pc", lag(col("cl"), 1).over(wOrd))
+      .withColumn("up", when(col("pc").isNotNull,
+        greatest(col("cl") - col("pc"), lit(0L))))
+      .withColumn("dn", when(col("pc").isNotNull,
+        greatest(col("pc") - col("cl"), lit(0L))))
+      .withColumn("nd", count(col("up")).over(wN))
+      .withColumn("su", sum(col("up").cast(dec)).over(wN).cast("long"))
+      .withColumn("sd", sum(col("dn").cast(dec)).over(wN).cast("long"))
+      .filter(col("nd") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        col("su").as("up_sum_cents"), col("sd").as("down_sum_cents"),
+        when(col("su") + col("sd") > 0,
+          lit(100.0) * (col("su") - col("sd")).cast("double") /
+            (col("su") + col("sd")).cast("double")).as("cmo"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r9: Vortex Indicator per event class — the trend-CHANGE detector
+    * pairing [[windowAtr]] (same true-range denominator, directional
+    * numerators): VM⁺ = |high − prev low| captures upward bar-to-bar
+    * reach, VM⁻ = |low − prev high| downward; VI⁺ = ΣVM⁺/ΣTR and VI⁻ =
+    * ΣVM⁻/ΣTR over the trailing n bars, and their crossover is the
+    * trend-flip signal. EXACTNESS: all three per-bar terms are integer
+    * selections/abs-diffs over cents, the three trailing sums integer,
+    * the two VIs one fixed divide each; the crossing FLAG clears the
+    * shared denominator — ΣVM⁺ > ΣVM⁻ is an exact integer predicate.
+    * Degenerate frames (ΣTR = 0: every bar flat AND gapless) null.
+    * SCALE: the [[windowAtr]] plan — one exchange to class-hour bars,
+    * span-bounded window after. */
+  def windowVortex(events: DataFrame, n: Int = 14): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("ph", lag(col("h"), 1).over(wOrd))
+      .withColumn("pl", lag(col("l"), 1).over(wOrd))
+      .withColumn("pc", lag(col("cl"), 1).over(wOrd))
+      .withColumn("vmp", when(col("pl").isNotNull, abs(col("h") - col("pl"))))
+      .withColumn("vmm", when(col("ph").isNotNull, abs(col("l") - col("ph"))))
+      .withColumn("tr", when(col("pc").isNotNull,
+        greatest(col("h") - col("l"),
+          abs(col("h") - col("pc")), abs(col("l") - col("pc")))))
+      .withColumn("ntr", count(col("tr")).over(wN))
+      .withColumn("svp", sum(col("vmp").cast(dec)).over(wN).cast("long"))
+      .withColumn("svm", sum(col("vmm").cast(dec)).over(wN).cast("long"))
+      .withColumn("str", sum(col("tr").cast(dec)).over(wN).cast("long"))
+      .filter(col("ntr") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("svp").as("vm_plus_cents"), col("svm").as("vm_minus_cents"),
+        col("str").as("tr_sum_cents"),
+        when(col("str") > 0,
+          col("svp").cast("double") / col("str").cast("double")).as("vi_plus"),
+        when(col("str") > 0,
+          col("svm").cast("double") / col("str").cast("double")).as("vi_minus"),
+        (col("svp") > col("svm")).as("uptrend"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r9: Aroon indicator per event class — the band family's TIME-axis
+    * member ([[windowDonchian]] asks how far price is from the trailing
+    * extremes; Aroon asks how LONG AGO the extremes were set — a trend
+    * that keeps printing fresh highs has aroon_up pinned at 100 even
+    * when the move is small): over the current + prior n bars, with
+    * ps_up = bars since the highest high and ps_dn = bars since the
+    * lowest low, aroon_up = 100·(n − ps_up)/n, aroon_down likewise, and
+    * the oscillator their difference. EXACTNESS: the extreme's POSITION
+    * is found by an integer max over the packed key (2³⁰ + h)·2²⁰ + rn
+    * (resp. (2³⁰ − l)·2²⁰ + rn for the low) — lexicographic (value,
+    * recency), so ties resolve to the most recent extreme, the standard
+    * convention, deterministically in both engines; the 2³⁰ offset keeps
+    * keys positive even for negative cents (pmod and DuckDB's % only
+    * agree on positives), and the packing is exact while bar index < 2²⁰
+    * and |cents| < 2³⁰ (a 119-year hourly series / a ±10.7 M-cent value
+    * band — both decades of headroom over the fixture); everything after
+    * is integer, the three outputs one fixed divide each. SCALE:
+    * one exchange to class-hour bars; the packed-key maxes are plain
+    * frame aggregates on the span-bounded bar frame. */
+  def windowAroon(events: DataFrame, n: Int = 25): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-n, Window.currentRow)
+    val pack = lit(1L << 20)
+    classHourBarsV(events)
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("nb", count(lit(1)).over(wN))
+      .withColumn("hiKey", max((lit(1L << 30) + col("h")) * pack + col("rn"))
+        .over(wN))
+      .withColumn("loKey", max((lit(1L << 30) - col("l")) * pack + col("rn"))
+        .over(wN))
+      .withColumn("psUp", col("rn") - pmod(col("hiKey"), pack))
+      .withColumn("psDn", col("rn") - pmod(col("loKey"), pack))
+      .filter(col("nb") === n + 1)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("psUp").as("bars_since_high"), col("psDn").as("bars_since_low"),
+        (lit(100.0) * (lit(n.toLong) - col("psUp")).cast("double") /
+          lit(n.toDouble)).as("aroon_up"),
+        (lit(100.0) * (lit(n.toLong) - col("psDn")).cast("double") /
+          lit(n.toDouble)).as("aroon_down"),
+        (lit(100.0) * (col("psDn") - col("psUp")).cast("double") /
+          lit(n.toDouble)).as("aroon_osc"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** r9: Commodity Channel Index per event class — the band family's
     * MEAN-DEVIATION member ([[windowBollinger]] scales by σ, CCI by the
     * mean ABSOLUTE deviation of typical price, the robust-dispersion
