@@ -371,4 +371,170 @@ object RankStats {
         when(col("vd") > 0,
           (col("wd") - col("md")) / lit(2.0) / sqrt(col("vd"))).as("z_score"))
   }
+  /** Ansari–Bradley two-sample DISPERSION test on two event classes'
+    * value distributions — the scale-shift partner of [[statMannWhitney]]
+    * (MW detects a LOCATION shift and is blind to spread; AB scores each
+    * pooled rank by its distance from the NEAREST END, a(r) = min(r,
+    * N+1−r), so a sample concentrated mid-range scores high and a
+    * spread-out one low — "did this class's variance change" with no
+    * normality assumption, the screen for a sensor whose noise floor
+    * moved even though its mean held).
+    *
+    * EXACTNESS: ties force AVERAGED scores, and because a(r) bends at the
+    * midpoint, the average over a tie-range straddling it is NOT a(r̄) —
+    * the range sum is computed in closed form instead: with the group at
+    * pooled ranks [a, b] and c = ⌊(N+1)/2⌋, Σa(r) = Σr over [a, min(b,c)]
+    * + Σ(N+1−r) over [max(a,c+1), b] — two triangular sums, exact
+    * integers in DECIMAL(38,0). The per-value division by the tie count
+    * (AB_A = Σ_v m_A(v)·S_v/t_v, Σt·ā² = Σ S_v²/t_v) is quantized ONCE to
+    * integer MICRO-units via integral divide — deterministic in both
+    * engines (the Kruskal–Wallis micro-unit lesson), costing ≤1e-6 per
+    * distinct value; exact while max_v S_v² · 10⁶ < 10³⁸ (S_v < 10¹⁶ —
+    * a pathological all-tied pool of ~2·10⁸ rows; decades of headroom).
+    * Moments are the sampling-without-replacement pair E = n_a·ΣS/N,
+    * Var = n_a·n_b/(N−1)·(Σtā²/N − (ΣS/N)²), finished in a fixed IEEE
+    * chain (sqrt is correctly rounded — safe).
+    *
+    * SCALE: the [[statKruskalWallis]] posture — the fact table is scanned
+    * once into (value, class) contingency cells; every frame after is
+    * vocabulary-bounded; the 1-row totals broadcast-cross onto the value
+    * frame is the documented allowed BNLJ class. One row out. */
+  def statAnsariBradley(events: DataFrame, classA: String = "click",
+      classB: String = "view"): DataFrame = {
+    val sample = events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val cells = sample.groupBy(col("c"), col("event_type"))
+      .agg(count(lit(1)).as("mv"))
+    val rv = rankedValues(cells)
+    val perA = cells.groupBy(col("c"))
+      .agg(sum(when(col("event_type") === classA, col("mv"))
+        .otherwise(lit(0L))).as("ma"))
+    val totals = cells.agg(
+      sum(when(col("event_type") === classA, col("mv"))).as("n_a"),
+      sum(when(col("event_type") === classB, col("mv"))).as("n_b"))
+    val d2 = graft.Det.decToDouble _
+    val mic = lit(1000000L)
+    val scored = rv.join(perA, "c")
+      .crossJoin(broadcast(totals))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("a0", col("cnt_less") + lit(1L))
+      .withColumn("b0", col("cnt_less") + col("tv"))
+      .withColumn("cm", idiv(col("nn") + lit(1L), lit(2L)))
+      .withColumn("b1", least(col("b0"), col("cm")))
+      .withColumn("a2", greatest(col("a0"), col("cm") + lit(1L)))
+      .withColumn("t1", when(col("a0") <= col("b1"),
+        idiv((col("a0") + col("b1")).cast(dec38) *
+          (col("b1") - col("a0") + lit(1L)), lit(2L))).otherwise(lit(0L)))
+      .withColumn("t2", when(col("a2") <= col("b0"),
+        idiv((lit(2L) * (col("nn") + lit(1L)) - col("a2") - col("b0"))
+          .cast(dec38) * (col("b0") - col("a2") + lit(1L)), lit(2L)))
+        .otherwise(lit(0L)))
+      .withColumn("sv", col("t1") + col("t2"))
+      .withColumn("term_a", idiv(col("ma").cast(dec38) * col("sv") * mic,
+        col("tv")))
+      .withColumn("q2", idiv(col("sv").cast(dec38) * col("sv") * mic,
+        col("tv")))
+    scored
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("sv").cast(dec38)).as("s1"),
+        sum(col("term_a").cast(dec38)).as("abm"),
+        sum(col("q2").cast(dec38)).as("q2m"))
+      .withColumn("nd", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("ab_stat", d2(col("abm")) / lit(1000000.0))
+      .withColumn("s1d", d2(col("s1")))
+      .withColumn("mean_ab",
+        col("n_a").cast("double") * col("s1d") / col("nd"))
+      .withColumn("var_ab", when(col("nd") > lit(1.0),
+        col("n_a").cast("double") * col("n_b").cast("double") /
+          (col("nd") - lit(1.0)) *
+          (d2(col("q2m")) / lit(1000000.0) / col("nd") -
+            (col("s1d") / col("nd")) * (col("s1d") / col("nd")))))
+      .select(col("n_a"), col("n_b"), col("ab_stat"), col("mean_ab"),
+        col("var_ab"),
+        when(col("var_ab") > 0,
+          (col("ab_stat") - col("mean_ab")) / sqrt(col("var_ab")))
+          .as("z_score"))
+  }
+
+  /** Cramér–von Mises two-sample test on two event classes' value
+    * distributions — the WHOLE-SHAPE member of the two-sample family
+    * ([[statMannWhitney]] = location, [[statAnsariBradley]] = dispersion,
+    * `stat_ks_drift` = the single worst CDF gap; CvM integrates the
+    * SQUARED gap over the whole pooled sample, so many small distributed
+    * differences — a shape change KS's single supremum misses — still
+    * register). Statistic (Anderson 1962): T = U/(N·n·m) − (4nm−1)/(6N)
+    * with U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)² over each sample's pooled ranks
+    * r against its own order index i.
+    *
+    * EXACTNESS: with midranks a tie-group of class-count t at pooled
+    * doubled-midrank R2 occupies consecutive within-class indices [a,b],
+    * and 4·Σ(r−i)² = Σ(R2−2i)² has the closed form t·d² + 2d·t(t−1) +
+    * (2(t−1)t(2t−1)) div 3 with d = R2−2b — exact integers end to end
+    * (the div-3 is exact: t(t−1)(2t−1) ≡ 0 mod 6), so 4U is an exact
+    * DECIMAL(38,0) and T's divides are one fixed chain. Within-class
+    * index prefixes ride the same two-phase bucket pattern as the pooled
+    * ranks — never a partition-less window.
+    *
+    * SCALE: one fact scan into cells; everything after is vocabulary-
+    * bounded; 1-row totals broadcast-cross is the allowed BNLJ class. */
+  def statCramerVonMises(events: DataFrame, classA: String = "click",
+      classB: String = "view"): DataFrame = {
+    val sample = events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val cells = sample.groupBy(col("c"), col("event_type"))
+      .agg(count(lit(1)).as("mv"))
+    val rv = rankedValues(cells)
+    // within-class exclusive prefix of mv, two-phase (class, bucket) form
+    val perCv = cells.withColumn("bkt", idiv(col("c"), lit(4096L)))
+    val bt = perCv.groupBy(col("event_type"), col("bkt"))
+      .agg(sum(col("mv")).as("btv"))
+    val base = bt.withColumn("base", coalesce(
+        sum(col("btv")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("bkt"), col("base"))
+    val wcb = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("c"))
+    val withIdx = perCv.join(broadcast(base), Seq("event_type", "bkt"))
+      .withColumn("cl", col("base") + sum(col("mv")).over(wcb) - col("mv"))
+    val d2 = graft.Det.decToDouble _
+    val contrib = withIdx.join(rv, "c")
+      .withColumn("r2", lit(2L) * col("cnt_less") + col("tv") + lit(1L))
+      .withColumn("t", col("mv").cast(dec38))
+      .withColumn("d", col("r2").cast(dec38) -
+        lit(2L) * (col("cl") + col("mv")).cast(dec38))
+      .withColumn("sum4", col("t") * col("d") * col("d") +
+        lit(2L) * col("d") * col("t") * (col("t") - lit(1L)) +
+        idiv(lit(2L) * (col("t") - lit(1L)) * col("t") *
+          (lit(2L) * col("t") - lit(1L)), lit(3L)))
+    contrib
+      .groupBy(col("event_type")).agg(sum(col("mv")).as("ni"),
+        sum(col("sum4")).as("s4"))
+      .agg(max(when(col("event_type") === classA, col("ni"))).as("n_a"),
+        max(when(col("event_type") === classB, col("ni"))).as("n_b"),
+        max(when(col("event_type") === classA, col("s4"))).as("s4a"),
+        max(when(col("event_type") === classB, col("s4"))).as("s4b"))
+      .withColumn("u4", col("n_a").cast(dec38) * col("s4a") +
+        col("n_b").cast(dec38) * col("s4b"))
+      .withColumn("nad", col("n_a").cast("double"))
+      .withColumn("nbd", col("n_b").cast("double"))
+      .withColumn("nd", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("t_stat",
+        d2(col("u4")) / lit(4.0) / (col("nd") * col("nad") * col("nbd")) -
+          (lit(4.0) * col("nad") * col("nbd") - lit(1.0)) /
+            (lit(6.0) * col("nd")))
+      .withColumn("e_t", (lit(1.0) + lit(1.0) / col("nd")) / lit(6.0))
+      .withColumn("var_t",
+        (col("nd") + lit(1.0)) / (lit(45.0) * col("nd") * col("nd")) *
+          (lit(4.0) * col("nad") * col("nbd") * col("nd") -
+            lit(3.0) * (col("nad") * col("nad") + col("nbd") * col("nbd")) -
+            lit(2.0) * col("nad") * col("nbd")) /
+          (lit(4.0) * col("nad") * col("nbd")))
+      .select(col("n_a"), col("n_b"), col("t_stat"), col("e_t"),
+        col("var_t"),
+        when(col("var_t") > 0,
+          (col("t_stat") - col("e_t")) / sqrt(col("var_t"))).as("z_score"))
+  }
 }

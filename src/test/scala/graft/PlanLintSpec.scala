@@ -54,7 +54,8 @@ class PlanLintSpec extends SparkSpec {
     "stat_wilcoxon_signed_rank",                         // 1-row W⁺ frame crossed onto the 1-row totals frame (r9)
     "events_markov_stationary",                          // 1-row state-count frame crossed onto the ≤k-row state dim (r9)
     "stat_cochran_q",                                    // 1-row user-sums frame crossed with the 1-row class-sums frame (r9)
-    "text_distinctive_terms"                             // 1-row corpus-total frame crossed onto the vocab frame (r9)
+    "text_distinctive_terms",                            // 1-row corpus-total frame crossed onto the vocab frame (r9)
+    "stat_ansari_bradley"                                // 1-row totals frame crossed onto the vocab frame (r9)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
