@@ -597,6 +597,80 @@ object Sessions {
       .orderBy("user_id")
   }
 
+  /** r9: Newman modularity of the behavioral partition over the
+    * co-activity graph — the census tier asks how CLUSTERED the graph is
+    * ([[graphTriangles]], [[graphLocalClustering]]); modularity asks
+    * whether a given PARTITION explains the clustering: do users who
+    * favor the same event type actually co-occur more than a degree-
+    * preserving random rewiring would predict? Q = Σ_c [e_c/m −
+    * (d_c/2m)²] with e_c = within-community edges, d_c = community
+    * degree sum, m = |E|. Communities here are each user's MODAL event
+    * type (ties to the lexicographically first — deterministic), so the
+    * result reads directly as "is behavior type a real community
+    * structure on the interaction graph" — Q near 0 says the co-activity
+    * graph ignores behavior; Q toward 1 says behavioral segregation.
+    *
+    * EXACTNESS: e_c, d_c, m are integers; each community row finishes in
+    * one fixed chain (e/m, t = d/2m, q = e/m − t·t), and the GLOBAL Q is
+    * never a float sum over community rows — it is assembled from the
+    * integer sums as Q = (4m·Σe_c − Σd_c²) / 4m² (DECIMAL(38,0)
+    * numerator, one base-2^53 split divide), so community iteration
+    * order cannot move a bit. SCALE: the same memoized edge/degree
+    * frames as the census (bounded by the bucket density knob); the
+    * modal-type dim is one user-keyed agg; community frames are
+    * ≤ #event-types rows. The 1-row (m, Q) frame broadcast-cross onto
+    * the ≤k-row community frame is the documented allowed BNLJ class. */
+  def graphModularity(events: DataFrame,
+                      bucket: String = "minute"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val edges = coActivityEdges(events, bucket)
+    val deg = Dedup.memo(events, s"triangle-degrees-$bucket") { edgeDegrees(edges) }
+    val wMode = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    // memoized: the modal-type dim feeds three consumers (both edge
+    // endpoints + the degree rollup) — without the shared persist each
+    // re-derives it with its own full fact scan
+    val comm = Dedup.memo(events, "modal-type-comm") {
+      events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wMode))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("comm"))
+    }
+    val labeled = edges
+      .join(comm.select(col("user_id").as("a"), col("comm").as("ca")), Seq("a"))
+      .join(comm.select(col("user_id").as("b"), col("comm").as("cb")), Seq("b"))
+    val eIn = labeled.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e_in"))
+    val dSum = deg.join(comm, col("v") === col("user_id"))
+      .groupBy(col("comm"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val perComm = dSum.join(eIn, Seq("comm"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+    val totals = perComm.agg(
+      (sum(col("deg_sum").cast(dec)) / lit(2)).cast("long").as("m"),
+      sum(col("e_in").cast(dec)).as("se"),
+      sum((col("deg_sum") * col("deg_sum")).cast(dec)).as("sd2"))
+    val d2 = graft.Det.decToDouble _
+    val qTot = totals.select(col("m"),
+      when(col("m") > 0,
+        d2(lit(4L).cast(dec) * col("m") * col("se") - col("sd2")) /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+        .as("q_total"))
+    perComm.crossJoin(broadcast(qTot))
+      .withColumn("t", col("deg_sum").cast("double") /
+        (lit(2.0) * col("m").cast("double")))
+      .select(col("comm").as("community"), col("n_nodes"), col("deg_sum"),
+        col("e_in"), col("m").as("n_edges"),
+        when(col("m") > 0,
+          col("e_in").cast("double") / col("m").cast("double") -
+            col("t") * col("t")).as("q_c"),
+        col("q_total"))
+      .orderBy("community")
+  }
+
   /** r5c3: common-neighbor link prediction over the co-activity graph —
     * the "who should be connected but isn't" query next to
     * [[graphTriangles]]'s "how connected is it": rank NON-adjacent user

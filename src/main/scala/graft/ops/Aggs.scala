@@ -2681,4 +2681,51 @@ object Aggs {
         (col("k") - lit(1L)).as("df"),
         when(col("den") > 0, d2(col("num")) / d2(col("den"))).as("q_stat"))
   }
+
+  /** r9: ordinal-pattern census per event class — the NONLINEARITY
+    * screen the correlation tier is blind to ([[statAutocorrLag]],
+    * [[tsRescaledRange]] read linear/long-memory structure; ordinal
+    * patterns read the SHAPE of consecutive-triple motion). Each triple
+    * of consecutive observed-hour counts (x₁,x₂,x₃) is reduced to its
+    * order pattern — the signs of (x₂−x₁, x₃−x₂, x₃−x₁), a 13-class
+    * alphabet once ties are first-class (sensor count series tie
+    * constantly; collapsing ties would bias every flat stretch into a
+    * fake trend class). A white-noise series spreads mass ~evenly over
+    * the 6 strict patterns; a trending one piles onto ++/−−; an
+    * oscillating one onto +−/−+. This census is exactly the decision
+    * table under permutation entropy (Bandt–Pompe) — the entropy itself
+    * needs ln (off the exactness recipe, the `agg_simpson_diversity`
+    * precedent), and the 13-row frequency table is what an operator
+    * reads anyway.
+    *
+    * EXACTNESS: patterns are integer sign comparisons; frequency is one
+    * long/long double divide per row — nothing to drift. SCALE: one
+    * fact-scale exchange into class-hour counts; the two leads and the
+    * census agg ride the span-bounded hourly frame (observed-hours
+    * contract — gaps are skipped, same as every ts_ op). */
+  def tsOrdinalPatterns(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val sgn = (a: Column, b: Column) =>
+      when(b > a, lit("+")).when(b < a, lit("-")).otherwise(lit("="))
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("y"))
+    val pats = hourly
+      .withColumn("y2", lead(col("y"), 1).over(wOrd))
+      .withColumn("y3", lead(col("y"), 2).over(wOrd))
+      .filter(col("y3").isNotNull)
+      .withColumn("pattern", concat(
+        sgn(col("y"), col("y2")), sgn(col("y2"), col("y3")),
+        sgn(col("y"), col("y3"))))
+      .groupBy(col("event_type"), col("pattern"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pats.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_triples"))
+    pats.join(tot, "event_type")
+      .select(col("event_type"), col("pattern"), col("n"), col("n_triples"),
+        (col("n").cast("double") / col("n_triples").cast("double"))
+          .as("freq"))
+      .orderBy("event_type", "pattern")
+  }
 }

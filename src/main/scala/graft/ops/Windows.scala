@@ -1098,4 +1098,51 @@ object Windows {
             (lit(0.015) * col("sabs").cast("double"))).as("cci"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** r9: Ulcer Index per event class — the drawdown family's RISK
+    * SUMMARY ([[windowDrawdown]] emits the per-row depth; UI compresses
+    * it to "how painful has the recent stretch been": the root-mean-
+    * square of percentage drawdown from the running peak over the
+    * trailing `n` bars). Squaring is the point — it weights DEEP
+    * drawdowns superlinearly, so a series that dipped 10% once scores
+    * far worse than one that wobbled 1% ten times, which a mean |dd|
+    * (or [[windowAtr]]'s range read) cannot distinguish. The classic
+    * use: denominator of the Martin ratio, the drawdown-world Sharpe.
+    *
+    * EXACTNESS: the running peak is an expanding integer-cents max (the
+    * [[windowDrawdown]] dual, bar closes instead of raw readings); each
+    * bar's drawdown fraction is quantized ONCE to integer parts-per-
+    * million via integral divide (dd_ppm = (peak−cl)·10⁶ div peak —
+    * deterministic in both engines, the Kruskal–Wallis micro-unit
+    * recipe), and the trailing mean-of-squares is then pure integer
+    * arithmetic (dd_ppm ≤ 10⁶ ⇒ Σdd² ≤ n·10¹² — long headroom for any
+    * window that fits a row). One sqrt of one fixed divide at the end
+    * (correctly rounded per IEEE-754 — safe). Bars whose expanding peak
+    * is ≤ 0 (possible on signed readings) get a null dd and the window
+    * requires n non-null members — never a negative-denominator div.
+    * SCALE: the [[windowObv]] posture — one fact-scale exchange into
+    * class-hour bars, then both windows (expanding peak, trailing RMS)
+    * ride the span-bounded bar frame. */
+  def windowUlcer(events: DataFrame, n: Int = 14): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("peak", max(col("cl")).over(wAll))
+      .withColumn("ddp", when(col("peak") > 0,
+        expr("CAST((peak - cl) AS DECIMAL(38,0)) * 1000000 DIV peak")
+          .cast("long")))
+      .withColumn("nd", count(col("ddp")).over(wN))
+      .withColumn("ss",
+        sum((col("ddp") * col("ddp")).cast(dec)).over(wN).cast("long"))
+      .filter(col("nd") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        (col("peak").cast("double") / lit(100.0)).as("peak_value"),
+        col("ddp").as("dd_ppm"), col("ss").as("dd_sq_sum"),
+        (sqrt(col("ss").cast("double") / lit(n.toDouble)) / lit(10000.0))
+          .as("ulcer_pct"))
+      .orderBy("event_type", "hour_s")
+  }
 }

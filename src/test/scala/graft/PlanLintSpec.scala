@@ -55,7 +55,8 @@ class PlanLintSpec extends SparkSpec {
     "events_markov_stationary",                          // 1-row state-count frame crossed onto the ≤k-row state dim (r9)
     "stat_cochran_q",                                    // 1-row user-sums frame crossed with the 1-row class-sums frame (r9)
     "text_distinctive_terms",                            // 1-row corpus-total frame crossed onto the vocab frame (r9)
-    "stat_ansari_bradley"                                // 1-row totals frame crossed onto the vocab frame (r9)
+    "stat_ansari_bradley",                               // 1-row totals frame crossed onto the vocab frame (r9)
+    "graph_modularity"                                   // 1-row (m, Q) frame crossed onto the ≤k-row community frame (r9)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
