@@ -671,6 +671,78 @@ object Sessions {
       .orderBy("community")
   }
 
+  /** r9: Kaplan–Meier survival of the time-to-next-event per event class
+    * — the censoring-aware answer to "how long do silences last", which
+    * [[eventsInterarrivalHistogram]] cannot give: a histogram of closed
+    * gaps silently DROPS every user's final open gap, biasing the tail
+    * exactly where churn lives (the user who never came back is the most
+    * important observation and the histogram's missing one). Each
+    * (user, class) stream contributes its closed gaps as events and its
+    * final open gap — last event to the corpus horizon (global max ts) —
+    * as a right-censored observation; the KM estimator then discounts
+    * risk sets instead of discarding them: at each duration d with n_d
+    * at risk (gap ≥ d) and e_d closures, S(d) = Π_{d'≤d} (1 − e_{d'} /
+    * n_{d'}). Read: "P(a silence exceeds d hours)" — the retention
+    * curve's rigorous sibling.
+    *
+    * EXACTNESS: the float trap is the cumulative product (a windowed
+    * float product is order-fragile, and exp/ln are off the recipe).
+    * The product is instead an integer RECURSION in parts-per-10¹²:
+    * S ← (S · (n−e)) div n, one integral divide per step — deterministic
+    * in both engines (the Kruskal–Wallis micro-unit lesson applied
+    * sequentially; each step costs < 10⁻¹² relative, invisible at the
+    * emitted 10⁻¹² grain). DECIMAL(38,0) widening keeps S·(n−e) exact
+    * for any n that fits a long. Risk sets are suffix sums over the
+    * duration-vocab frame (total − exclusive prefix — all integers).
+    *
+    * SCALE: gaps are hour-granular, so the duration vocabulary is
+    * span-bounded (the same bound every hourly ts_ op accepts), NOT
+    * row-bounded: the per-class fold list and the O(V²) array-append
+    * fold ride a ≤ span-hours frame. The fact table is touched by ONE
+    * properly-partitioned (class, user) lead window + one hash agg; the
+    * 1-row horizon frame broadcast-cross is the documented allowed BNLJ
+    * class. */
+  def eventsSurvivalKm(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val mx = events.agg(max(col("ts")).as("mts"))
+    val durs = events
+      .withColumn("nxt", lead(col("ts"), 1).over(wU))
+      .crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        when(col("nxt").isNotNull,
+          expr("(unix_micros(nxt) - unix_micros(ts)) div 3600000000"))
+          .otherwise(expr("(unix_micros(mts) - unix_micros(ts)) div 3600000000"))
+          .as("dur_h"),
+        col("nxt").isNull.as("cen"))
+    val tbl = durs.groupBy(col("event_type"), col("dur_h"))
+      .agg(sum(when(!col("cen"), 1L).otherwise(0L)).as("e"),
+        sum(when(col("cen"), 1L).otherwise(0L)).as("c"))
+    val wC = Window.partitionBy(col("event_type")).orderBy(col("dur_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllC = Window.partitionBy(col("event_type"))
+    val r2 = tbl
+      .withColumn("cum", sum(col("e") + col("c")).over(wC))
+      .withColumn("tot", sum(col("e") + col("c")).over(wAllC))
+      .withColumn("n", col("tot") - col("cum") + col("e") + col("c"))
+    r2.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(
+        struct(col("dur_h"), col("e"), col("c"), col("n")))).as("rs"))
+      .withColumn("ss", expr(
+        """aggregate(rs, array(cast(1000000000000 as bigint)),
+             (acc, r) -> concat(acc, array(
+               (cast(element_at(acc, -1) as decimal(38,0)) * (r.n - r.e))
+                 div r.n)))"""))
+      .select(col("event_type"), posexplode(col("rs")), col("ss"))
+      .select(col("event_type"), col("col.dur_h").as("dur_h"),
+        col("col.n").as("n_risk"), col("col.e").as("d_events"),
+        col("col.c").as("c_censored"),
+        element_at(col("ss"), col("pos") + 2).as("surv_ppt"),
+        (element_at(col("ss"), col("pos") + 2).cast("double") /
+          lit(1.0e12)).as("survival"))
+      .orderBy("event_type", "dur_h")
+  }
+
   /** r5c3: common-neighbor link prediction over the co-activity graph —
     * the "who should be connected but isn't" query next to
     * [[graphTriangles]]'s "how connected is it": rank NON-adjacent user

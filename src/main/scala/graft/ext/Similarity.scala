@@ -748,4 +748,59 @@ object Similarity {
           .as("recall_ppb"))
       .orderBy("query_id")
   }
+
+  /** r9: two-stage coarse→exact RERANK — the retrieval composition every
+    * production vector stack ends at ([[simSearchIvfAdc]] narrows WHERE
+    * to look; rerank fixes WHAT to return): stage 1 scores candidates
+    * with cheap compressed dot products (here the [[quantizedDims]] int8
+    * codes — pure INTEGER multiply-adds, 8× less memory traffic than the
+    * doubles) and keeps a margin of `c` = 3k candidates; stage 2
+    * re-scores ONLY those c in full precision (the exact
+    * [[simSearchCosineTopk]] cosine spelling) and emits the final top-k.
+    * Both stage ranks ride along, so the output doubles as the
+    * calibration table for the margin lever: a hit with coarse_rank
+    * near c says the margin is too thin, all-top-k-inside-top-k says it
+    * can shrink. The int8 full-scan coarse stage is the deliberately
+    * simple baseline — swapping it for the ADC table scorer is the
+    * [[simSearchIvfAdc]] composition and changes nothing downstream of
+    * the candidate frame.
+    *
+    * EXACTNESS: stage 1 is all-integer (codes are engine-exact by the
+    * [[embQuantizeInt8]] argument — floor(x/s + 0.5) on correctly-
+    * rounded IEEE ops); stage 2 is the already-hash-matched fixed cosine
+    * chain; both ranks tie-break by vec_id. SCALE: the coarse scan is
+    * rows × dims × queries integer MACs with the tiny query-code frame
+    * broadcast (corpus side never moves); stage 2 touches exactly
+    * nQueries·c vectors — the expensive math runs on a candidate set
+    * whose size the caller controls, not on the corpus. */
+  def simSearchRerank(embeddings: DataFrame, nQueries: Int = 10,
+                      k: Int = 10, c: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val qd = quantizedDims(embeddings)
+      .select(col("vec_id"), col("dim"), col("q"))
+    val qq = qd.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("dim"), col("q").as("wq"))
+    val wC = w.partitionBy(col("query_id"))
+      .orderBy(col("coarse_dot").desc, col("vec_id"))
+    val cands = qd.join(broadcast(qq), Seq("dim"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("q") * col("wq")).as("coarse_dot"))
+      .withColumn("coarse_rank", row_number().over(wC).cast("long"))
+      .filter(col("coarse_rank") <= c)
+    val e = withNorm(embeddings)
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wK = w.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(e, "vec_id").join(broadcast(qv), "query_id")
+      .withColumn("cosine",
+        vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(wK).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"),
+        col("coarse_dot"), col("coarse_rank"))
+      .orderBy("query_id", "rn")
+  }
 }

@@ -56,7 +56,8 @@ class PlanLintSpec extends SparkSpec {
     "stat_cochran_q",                                    // 1-row user-sums frame crossed with the 1-row class-sums frame (r9)
     "text_distinctive_terms",                            // 1-row corpus-total frame crossed onto the vocab frame (r9)
     "stat_ansari_bradley",                               // 1-row totals frame crossed onto the vocab frame (r9)
-    "graph_modularity"                                   // 1-row (m, Q) frame crossed onto the ≤k-row community frame (r9)
+    "graph_modularity",                                  // 1-row (m, Q) frame crossed onto the ≤k-row community frame (r9)
+    "events_survival_km"                                 // 1-row corpus-horizon (max ts) frame crossed onto the fact scan (r9)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
