@@ -2728,4 +2728,44 @@ object Aggs {
           .as("freq"))
       .orderBy("event_type", "pattern")
   }
+
+  /** r9: exponentially weighted mean AND variance of the hourly rate per
+    * event class (α = 1/4) — the adaptive VOLATILITY estimate next to
+    * [[statEwmaHourly]]'s adaptive level (RiskMetrics-style EWMVar): a
+    * threshold of "level ± 3·ewm_vol" tracks both a drifting mean and a
+    * drifting noise floor, where the fixed z of [[tsSeasonalAnomaly]]
+    * assumes stationary variance. West's update per grid hour: with
+    * d = x − m, m ← m + α·d and v ← (1−α)·(v + d·(α·d)) — the numerically
+    * stable one-pass form (never E[x²]−E[x]², which cancels
+    * catastrophically when vol ≪ level).
+    *
+    * EXACTNESS: the [[tsMacd]] recipe verbatim — the recursion is ONE
+    * textual IEEE chain folded over the densified hour grid (gaps = 0,
+    * this IS the rate series' zero hour) with α = 0.25 exactly
+    * representable in binary; DuckDB's `list_reduce` replays the same
+    * chain in the same order, so even the variance hash-matches. One
+    * hash agg collapses the scan to class-hour cardinality; the fold
+    * rides the span-bounded grid. */
+  def tsEwmStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
+      .withColumn("xs", expr(
+        "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
+        expr("""aggregate(
+                  slice(xs, 2, size(xs) - 1),
+                  array(element_at(xs, 1), 0.0d),
+                  (acc, x) -> array(
+                    acc[0] + 0.25d * (x - acc[0]),
+                    0.75d * (acc[1] + (x - acc[0]) * (0.25d * (x - acc[0])))))""")
+          .as("st"))
+      .select(col("event_type"), col("n_hours"),
+        col("st")(0).as("ewm_mean"), col("st")(1).as("ewm_var"),
+        sqrt(col("st")(1)).as("ewm_vol"))
+      .orderBy("event_type")
 }

@@ -160,6 +160,47 @@ object Inference {
         when(col("sp2") > 0,
           (col("ma") - col("mb")) / sqrt(col("sp2"))).as("cohens_d"))
 
+  /** r9: Hartley's F_max variance-homogeneity screen across ALL event
+    * classes — the quick-read gate in front of [[Aggs.statAnovaF]]
+    * (ANOVA assumes equal variances; Brown–Forsythe TESTS it via
+    * median deviations; F_max is the one-number triage a dashboard
+    * shows: the largest class variance over the smallest, with the two
+    * offending classes NAMED so the follow-up is already scoped). Rule
+    * of thumb: F_max ≳ 3 on balanced classes ⇒ don't trust pooled-
+    * variance statistics; reach for Welch / the rank family.
+    *
+    * EXACTNESS: per-class variance rides the [[statCohensD]] spelling —
+    * integer cents power sums in DECIMAL(38,0), base-2^53 split to
+    * double, one fixed (s2 − s·s/n)/(n−1) chain — so each variance is a
+    * deterministic double; the max/min classes are then SELECTED (a
+    * struct max/min with the class name as tiebreaker — selection, not
+    * arithmetic) and F_max is one final divide. Classes with n < 2 or
+    * zero variance are excluded from the ratio (named-count column keeps
+    * the exclusion visible). One hash agg to the 5-row class frame, one
+    * 1-row reduce. */
+  def statHartleyFmax(events: DataFrame): DataFrame = {
+    val perClass = events.filter(col("value").isNotNull)
+      .select(col("event_type"), centsDec(col("value")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"),
+        d2(sum(col("c"))).as("s"),
+        d2(sum(col("c") * col("c"))).as("s2"))
+      .withColumn("kd", col("k").cast("double"))
+      .withColumn("v", when(col("k") >= 2,
+        (col("s2") - col("s") * col("s") / col("kd")) /
+          (col("kd") - lit(1.0))))
+    perClass.filter(col("v") > 0)
+      .agg(count(lit(1)).as("n_classes"),
+        max(struct(col("v"), col("event_type"))).as("mx"),
+        min(struct(col("v"), col("event_type"))).as("mn"))
+      .select(col("n_classes"),
+        col("mx.event_type").as("class_max"),
+        (col("mx.v") / lit(10000.0)).as("var_max"),
+        col("mn.event_type").as("class_min"),
+        (col("mn.v") / lit(10000.0)).as("var_min"),
+        (col("mx.v") / col("mn.v")).as("fmax"))
+  }
+
   /** Paired sign test on the hourly (click, purchase) count series — the
     * assumption-free "is one feed systematically ahead of the other"
     * check under `stat_corr_hourly`'s frame: count hours where clicks

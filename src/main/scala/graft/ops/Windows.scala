@@ -1123,6 +1123,54 @@ object Windows {
     * SCALE: the [[windowObv]] posture — one fact-scale exchange into
     * class-hour bars, then both windows (expanding peak, trailing RMS)
     * ride the span-bounded bar frame. */
+  /** r9: Ichimoku Kinkō Hyō per event class — the TA tier's one-glance
+    * EQUILIBRIUM system (every other band op reads a single statistic;
+    * Ichimoku composes four so level, momentum, and forward support read
+    * together): tenkan = 9-bar midpoint, kijun = 26-bar midpoint, senkou
+    * A = their average PROJECTED 26 bars forward, senkou B = the 52-bar
+    * midpoint likewise projected (A/B bound the "cloud" — forward
+    * support/resistance from PAST consensus), chikou = the close 26 bars
+    * ahead (the standard lagging-span read, null at the frame edge).
+    * The actionable bit flags compare the close to the cloud.
+    *
+    * EXACTNESS: every line is a midpoint of integer-cents extrema — kept
+    * DOUBLED (tenkan2 = hi₉+lo₉) so projections and averages stay
+    * integers until ONE final rescale divide per column; the cloud flags
+    * compare 4·close against the ×4-integer span values, so no float
+    * ever decides a boolean. SCALE: the [[windowDonchian]] posture —
+    * one exchange to class-hour bars, four trailing extrema windows +
+    * two lags + one lead on the span-bounded bar frame. */
+  def windowIchimoku(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    def mid2(n: Int) = {
+      val w = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+      max(col("h")).over(w) + min(col("l")).over(w)
+    }
+    classHourBarsV(events)
+      .withColumn("nb", count(lit(1))
+        .over(wOrd.rowsBetween(-51, Window.currentRow)))
+      .withColumn("tenkan2", mid2(9))
+      .withColumn("kijun2", mid2(26))
+      .withColumn("span_b2", mid2(52))
+      .withColumn("sa4", lag(col("tenkan2") + col("kijun2"), 26).over(wOrd))
+      .withColumn("sb4", lag(col("span_b2") * 2, 26).over(wOrd))
+      .withColumn("chikou_c", lead(col("cl"), 26).over(wOrd))
+      // full-history rows only: the 26-back projection SOURCE must itself
+      // have a complete 52-bar window, so no line is a warmup partial
+      .withColumn("nb_src", lag(col("nb"), 26).over(wOrd))
+      .filter(col("nb_src") === 52)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        (col("tenkan2").cast("double") / lit(200.0)).as("tenkan"),
+        (col("kijun2").cast("double") / lit(200.0)).as("kijun"),
+        (col("sa4").cast("double") / lit(400.0)).as("senkou_a"),
+        (col("sb4").cast("double") / lit(400.0)).as("senkou_b"),
+        (col("chikou_c").cast("double") / lit(100.0)).as("chikou"),
+        (col("cl") * 4 > greatest(col("sa4"), col("sb4"))).as("above_cloud"),
+        (col("cl") * 4 < least(col("sa4"), col("sb4"))).as("below_cloud"))
+      .orderBy("event_type", "hour_s")
+  }
+
   def windowUlcer(events: DataFrame, n: Int = 14): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
