@@ -57,7 +57,8 @@ class PlanLintSpec extends SparkSpec {
     "text_distinctive_terms",                            // 1-row corpus-total frame crossed onto the vocab frame (r9)
     "stat_ansari_bradley",                               // 1-row totals frame crossed onto the vocab frame (r9)
     "graph_modularity",                                  // 1-row (m, Q) frame crossed onto the ≤k-row community frame (r9)
-    "events_survival_km"                                 // 1-row corpus-horizon (max ts) frame crossed onto the fact scan (r9)
+    "events_survival_km",                                // 1-row corpus-horizon (max ts) frame crossed onto the fact scan (r9)
+    "stat_hodges_lehmann"                                // vocab×vocab pair cross (range-bounded, budget-guarded) + 1-row totals (r9)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {

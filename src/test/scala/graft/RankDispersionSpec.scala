@@ -104,4 +104,24 @@ class RankDispersionSpec extends SparkSpec {
         s"case $idx t: ${row.getAs[Double]("t_stat")} vs $t")
     }
   }
+
+  test("hodges-lehmann matches the literal lower median of all pair differences") {
+    for (((a, b), idx) <- cases.zipWithIndex) {
+      val row = RankStats.statHodgesLehmann(frame(a, b)).collect()(0)
+      val diffs = (for (x <- a; y <- b) yield
+        math.round(x * 100) - math.round(y * 100)).sorted
+      val want = diffs((diffs.size + 1) / 2 - 1) // lower median, 1-based ⌈W/2⌉
+      assert(row.getAs[Long]("n_pairs") == diffs.size.toLong, s"case $idx pairs")
+      assert(row.getAs[Long]("hl_cents") == want,
+        s"case $idx hl: ${row.getAs[Long]("hl_cents")} vs $want")
+    }
+  }
+
+  test("hodges-lehmann pair budget fails loudly") {
+    val (a, b) = cases.head
+    val err = intercept[IllegalArgumentException] {
+      RankStats.statHodgesLehmann(frame(a, b), maxPairs = 1L).collect()
+    }
+    assert(err.getMessage.contains("budget"))
+  }
 }
