@@ -227,6 +227,66 @@ object Sampling {
       .orderBy("lang", "pick")
   }
 
+  /** r9: NEYMAN allocation — the variance-optimal stratified design next
+    * to [[sampleHamiltonAlloc]]'s proportional one: allocate the budget
+    * ∝ N_h·S_h (stratum size × stratum std of the survey variable, here
+    * n_chars), which minimizes the variance of the estimated mean under
+    * a fixed budget — a stratum that is LARGE AND NOISY earns more
+    * samples; a large-but-uniform one earns fewer than proportional
+    * would give it (the textbook optimal-allocation result, and the
+    * difference that matters when one language's doc lengths are wild
+    * and another's are clamped).
+    *
+    * EXACTNESS: per-stratum variance rides the exact integer power-sum
+    * chain; the weight N_h·S_h is quantized ONCE to integer milli-units
+    * via floor (deterministic on a deterministic double), and from there
+    * it is [[sampleHamiltonAlloc]]'s integer largest-remainder machinery
+    * verbatim — exact-budget, engine-identical. Degenerate strata
+    * (n < 2 or zero variance) get weight 0 and drop from the allocation.
+    * SCALE: one stats agg, a ≤#strata allocation frame, and the same
+    * md5-ordered per-stratum pick window as Hamilton. */
+  def sampleNeymanAlloc(documents: DataFrame, budget: Int = 100): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val d2 = graft.Det.decToDouble _
+    val k = lit(budget.toLong)
+    val weights = documents.groupBy(col("lang")).agg(
+        count(lit(1)).as("ns"),
+        sum(col("n_chars").cast(dec)).as("sx"),
+        sum((col("n_chars") * col("n_chars")).cast(dec)).as("sx2"))
+      .withColumn("nd", col("ns").cast("double"))
+      .withColumn("v", when(col("ns") >= 2,
+        (d2(col("sx2")) - d2(col("sx")) * d2(col("sx")) / col("nd")) /
+          (col("nd") - lit(1.0))))
+      .withColumn("wq", when(col("v") > 0,
+        floor(col("nd") * sqrt(col("v")) * lit(1000.0)).cast("long"))
+        .otherwise(lit(0L)))
+      .filter(col("wq") > 0)
+    val totals = weights.agg(sum(col("wq")).as("w_total"))
+    val wRem = Window.orderBy((k * col("wq") % col("w_total")).desc, col("lang"))
+    val alloc = weights.crossJoin(broadcast(totals))
+      .withColumn("k_base", idiv(k * col("wq"), col("w_total")))
+      .withColumn("rem_rank", row_number().over(wRem).cast("long"))
+      .crossJoin(broadcast(
+        weights.crossJoin(broadcast(totals))
+          .agg((k - sum(idiv(k * col("wq"), col("w_total")))).as("n_extra"))))
+      .withColumn("k_alloc",
+        col("k_base") + when(col("rem_rank") <= col("n_extra"), 1L).otherwise(0L))
+      .select(col("lang"), col("ns"), col("wq").as("w_milli"), col("k_alloc"))
+    val wPick = Window.partitionBy(col("lang"))
+      .orderBy(col("hkey"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16)
+          .as("hkey"))
+      .withColumn("pick", row_number().over(wPick).cast("long"))
+      .join(broadcast(alloc), "lang")
+      .filter(col("pick") <= col("k_alloc"))
+      .select(col("lang"), col("pick"), col("doc_id"), col("ns"),
+        col("w_milli"), col("k_alloc"))
+      .orderBy("lang", "pick")
+  }
+
   def sampleTopkHash(documents: DataFrame, k: Int = 100): DataFrame = {
     val hkey = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16)
     val rank = Window.orderBy(col("hkey"), col("doc_id"))

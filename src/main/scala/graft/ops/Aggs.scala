@@ -2768,4 +2768,61 @@ object Aggs {
         col("st")(0).as("ewm_mean"), col("st")(1).as("ewm_var"),
         sqrt(col("st")(1)).as("ewm_vol"))
       .orderBy("event_type")
+
+  /** r9: HyperLogLog register-merge UNION — closes the portable-HLL set
+    * algebra next to the KMV trio ([[aggDistinctUnionKmv]] etc.): the
+    * property that makes HLL THE distributed distinct sketch is that two
+    * sketches merge LOSSLESSLY by register-wise max — est(A∪B) needs no
+    * re-scan of either input. This query materializes that claim as a
+    * decision table: per-class sketches for two classes, the merged
+    * union estimate, and the exact distinct union as the audit column
+    * (the [[aggDistinctKmv]] audit discipline).
+    *
+    * EXACTNESS: registers are integer bucket maxima of md5-derived
+    * ranks ([[aggDistinctHllPortable]]'s spelling — both engines hash
+    * and rank identically), the merge is an integer `greatest` over
+    * null-coalesced per-class registers, and each estimate is the same
+    * one fixed double chain — so the SKETCH, the merge, and all three
+    * estimates hash-match. SCALE: one fact scan into 256-bucket
+    * registers (map-side partials), three estimator chains over the
+    * 1-row register rollup; the exact audit is one distinct agg. */
+  def aggDistinctHllUnion(events: DataFrame, classA: String = "click",
+                          classB: String = "view"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val h = md5(col("user_id").cast("string").cast("binary"))
+    val two57 = 144115188075855872.0 // 2^57, exact
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    def pw(m: Column): Column =
+      call_function("shiftleft", lit(1L), (lit(57) - m).cast("int")).cast(dec)
+    def est(hit: Column, t: Column): Column =
+      lit(alpha) * lit(65536.0) * lit(two57) /
+        (t.cast("double") + (lit(256L) - hit).cast("double") * lit(two57))
+    val filtered = events.filter(col("event_type").isin(classA, classB))
+    val regs = filtered
+      .select(col("event_type"),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("b"),
+        conv(substring(h, 3, 14), 16, 10).cast("long").as("v"))
+      .withColumn("m", when(col("v") === 0L, lit(57))
+        .otherwise(lit(57) - length(expr("bin(v)"))))
+      .groupBy(col("b"))
+      .agg(max(when(col("event_type") === classA, col("m"))).as("ma"),
+        max(when(col("event_type") === classB, col("m"))).as("mb"))
+      // register-wise merge; ranks are >= 1 so -1 marks "class absent"
+      .withColumn("mu",
+        greatest(coalesce(col("ma"), lit(-1)), coalesce(col("mb"), lit(-1))))
+    val sketch = regs.agg(
+      count(col("ma")).as("hit_a"), sum(pw(col("ma"))).as("ta"),
+      count(col("mb")).as("hit_b"), sum(pw(col("mb"))).as("tb"),
+      count(col("mu")).as("hit_u"), sum(pw(col("mu"))).as("tu"))
+    val exact = filtered.agg(
+      countDistinct(col("user_id")).as("exact_union"))
+    sketch.crossJoin(broadcast(exact))
+      .select(col("hit_a").cast("long").as("n_buckets_a"),
+        col("hit_b").cast("long").as("n_buckets_b"),
+        col("hit_u").cast("long").as("n_buckets_union"),
+        est(col("hit_a"), col("ta")).as("est_a"),
+        est(col("hit_b"), col("tb")).as("est_b"),
+        est(col("hit_u"), col("tu")).as("est_union"),
+        col("exact_union"))
+  }
 }

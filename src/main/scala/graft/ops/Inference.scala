@@ -201,6 +201,71 @@ object Inference {
         (col("mx.v") / col("mn.v")).as("fmax"))
   }
 
+  /** r9: generalized ESD (Rosner) outlier screen, k = 3 rounds per event
+    * class — the MASKING-proof upgrade of [[statGrubbs]]: Grubbs tests
+    * the single most extreme point, and two outliers sitting together
+    * hide each other (each inflates the sd that judges the other); GESD
+    * removes the most deviant point and RE-STUDENTIZES before judging
+    * the next, so a cluster of outliers is peeled one per round. The
+    * deliverable is the decision table (round, named value, R_i) — the
+    * λ_i critical values need t-quantiles (off the exactness recipe, the
+    * `ts_rescaled_range` precedent) and live client-side.
+    *
+    * EXACTNESS: each round is exact integer bookkeeping — deviations
+    * compared as |n·c − S1| (the ×n clears the mean divide, DECIMAL(38,0)),
+    * the removed point is a SELECTION (max deviation, ties to the
+    * smaller value — a struct max, not arithmetic), and the next round's
+    * moments are the previous sums MINUS the removed value (n−1,
+    * S1−c*, S2−c*²) — no recomputation, no drift; R_i finishes in one
+    * fixed chain per round. SCALE: rounds operate on the (value, class)
+    * contingency cells — k chained joins over vocab-bounded frames, the
+    * fact table scanned exactly once by the cells agg. */
+  def statGesdOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    var cells = events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        centsDec(col("value")).cast("long").as("c"))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("mv"))
+    var totals = cells.groupBy(col("event_type")).agg(
+      sum(col("mv")).as("n"),
+      sum(col("c").cast(dec) * col("mv")).as("s1"),
+      sum((col("c") * col("c")).cast(dec) * col("mv")).as("s2"))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to k) {
+      val dev = cells.join(totals, "event_type")
+        .withColumn("adev", abs(col("c").cast(dec) * col("n") - col("s1")))
+      val pick = dev.groupBy(col("event_type"))
+        .agg(max(struct(col("adev"), (-col("c")).as("negc"))).as("p"))
+        .select(col("event_type"), (-col("p.negc")).as("cstar"),
+          col("p.adev").as("adev"))
+      rounds += pick.join(totals, "event_type")
+        .filter(col("n") >= 3)
+        .withColumn("nd", col("n").cast("double"))
+        .select(col("event_type"), lit(i.toLong).as("round_no"),
+          col("n").as("n_used"),
+          (col("cstar").cast("double") / lit(100.0)).as("outlier_value"),
+          (d2(col("adev")) / col("nd")).as("madev"),
+          ((d2(col("s2")) - d2(col("s1")) * d2(col("s1")) / col("nd")) /
+            (col("nd") - lit(1.0))).as("sd2"))
+      if (i < k) {
+        cells = cells
+          .join(pick.select(col("event_type"), col("cstar")), Seq("event_type"))
+          .withColumn("mv",
+            when(col("c") === col("cstar"), col("mv") - 1).otherwise(col("mv")))
+          .filter(col("mv") > 0)
+          .select(col("event_type"), col("c"), col("mv"))
+        totals = totals.join(pick, Seq("event_type"))
+          .select(col("event_type"), (col("n") - 1).as("n"),
+            (col("s1") - col("cstar")).as("s1"),
+            (col("s2") - col("cstar").cast(dec) * col("cstar")).as("s2"))
+      }
+    }
+    rounds.reduce(_.union(_))
+      .select(col("event_type"), col("round_no"), col("n_used"),
+        col("outlier_value"),
+        when(col("sd2") > 0, col("madev") / sqrt(col("sd2"))).as("r_stat"))
+      .orderBy("event_type", "round_no")
+  }
+
   /** Paired sign test on the hourly (click, purchase) count series — the
     * assumption-free "is one feed systematically ahead of the other"
     * check under `stat_corr_hourly`'s frame: count hours where clicks
