@@ -538,6 +538,84 @@ object RankStats {
           (col("t_stat") - col("e_t")) / sqrt(col("var_t"))).as("z_score"))
   }
 
+  /** r9: Cucconi two-sample LOCATION-AND-SCALE test — the joint screen
+    * the split pair cannot be: [[statMannWhitney]] reads location,
+    * [[statAnsariBradley]] reads dispersion, and running both costs two
+    * α's and misses alternatives where small shifts in EACH conspire.
+    * Cucconi (1968) standardizes the squared ranks U (sensitive to
+    * location+scale from the right) and squared CONTRA-ranks V (from
+    * the left) of one sample and combines them through their known
+    * correlation ρ: C = (U² + V² − 2ρUV)/(2(1−ρ²)). Modern power
+    * studies put it at or above the better-known Lepage — one number,
+    * "did this class's distribution move or reshape at all".
+    *
+    * EXACTNESS: with midranks from the contingency-cell identity
+    * (2r̄ = 2·cntLess + t + 1, the [[statKruskalWallis]] recipe), the
+    * squared-rank sums are exact integers once doubled through:
+    * 4S₁ = Σ m_B·(2r̄)², 4S₂ = Σ m_B·(2(N+1) − 2r̄)² — DECIMAL(38,0),
+    * no per-row ranking, no division before the final fixed chain
+    * (U = (6S₁ − m(N+1)(2N+1))/√(mn(N+1)(2N+1)(8N+11)/5) spelled with
+    * the ×4 cleared, ρ and C one chain each). The asymptotic p-value
+    * needs exp (off the recipe) — C with its 5%/1% thresholds (≈ 3.0/
+    * 4.6) is the deliverable, the `ts_rescaled_range` precedent.
+    * SCALE: the [[statMannWhitney]] posture exactly — one fact scan to
+    * cells, vocabulary-bounded frames, 1-row out. */
+  def statCucconi(events: DataFrame, classA: String = "click",
+      classB: String = "view"): DataFrame = {
+    val sample = events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val cells = sample.groupBy(col("c"), col("event_type"))
+      .agg(count(lit(1)).as("mv"))
+    val rv = rankedValues(cells)
+    val d2 = graft.Det.decToDouble _
+    val perB = cells.filter(col("event_type") === classB)
+      .join(rv, "c")
+      .withColumn("r2", (lit(2L) * col("cnt_less") + col("tv") + lit(1L))
+        .cast(dec38))
+    val totals = cells.agg(
+      sum(when(col("event_type") === classA, col("mv"))).as("n_a"),
+      sum(when(col("event_type") === classB, col("mv"))).as("n_b"))
+    val sums = perB
+      .crossJoin(broadcast(totals))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .groupBy(col("n_a"), col("n_b"), col("nn"))
+      .agg(sum(col("mv") * col("r2") * col("r2")).as("q1"),
+        sum(col("mv") *
+          (lit(2L) * (col("nn") + lit(1L)) - col("r2")) *
+          (lit(2L) * (col("nn") + lit(1L)) - col("r2"))).as("q2"))
+    sums
+      .withColumn("nd", col("nn").cast("double"))
+      .withColumn("mb", col("n_b").cast(dec38))
+      // 6S − m(N+1)(2N+1), the ×4 doubling cleared: (6q − 4m(N+1)(2N+1))/4
+      .withColumn("u_num", d2(lit(6L).cast(dec38) * col("q1") -
+        lit(4L).cast(dec38) * col("mb") * (col("nn") + lit(1L)) *
+          (lit(2L) * col("nn") + lit(1L))) / lit(4.0))
+      .withColumn("v_num", d2(lit(6L).cast(dec38) * col("q2") -
+        lit(4L).cast(dec38) * col("mb") * (col("nn") + lit(1L)) *
+          (lit(2L) * col("nn") + lit(1L))) / lit(4.0))
+      .withColumn("den", sqrt(d2(
+        col("n_a").cast(dec38) * col("n_b") * (col("nn") + lit(1L)) *
+          (lit(2L) * col("nn") + lit(1L)) *
+          (lit(8L) * col("nn") + lit(11L))) / lit(5.0)))
+      .withColumn("u", when(col("den") > 0, col("u_num") / col("den")))
+      .withColumn("v", when(col("den") > 0, col("v_num") / col("den")))
+      .withColumn("rho",
+        lit(2.0) * (col("nd") * col("nd") - lit(4.0)) /
+          ((lit(2.0) * col("nd") + lit(1.0)) *
+            (lit(8.0) * col("nd") + lit(11.0))) - lit(1.0))
+      .select(col("n_a"), col("n_b"),
+        // the raw 4S₁/4S₂ integers stay internal: casting them to long
+        // for display would overflow silently here and loudly in DuckDB
+        // at decade scale (the stat_jarque_bera ADVICE class) — u/v
+        // carry the same information standardized
+        col("u"), col("v"), col("rho"),
+        when(col("rho") * col("rho") < 1.0,
+          (col("u") * col("u") + col("v") * col("v") -
+            lit(2.0) * col("rho") * col("u") * col("v")) /
+            (lit(2.0) * (lit(1.0) - col("rho") * col("rho")))).as("c_stat"))
+  }
+
   /** Hodges–Lehmann two-sample SHIFT ESTIMATOR — the effect size that
     * belongs to [[statMannWhitney]] (MW answers "is class A shifted from
     * class B?"; HL answers BY HOW MUCH, in value units): the median of

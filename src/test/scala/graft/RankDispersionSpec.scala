@@ -117,6 +117,39 @@ class RankDispersionSpec extends SparkSpec {
     }
   }
 
+  test("cucconi matches brute-force midrank enumeration") {
+    for (((a, b), idx) <- cases.zipWithIndex) {
+      val row = RankStats.statCucconi(frame(a, b)).collect()(0)
+      // literal midranks of the pooled sample, class-B squared-rank sums
+      val pooled = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+      val n = pooled.size
+      val rank = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && pooled(j)._1 == pooled(i)._1) j += 1
+        val mid = (i + 1 + j).toDouble / 2.0
+        (i until j).foreach(rank(_) = mid)
+        i = j
+      }
+      val rb = pooled.zipWithIndex.collect { case ((_, 1), k) => rank(k) }
+      val (na, nb) = (a.size, b.size)
+      val s1 = rb.map(r => r * r).sum
+      val s2 = rb.map(r => (n + 1 - r) * (n + 1 - r)).sum
+      val den = math.sqrt(
+        na.toDouble * nb * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5.0)
+      val u = (6.0 * s1 - nb.toDouble * (n + 1) * (2 * n + 1)) / den
+      val v = (6.0 * s2 - nb.toDouble * (n + 1) * (2 * n + 1)) / den
+      val rho = 2.0 * (n.toDouble * n - 4.0) /
+        ((2.0 * n + 1.0) * (8.0 * n + 11.0)) - 1.0
+      val c = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+      assert(math.abs(row.getAs[Double]("u") - u) < 1e-9, s"case $idx u")
+      assert(math.abs(row.getAs[Double]("v") - v) < 1e-9, s"case $idx v")
+      assert(math.abs(row.getAs[Double]("c_stat") - c) < 1e-9,
+        s"case $idx c: ${row.getAs[Double]("c_stat")} vs $c")
+    }
+  }
+
   test("hodges-lehmann pair budget fails loudly") {
     val (a, b) = cases.head
     val err = intercept[IllegalArgumentException] {
