@@ -1313,6 +1313,70 @@ object Sessions {
     x.select(col("state"), col("x").as("stationary_ppb")).orderBy("state")
   }
 
+  /** r9: absorption analysis of the event-type Markov chain — the
+    * chain's CONVERSION read next to [[eventsMarkovStationary]]'s
+    * equilibrium one: make `absorbing` (purchase) a sink and ask, from
+    * each behavioral state, (a) the probability of reaching it within N
+    * steps and (b) the expected steps E[min(τ, N)] — "how far is each
+    * behavior from buying, and does it get there at all". The funnel
+    * tier measures observed sequences; this extrapolates the OBSERVED
+    * DYNAMICS, so a state can be two hops from purchase in the chain
+    * even if few users have walked the full path yet. Both quantities
+    * are the N-truncated fixed points of p ← P·p (p_sink = 1) and
+    * t ← 1 + P·t (t_sink = 0) — truncation makes them well-defined even
+    * when absorption is not certain (the unconditional expectation
+    * diverges; E[min(τ, N)] never does). States with no observed
+    * outgoing transitions surface with reach 0 — visible, not an error.
+    *
+    * EXACTNESS: the [[eventsMarkovStationary]] integer fixed-point
+    * recipe verbatim — both vectors iterate in ppb with per-edge
+    * floor(v·n // rn) contributions (exact DECIMAL(38,0) products,
+    * order-free integer sums), N = 12 rounds unrolled, oracle CTE chain
+    * generated by the same loop. SCALE: one data-scaled lead-window
+    * pass builds the ≤k² matrix; every round after is
+    * volume-independent on persisted ≤k-row frames. */
+  def eventsMarkovAbsorption(events: DataFrame, absorbing: String = "purchase",
+                             iters: Int = 12): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val rowsums = trans.groupBy(col("src")).agg(sum(col("n")).as("rn"))
+    val tmat = trans.join(rowsums, "src")
+      .filter(col("src") =!= absorbing).persist()
+    val states = trans.select(col("src").as("state"))
+      .union(trans.select(col("dst").as("state"))).distinct().persist()
+    var x = states.select(col("state"),
+      when(col("state") === absorbing, lit(1000000000L)).otherwise(lit(0L))
+        .as("pv"),
+      lit(0L).as("tv"))
+    for (_ <- 1 to iters) {
+      val contrib = x.join(tmat, x("state") === tmat("dst"))
+        .select(col("src"),
+          idiv(col("pv").cast(dec) * col("n"), col("rn")).as("pc"),
+          idiv(col("tv").cast(dec) * col("n"), col("rn")).as("tc"))
+        .groupBy(col("src"))
+        .agg(sum(col("pc")).as("pn"), sum(col("tc")).as("tn"))
+      x = states.join(contrib, states("state") === contrib("src"), "left")
+        .select(col("state"),
+          when(col("state") === absorbing, lit(1000000000L))
+            .otherwise(coalesce(col("pn"), lit(0L))).as("pv"),
+          when(col("state") === absorbing, lit(0L))
+            .otherwise(lit(1000000000L) + coalesce(col("tn"), lit(0L)))
+            .as("tv"))
+    }
+    x.select(col("state"), col("pv").as("reach_ppb"),
+        col("tv").as("exp_steps_ppb"),
+        (col("pv").cast("double") / lit(1.0e9)).as("reach_prob"),
+        (col("tv").cast("double") / lit(1.0e9)).as("exp_steps_capped"))
+      .orderBy("state")
+  }
+
   /** r9: conversion-lag deciles by first-click DAY cohort — the funnel
     * tier's missing TIME dimension: [[eventsFunnelStages]] says WHO
     * reached purchase, `events_window_funnel` says who converted inside

@@ -2769,6 +2769,57 @@ object Aggs {
         sqrt(col("st")(1)).as("ewm_vol"))
       .orderBy("event_type")
 
+  /** r9: SEASONAL Mann–Kendall trend test per event class — the
+    * cycle-safe member of the trend tier: plain [[statMannKendall]]
+    * compares every observation pair, so a strong diurnal cycle
+    * (busy afternoons, dead nights) floods S with within-day
+    * comparisons that say nothing about multi-day drift; the seasonal
+    * form (Hirsch–Slack) compares hourly counts ONLY against the same
+    * hour-of-day on other days — "is 3pm traffic trending up across
+    * days", summed over all 24 seasons. The screen to trust on any
+    * series with a daily rhythm, i.e. all of them.
+    *
+    * EXACTNESS: S is a sum of integer sign comparisons; the variance is
+    * the per-season tie-corrected n(n−1)(2n+5) sum (×18 cleared —
+    * [[statMannKendall]]'s spelling, summed across seasons in integers);
+    * the z continuity correction and trend call are one fixed chain.
+    * SCALE: pairs join keyed (class, hour-of-day) with day < day — work
+    * is 24·(days)² per class, span-bounded, never events². */
+  def statSeasonalMannKendall(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("v"))
+    val s = hourly.as("l")
+      .join(hourly.as("r"), col("l.event_type") === col("r.event_type") &&
+        col("l.hod") === col("r.hod") && col("l.day") < col("r.day"))
+      .groupBy(col("l.event_type").as("event_type"))
+      .agg(sum(when(col("r.v") > col("l.v"), 1L)
+        .when(col("r.v") < col("l.v"), -1L).otherwise(0L)).as("s"))
+    val vars = hourly.groupBy(col("event_type"), col("hod"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"),
+        sum(col("t")).as("nk"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("nk * (nk - 1) * (2 * nk + 5) - tie18")).as("var18"),
+        sum(col("nk")).as("n_hours"))
+    val z = sqrt(col("var18").cast("double") / lit(18.0))
+    vars.join(s, Seq("event_type"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("z",
+        when(col("var18") === 0L, lit(null).cast("double"))
+          .when(col("s") > 0L, (col("s") - lit(1L)).cast("double") / z)
+          .when(col("s") < 0L, (col("s") + lit(1L)).cast("double") / z)
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("z").isNull || abs(col("z")) < 1.96, "no_trend")
+          .when(col("z") > 0, "increasing").otherwise("decreasing"))
+      .select(col("event_type"), col("n_hours"), col("s"), col("var18"),
+        col("z"), col("trend"))
+      .orderBy("event_type")
+  }
+
   /** r9: HyperLogLog register-merge UNION — closes the portable-HLL set
     * algebra next to the KMV trio ([[aggDistinctUnionKmv]] etc.): the
     * property that makes HLL THE distributed distinct sketch is that two
