@@ -2820,6 +2820,54 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** r9: SES smoothing-constant grid search per event class — the
+    * auto-tuning step the forecaster tier leaves manual: [[statEwmaHourly]]
+    * fixes α = ½ by fiat; this folds the observed-hour series once per
+    * α ∈ {⅛…⅞} accumulating the one-step-ahead SSE, and flags the
+    * arg-min — the standard "fit SES by SSE" procedure as a decision
+    * table (7 rows per class: the caller sees HOW FLAT the SSE curve is,
+    * not just its bottom — a flat curve says the choice barely matters;
+    * a sharp one says tune it).
+    *
+    * EXACTNESS: each fold is one textual IEEE chain (level and SSE both
+    * use the pre-update residual, α = k/8 exactly binary), replayed by
+    * `list_reduce`; the winner is a SELECTION (min SSE, tie to smaller
+    * α) over 7 deterministic doubles via a window min on the 7-row
+    * frame. SCALE: one hash agg collapses the scan; 7 bounded folds per
+    * class on the span-bounded hourly list. */
+  def tsSesGrid(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hu"), col("n")))).as("series"))
+      .withColumn("xs",
+        expr("transform(series, s -> cast(s.n as double))"))
+      .withColumn("alpha",
+        explode(expr("transform(sequence(1, 7), k -> cast(k as double) / 8.0d)")))
+    val folded = series
+      .withColumn("st", expr(
+        """aggregate(
+             slice(xs, 2, size(xs) - 1),
+             array(element_at(xs, 1), 0.0d),
+             (acc, x) -> array(
+               acc[0] + alpha * (x - acc[0]),
+               acc[1] + (x - acc[0]) * (x - acc[0])))"""))
+    val wC = Window.partitionBy(col("event_type"))
+    folded
+      .select(col("event_type"), col("alpha"),
+        size(col("xs")).cast("long").as("n_hours"),
+        col("st")(0).as("level"), col("st")(1).as("sse"))
+      .withColumn("best_sse", min(struct(col("sse"), col("alpha"))).over(wC))
+      .select(col("event_type"), col("alpha"), col("n_hours"), col("level"),
+        col("sse"),
+        (col("sse") === col("best_sse.sse") &&
+          col("alpha") === col("best_sse.alpha")).as("is_best"))
+      .orderBy("event_type", "alpha")
+  }
+
   /** r9: HyperLogLog register-merge UNION — closes the portable-HLL set
     * algebra next to the KMV trio ([[aggDistinctUnionKmv]] etc.): the
     * property that makes HLL THE distributed distinct sketch is that two

@@ -1171,6 +1171,99 @@ object Windows {
       .orderBy("event_type", "hour_s")
   }
 
+  /** r9: Kaufman Efficiency Ratio per event class — the trend-QUALITY
+    * read none of the band/momentum ops give: ER = |net change over n
+    * bars| / Σ|bar-to-bar changes| ∈ [0, 1] — 1 means every step moved
+    * the same way (clean trend), →0 means the path churned sideways
+    * for its distance (noise). The adaptive-smoothing kernel (KAMA
+    * scales its α by ER) and the regime filter a crossover system
+    * ([[tsSmaCrossover]]) is gated by in practice.
+    *
+    * EXACTNESS: net and volatility are integer-cents sums of absolute
+    * differences; ER is ONE long/long divide; a flat window (vol = 0)
+    * yields null, never 0/0. SCALE: the [[windowObv]] posture — one
+    * exchange to class-hour bars, a lag and one trailing window sum on
+    * the span-bounded bar frame. */
+  def windowKaufmanEr(events: DataFrame, n: Int = 10): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("pc", lag(col("cl"), 1).over(wOrd))
+      .withColumn("d", when(col("pc").isNotNull, abs(col("cl") - col("pc"))))
+      .withColumn("nd", count(col("d")).over(wN))
+      .withColumn("vol", sum(col("d")).over(wN))
+      .withColumn("base", lag(col("cl"), n).over(wOrd))
+      .filter(col("nd") === n && col("base").isNotNull)
+      .withColumn("net", abs(col("cl") - col("base")))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        col("net").as("net_cents"), col("vol").as("vol_cents"),
+        when(col("vol") > 0,
+          col("net").cast("double") / col("vol").cast("double"))
+          .as("efficiency_ratio"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r9: Heikin-Ashi bars per event class — the TA tier's SMOOTHED bar
+    * transform: ha_close = (o+h+l+c)/4 re-centers each bar on its body,
+    * ha_open = midpoint of the PREVIOUS HA body — a recursion that
+    * filters one-bar noise so consecutive same-color HA bars read as a
+    * trend run (the practical use: trend-run length over HA bars is far
+    * less choppy than over raw bars, feeding [[windowStreaks]]-style
+    * reads). Requires the bar OPEN (first reading per class-hour), a
+    * selection the shared bar build adds here.
+    *
+    * EXACTNESS: ha_close is an integer sum with ONE /400 divide;
+    * ha_open is a float RECURSION — handled exactly like the
+    * `events_survival_km` product: one textual IEEE chain folded over
+    * the span-bounded bar list with per-row output via the appended
+    * accumulator array, replayed in DuckDB by prefix-slice list_reduce
+    * (bar cents are integers < 2^53, so double addition is exact and
+    * the two engines' sums are bit-identical). ha_high/low are
+    * greatest/least SELECTIONS over deterministic doubles. SCALE: one
+    * exchange to class-hour bars; the O(V²) prefix replay rides the
+    * span-bounded bar frame (the accepted hourly-fold bound). */
+  def windowHeikinAshi(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val part = Window.partitionBy(col("event_type"), col("hr"))
+    val wb = part.orderBy(col("ts"), col("event_id"))
+    val bars = events.filter(col("value").isNotNull)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("c0",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(dec).cast("long"))
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(when(col("rn") === 1, col("c0"))).as("o"),
+        max(col("c0")).as("h"), min(col("c0")).as("l"),
+        max(when(col("rn") === col("cnt"), col("c0"))).as("cl"))
+    bars.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(
+        struct(col("hr"), col("o"), col("h"), col("l"), col("cl")))).as("rs"))
+      .withColumn("ha", expr(
+        """aggregate(
+             slice(rs, 2, size(rs) - 1),
+             array(array(
+               cast(element_at(rs, 1).o + element_at(rs, 1).cl as double) / 200.0d,
+               cast(element_at(rs, 1).o + element_at(rs, 1).h +
+                    element_at(rs, 1).l + element_at(rs, 1).cl as double) / 400.0d)),
+             (acc, b) -> concat(acc, array(array(
+               (element_at(acc, -1)[0] + element_at(acc, -1)[1]) / 2.0d,
+               cast(b.o + b.h + b.l + b.cl as double) / 400.0d))))"""))
+      .select(col("event_type"), posexplode(col("rs")), col("ha"))
+      .withColumn("st", element_at(col("ha"), col("pos") + 1))
+      .select(col("event_type"), fmtTsSec(col("col.hr")).as("hour_s"),
+        (col("col.cl").cast("double") / lit(100.0)).as("close"),
+        col("st")(0).as("ha_open"), col("st")(1).as("ha_close"),
+        greatest((col("col.h").cast("double") / lit(100.0)),
+          col("st")(0), col("st")(1)).as("ha_high"),
+        least((col("col.l").cast("double") / lit(100.0)),
+          col("st")(0), col("st")(1)).as("ha_low"),
+        (col("st")(1) > col("st")(0)).as("ha_bull"))
+      .orderBy("event_type", "hour_s")
+  }
+
   def windowUlcer(events: DataFrame, n: Int = 14): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
