@@ -641,10 +641,20 @@ object RankStats {
     * The distinct-difference prefix sum runs the [[rankedValues]]
     * two-phase bucket pattern — no partition-less window. 1-row out. */
   def statHodgesLehmann(events: DataFrame, classA: String = "click",
-      classB: String = "view", maxPairs: Long = 200000000L): DataFrame = {
+      classB: String = "view", maxPairs: Long = 200000000L,
+      unitCents: Long = 1L): DataFrame = {
+    // coarse mode (unitCents > 1): FLOOR-divide cents into wider buckets —
+    // the documented vocab² escape, measured necessary at sf1 where the
+    // exact form's 21k×21k pair frame trips the budget. Floor (not
+    // truncating) division so negative values bucket consistently in both
+    // engines: a − ((a % u + u) % u) is the exact lower multiple.
+    val raw = cents(col("value"))
+    val u = lit(unitCents)
+    val cq = if (unitCents == 1L) raw
+      else idiv(raw - (((raw % u) + u) % u), u)
     val sample = events
       .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
-      .select(col("event_type"), cents(col("value")).as("c"))
+      .select(col("event_type"), cq.as("c"))
     val cells = sample.groupBy(col("c"), col("event_type"))
       .agg(count(lit(1)).as("mv"))
     val va = cells.filter(col("event_type") === classA)
@@ -682,7 +692,7 @@ object RankStats {
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         (max(col("n_a")).cast(dec38) * max(col("n_b"))).cast("long")
           .as("n_pairs"),
-        min(col("d")).as("hl_cents"))
+        (min(col("d")) * u).as("hl_cents"))
       .withColumn("hl_shift", col("hl_cents").cast("double") / lit(100.0))
   }
 }
