@@ -240,10 +240,20 @@ object Sampling {
     * EXACTNESS: per-stratum variance rides the exact integer power-sum
     * chain; the weight N_h·S_h is quantized ONCE to integer milli-units
     * via floor (deterministic on a deterministic double), and from there
-    * it is [[sampleHamiltonAlloc]]'s integer largest-remainder machinery
-    * verbatim — exact-budget, engine-identical. Degenerate strata
-    * (n < 2 or zero variance) get weight 0 and drop from the allocation.
-    * SCALE: one stats agg, a ≤#strata allocation frame, and the same
+    * it is [[sampleHamiltonAlloc]]'s integer largest-remainder machinery.
+    * Degenerate strata (n < 2 or zero variance) get weight 0 and drop
+    * from the allocation.
+    *
+    * CAPPING (r9b, caught by `R9bPropertySpec`): unlike proportional
+    * allocation (k·N_h/N ≤ N_h always), Neyman weights are variance-
+    * driven and CAN ask a small-but-wild stratum for more rows than it
+    * has. The raw allocation is therefore capped at the stratum size and
+    * the surplus Hamilton-redistributed ONCE among the unsaturated
+    * strata (the textbook single-cascade case, exact); a SECOND cascade
+    * (the redistribution itself saturating someone) or a budget above
+    * the weighted capacity fails LOUDLY via the exact-budget guard
+    * rather than silently under-delivering. SCALE: one stats agg,
+    * ≤#strata allocation frames, one 1-row guard collect, and the same
     * md5-ordered per-stratum pick window as Hamilton. */
   def sampleNeymanAlloc(documents: DataFrame, budget: Int = 100): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -264,15 +274,49 @@ object Sampling {
       .filter(col("wq") > 0)
     val totals = weights.agg(sum(col("wq")).as("w_total"))
     val wRem = Window.orderBy((k * col("wq") % col("w_total")).desc, col("lang"))
-    val alloc = weights.crossJoin(broadcast(totals))
+    val a1 = weights.crossJoin(broadcast(totals))
       .withColumn("k_base", idiv(k * col("wq"), col("w_total")))
       .withColumn("rem_rank", row_number().over(wRem).cast("long"))
       .crossJoin(broadcast(
         weights.crossJoin(broadcast(totals))
           .agg((k - sum(idiv(k * col("wq"), col("w_total")))).as("n_extra"))))
-      .withColumn("k_alloc",
+      .withColumn("k1",
         col("k_base") + when(col("rem_rank") <= col("n_extra"), 1L).otherwise(0L))
-      .select(col("lang"), col("ns"), col("wq").as("w_milli"), col("k_alloc"))
+      .withColumn("c1", least(col("k1"), col("ns")))
+      .select(col("lang"), col("ns"), col("wq"), col("k1"), col("c1"))
+      .persist()
+    // phase 2: Hamilton-redistribute the capped-off surplus among the
+    // strata phase 1 left unsaturated
+    val sur = a1.agg((k - sum(col("c1"))).as("sur"))
+    val unsat = a1.filter(col("k1") < col("ns"))
+      .select(col("lang"), col("wq"))
+    val w2tot = unsat.agg(sum(col("wq")).as("w2"))
+    val wRem2 = Window.orderBy(
+      (col("sur") * col("wq") % col("w2")).desc, col("lang"))
+    val a2 = unsat.crossJoin(broadcast(w2tot)).crossJoin(broadcast(sur))
+      .withColumn("k2b", idiv(col("sur") * col("wq"), col("w2")))
+      .withColumn("rr2", row_number().over(wRem2).cast("long"))
+      .crossJoin(broadcast(
+        unsat.crossJoin(broadcast(w2tot)).crossJoin(broadcast(sur))
+          .agg((max(col("sur")) -
+            sum(idiv(col("sur") * col("wq"), col("w2")))).as("n_extra2"))))
+      .withColumn("add",
+        col("k2b") + when(col("rr2") <= col("n_extra2"), 1L).otherwise(0L))
+      .select(col("lang"), col("add"))
+    val alloc = a1.join(a2, Seq("lang"), "left")
+      .select(col("lang"), col("ns"), col("wq").as("w_milli"),
+        (col("c1") + coalesce(col("add"), lit(0L))).as("k_alloc"))
+      .persist()
+    // exact-budget guard: a second cascade or an over-capacity budget
+    // must fail loudly, never silently under-deliver
+    val check = alloc.agg(
+      sum(least(col("k_alloc"), col("ns"))).as("deliverable"),
+      max(when(col("k_alloc") > col("ns"), 1L).otherwise(0L)).as("cascaded"))
+      .collect()(0)
+    require(check.getLong(1) == 0L && check.getLong(0) == budget.toLong,
+      s"sample_neyman_alloc: budget $budget is not exactly deliverable " +
+        "under single-cascade capping - lower the budget or use " +
+        "sample_hamilton_alloc")
     val wPick = Window.partitionBy(col("lang"))
       .orderBy(col("hkey"), col("doc_id"))
     documents
