@@ -284,7 +284,6 @@ object Sampling {
         col("k_base") + when(col("rem_rank") <= col("n_extra"), 1L).otherwise(0L))
       .withColumn("c1", least(col("k1"), col("ns")))
       .select(col("lang"), col("ns"), col("wq"), col("k1"), col("c1"))
-      .persist()
     // phase 2: Hamilton-redistribute the capped-off surplus among the
     // strata phase 1 left unsaturated
     val sur = a1.agg((k - sum(col("c1"))).as("sur"))
@@ -303,10 +302,14 @@ object Sampling {
       .withColumn("add",
         col("k2b") + when(col("rr2") <= col("n_extra2"), 1L).otherwise(0L))
       .select(col("lang"), col("add"))
+    // deliberately NOT persisted: the guard action below would
+    // materialize a persisted frame during query construction, and the
+    // cached plan's AQE-final exchange count is print-state-dependent —
+    // the r7 PlanShapeSpec drift class. The frames are ≤#strata rows;
+    // recomputing them for the guard costs one extra tiny agg.
     val alloc = a1.join(a2, Seq("lang"), "left")
       .select(col("lang"), col("ns"), col("wq").as("w_milli"),
         (col("c1") + coalesce(col("add"), lit(0L))).as("k_alloc"))
-      .persist()
     // exact-budget guard: a second cascade or an over-capacity budget
     // must fail loudly, never silently under-deliver
     val check = alloc.agg(

@@ -1313,6 +1313,52 @@ object Sessions {
     x.select(col("state"), col("x").as("stationary_ppb")).orderBy("state")
   }
 
+  /** r9: daily PEAK CONCURRENCY over the sessionized stream — the
+    * capacity-planning read the session tier stops short of:
+    * [[eventsSessionStats]] describes sessions one at a time;
+    * [[Sessions.eventsSessionize]]'s intervals, swept together, answer
+    * "how many sessions were open AT ONCE, and when" — the number that
+    * sizes connection pools and the SLO the busiest minute is judged
+    * against. Classic boundary sweep: each session contributes +1 at
+    * its (day-clipped) start and −1 at its end, the running sum is the
+    * live concurrency, and the per-day max with its timestamp is the
+    * deliverable. Ends sort BEFORE starts at the same instant, so
+    * touching sessions never count as overlapping.
+    *
+    * EXACTNESS: pure integer ±1 sums over a deterministic total order
+    * (t, delta, user, session); the argmax is a selection (ties to the
+    * earliest instant). SCALE: the `join_interval_overlap` posture —
+    * midnight-spanning sessions explode into the ≤ span-days they touch
+    * (bounded fan-out), and the sweep windows partition per DAY, never
+    * a partition-less window over the session population. */
+  def eventsPeakConcurrency(events: DataFrame,
+                            gapMinutes: Int = 360): DataFrame = {
+    val sess = sessionBounds(events, gapMinutes)
+      .withColumn("day", explode(expr(
+        "sequence(date_trunc('day', session_start), " +
+          "date_trunc('day', session_end), interval 1 day)")))
+      .withColumn("gs", greatest(col("session_start"), col("day")))
+      .withColumn("ge", least(col("session_end"),
+        col("day") + expr("interval 1 day")))
+    val bounds = sess.select(col("day"), col("gs").as("t"),
+        lit(1L).as("delta"), col("user_id"), col("session_num"))
+      .union(sess.select(col("day"), col("ge").as("t"),
+        lit(-1L).as("delta"), col("user_id"), col("session_num")))
+    val wDay = Window.partitionBy(col("day"))
+    val sweep = wDay.orderBy(col("t"), col("delta"), col("user_id"),
+      col("session_num"))
+    bounds
+      .withColumn("conc", sum(col("delta"))
+        .over(sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_sessions", (count(lit(1)).over(wDay) / lit(2)).cast("long"))
+      .withColumn("rk", row_number().over(wDay.orderBy(col("conc").desc,
+        col("t"), col("delta"), col("user_id"), col("session_num"))))
+      .filter(col("rk") === 1)
+      .select(fmtTsSec(col("day")).as("day_s"), col("n_sessions"),
+        col("conc").as("peak_concurrency"), fmtTs(col("t")).as("peak_at_s"))
+      .orderBy("day_s")
+  }
+
   /** r9: absorption analysis of the event-type Markov chain — the
     * chain's CONVERSION read next to [[eventsMarkovStationary]]'s
     * equilibrium one: make `absorbing` (purchase) a sink and ask, from

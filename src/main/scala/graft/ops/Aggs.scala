@@ -2820,6 +2820,50 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** r9: CUSUM-of-SQUARES changepoint screen per event class — the
+    * VARIANCE-regime detector next to [[statChangepointCusum]]'s mean
+    * one (Inclán–Tiao): a feed whose hourly level holds but whose
+    * burstiness doubles walks straight past a mean CUSUM; the centered
+    * cumulative sum of SQUARES D_k = P_k/S − k/n peaks where the
+    * volatility regime flips, and |D| scaled by √(n/2) reads against
+    * the 1.358 KS band. Emits the argmax hour, D there, and the scaled
+    * statistic with its 5% flag.
+    *
+    * EXACTNESS: with P_k the prefix sum of squared hourly counts and S
+    * the total, n·S·D_k = n·P_k − k·S is an exact DECIMAL(38,0)
+    * integer — the argmax is an integer SELECTION (ties to the earlier
+    * hour), and D/IT finish in one fixed chain. SCALE: one hash agg to
+    * class-hour counts; prefix and argmax windows ride the
+    * span-bounded hourly frame. */
+  def statCusumSquares(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val byClass = Window.partitionBy(col("event_type"))
+    val ordered = byClass.orderBy(col("hr"))
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("x2", (col("x") * col("x")).cast(dec))
+      .withColumn("n_hours", count(lit(1)).over(byClass))
+      .withColumn("s", sum(col("x2")).over(byClass))
+      .withColumn("p_k", sum(col("x2"))
+        .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(ordered).cast("long"))
+      .withColumn("num",
+        col("n_hours").cast(dec) * col("p_k") - col("k").cast(dec) * col("s"))
+      .withColumn("rk", row_number().over(
+        byClass.orderBy(abs(col("num")).desc, col("hr"))))
+      .filter(col("rk") === 1 && col("s") > 0)
+      .withColumn("nd", col("n_hours").cast("double"))
+      .withColumn("d_stat", graft.Det.decToDouble(col("num")) /
+        (col("nd") * graft.Det.decToDouble(col("s"))))
+      .withColumn("it_stat", abs(col("d_stat")) * sqrt(col("nd") / lit(2.0)))
+      .select(col("event_type"), col("n_hours"),
+        fmtTsSec(col("hr")).as("cp_hour_s"), col("d_stat"), col("it_stat"),
+        (col("it_stat") > lit(1.358)).as("variance_shift_5pct"))
+      .orderBy("event_type")
+  }
+
   /** r9: SES smoothing-constant grid search per event class — the
     * auto-tuning step the forecaster tier leaves manual: [[statEwmaHourly]]
     * fixes α = ½ by fiat; this folds the observed-hour series once per
