@@ -2820,6 +2820,58 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** r9: Cronbach's α over the per-class hourly series — the
+    * measurement-RELIABILITY read none of the pairwise tier gives:
+    * [[statCorrHourly]] asks whether two classes co-move; α asks whether
+    * the k class series, taken as items of one instrument, measure a
+    * single common factor (total activity) — α = k/(k−1)·(1 − Σvarᵢ/
+    * var_total). High α says "one pipeline-health dashboard number is
+    * justified"; low α says the classes move independently and a single
+    * aggregate hides regime changes. Items are the k event types, one
+    * observation per OBSERVED hour (hours with any traffic — the
+    * documented panel; a class silent that hour scores 0).
+    *
+    * EXACTNESS: every variance shares the denominator H(H−1), so it
+    * CANCELS in Σvarᵢ/var_total — both numerators are exact
+    * DECIMAL(38,0) integers (H·Σx² − (Σx)², summed over items as
+    * integers — order-free), and α is one fixed chain on their 2^53
+    * splits. Missing class-hours contribute algebraically (zero terms) —
+    * the [[statLjungBox]] densification trick, no grid materialized.
+    * SCALE: one hash agg to class-hour counts; item sums and the total
+    * series are two further aggs on the span-bounded frame. */
+  def statCronbachAlpha(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d2 = graft.Det.decToDouble _
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val hTot = hourly.agg(countDistinct(col("hr")).as("h"))
+    val items = hourly.groupBy(col("event_type"))
+      .agg(sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sx2"))
+      .crossJoin(broadcast(hTot))
+      .select((col("h").cast(dec) * col("sx2") - col("sx") * col("sx"))
+        .as("vnum"))
+      .agg(count(lit(1)).as("k"), sum(col("vnum")).as("items_num"))
+    val total = hourly.groupBy(col("hr"))
+      .agg(sum(col("x")).as("t"))
+      .crossJoin(broadcast(hTot))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("h_check"),
+        sum(col("t").cast(dec)).as("st"),
+        sum((col("t") * col("t")).cast(dec)).as("st2"))
+      .select(col("h"),
+        (col("h").cast(dec) * col("st2") - col("st") * col("st"))
+          .as("total_num"))
+    items.crossJoin(broadcast(total))
+      .withColumn("kd", col("k").cast("double"))
+      .select(col("k").as("n_items"), col("h").as("n_hours"),
+        when(col("k") >= 2 && col("total_num") > 0,
+          (col("kd") / (col("kd") - lit(1.0))) *
+            (lit(1.0) - d2(col("items_num")) / d2(col("total_num"))))
+          .as("alpha"))
+  }
+
   /** r9: CUSUM-of-SQUARES changepoint screen per event class — the
     * VARIANCE-regime detector next to [[statChangepointCusum]]'s mean
     * one (Inclán–Tiao): a feed whose hourly level holds but whose

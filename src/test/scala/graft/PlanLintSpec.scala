@@ -62,7 +62,8 @@ class PlanLintSpec extends SparkSpec {
     "stat_hodges_lehmann_coarse",                        // same shape, 100×-collapsed decicent vocab (the declared escape, r9)
     "agg_distinct_hll_union",                            // 1-row sketch rollup crossed with the 1-row exact audit (r9)
     "sample_neyman_alloc",                               // ≤#strata weight frame crossed with 1-row budget totals (the Hamilton shape, r9)
-    "stat_cucconi"                                       // 1-row totals frame crossed onto the vocab frame (the rank-test shape, r9)
+    "stat_cucconi",                                      // 1-row totals frame crossed onto the vocab frame (the rank-test shape, r9)
+    "stat_cronbach_alpha"                                // 1-row hour-count frame crossed onto the ≤k item/total frames (r9)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
