@@ -58,8 +58,6 @@ class PlanLintSpec extends SparkSpec {
     "stat_ansari_bradley",                               // 1-row totals frame crossed onto the vocab frame (r9)
     "graph_modularity",                                  // 1-row (m, Q) frame crossed onto the ≤k-row community frame (r9)
     "events_survival_km",                                // 1-row corpus-horizon (max ts) frame crossed onto the fact scan (r9)
-    "stat_hodges_lehmann",                               // vocab×vocab pair cross (range-bounded, budget-guarded) + 1-row totals (r9)
-    "stat_hodges_lehmann_coarse",                        // same shape, 100×-collapsed decicent vocab (the declared escape, r9)
     "agg_distinct_hll_union",                            // 1-row sketch rollup crossed with the 1-row exact audit (r9)
     "sample_neyman_alloc",                               // ≤#strata weight frame crossed with 1-row budget totals (the Hamilton shape, r9)
     "stat_cucconi",                                      // 1-row totals frame crossed onto the vocab frame (the rank-test shape, r9)

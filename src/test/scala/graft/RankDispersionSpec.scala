@@ -150,10 +150,10 @@ class RankDispersionSpec extends SparkSpec {
     }
   }
 
-  test("hodges-lehmann pair budget fails loudly") {
+  test("hodges-lehmann vocab budget fails loudly") {
     val (a, b) = cases.head
     val err = intercept[IllegalArgumentException] {
-      RankStats.statHodgesLehmann(frame(a, b), maxPairs = 1L).collect()
+      RankStats.statHodgesLehmann(frame(a, b), maxVocab = 1L).collect()
     }
     assert(err.getMessage.contains("budget"))
   }
