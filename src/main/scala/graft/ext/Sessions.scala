@@ -470,7 +470,40 @@ object Sessions {
     edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
 
-  def graphTriangles(events: DataFrame, bucket: String = "minute"): DataFrame = {
+  /** r10 (VERDICT r9 #2): the census family's pre-flight wedge budget —
+    * the [[graphLinkJaccard]] discipline extended to [[graphTriangles]] /
+    * [[graphLocalClustering]], which the sf1 slope experiment measured at
+    * 414.9 s / 581.6 s on the 97×-densified minute-bucket graph (slopes
+    * 531×/440×) with NO guard: the exact silent-cluster-eater shape the
+    * r9 experiment proved kills the context. One cheap agg over the
+    * memoized degree frame BEFORE committing the wedge self-join:
+    * Σ deg(deg−1)/2 (the census's own n_wedges — a conservative upper
+    * bound on the oriented wedge enumeration, which visits a subset) in
+    * DECIMAL(38,0) so a dense decade-scale graph can't overflow the
+    * budget arithmetic itself. Over budget throws an actionable error
+    * naming the fine-bucket escape (`*_fine`, declared + hash-gated)
+    * instead of grinding a 100×-spill death. */
+  private def censusWedgeBudget(deg: DataFrame, wedgeBudget: Long,
+      queryName: String, escapeName: String): Unit =
+    if (wedgeBudget > 0) {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wedges = deg.agg(coalesce(
+        sum(call_function("div", col("deg").cast(dec) * (col("deg") - 1),
+          lit(2L).cast(dec))),
+        lit(java.math.BigDecimal.ZERO).cast(dec)).as("w"))
+        .head().getDecimal(0)
+      if (wedges.compareTo(java.math.BigDecimal.valueOf(wedgeBudget)) > 0)
+        throw new IllegalStateException(
+          s"$queryName: wedge work Σ deg(deg-1)/2 = $wedges exceeds the " +
+            s"$wedgeBudget budget — the co-activity graph is too dense for " +
+            "the exact wedge enumeration (the graph densifies quadratically " +
+            s"with per-bucket fleet occupancy). Narrow the bucket ($escapeName" +
+            ", the declared second-bucket escape) or raise wedgeBudget " +
+            "knowingly.")
+    }
+
+  def graphTriangles(events: DataFrame, bucket: String = "minute",
+      wedgeBudget: Long = 2000000000L): DataFrame = {
     val edges = coActivityEdges(events, bucket)
     // deg and oriented each feed multiple consumers (orientation joins,
     // wedge self-join legs, the closing probe, the census) — memoized like
@@ -478,6 +511,7 @@ object Sessions {
     // of re-deriving the degree join per consumer (measured 3× at sf0.1).
     // Sequential memo calls, never nested (Dedup.memo contract).
     val deg = Dedup.memo(events, s"triangle-degrees-$bucket") { edgeDegrees(edges) }
+    censusWedgeBudget(deg, wedgeBudget, "graph_triangles", "graph_triangles_fine")
     val oriented = Dedup.memo(events, s"triangle-oriented-$bucket") {
       orientedEdges(edges, deg)
     }
@@ -572,9 +606,12 @@ object Sessions {
     * enumeration order, so the oracle's simpler id-ordered (a<b<c)
     * spelling lands the identical credits. Right-joined to the degree
     * frame so zero-triangle nodes keep their row. */
-  def graphLocalClustering(events: DataFrame, bucket: String = "minute"): DataFrame = {
+  def graphLocalClustering(events: DataFrame, bucket: String = "minute",
+      wedgeBudget: Long = 2000000000L): DataFrame = {
     val edges = coActivityEdges(events, bucket)
     val deg = Dedup.memo(events, s"triangle-degrees-$bucket") { edgeDegrees(edges) }
+    censusWedgeBudget(deg, wedgeBudget,
+      "graph_local_clustering", "graph_local_clustering_fine")
     val oriented = Dedup.memo(events, s"triangle-oriented-$bucket") {
       orientedEdges(edges, deg)
     }

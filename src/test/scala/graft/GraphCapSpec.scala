@@ -36,6 +36,36 @@ class GraphCapSpec extends SparkSpec {
     assert(minute.getAs[Long]("n_edges") > 0, "fixture co-activity exists")
   }
 
+  test("census wedge budget fails loudly, naming the fine-bucket escape") {
+    val e = intercept[IllegalStateException] {
+      Sessions.graphTriangles(events, wedgeBudget = 1L)
+    }
+    assert(e.getMessage.contains("graph_triangles_fine"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Sessions.graphLocalClustering(events, wedgeBudget = 1L)
+    }
+    assert(e2.getMessage.contains("graph_local_clustering_fine"), e2.getMessage)
+  }
+
+  test("fine-bucket local clustering: degrees subgraph-bounded, credits consistent") {
+    val minute = Sessions.graphLocalClustering(events)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"))).toMap
+    val second = Sessions.graphLocalClustering(events, bucket = "second").collect()
+    // same second => same minute: every fine-graph node exists in the
+    // minute graph with at least its fine degree and triangle count
+    assert(second.nonEmpty, "fixture second-level co-activity exists")
+    assert(second.forall { r =>
+      minute.get(r.getAs[Long]("user_id")).exists { case (d, t) =>
+        d >= r.getAs[Long]("degree") && t >= r.getAs[Long]("n_triangles")
+      }
+    })
+    // per-node triangle credits sum to 3x the census triangle count
+    val tri = Sessions.graphTriangles(events, bucket = "second").collect()(0)
+    assert(second.map(_.getAs[Long]("n_triangles")).sum ==
+      3L * tri.getAs[Long]("n_triangles"))
+  }
+
   test("capped witnesses only discount: common counts are lower bounds") {
     val exact = Sessions.graphLinkJaccard(events, k = 1000000)
       .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
