@@ -763,8 +763,9 @@ object Sessions {
       .withColumn("tot", sum(col("e") + col("c")).over(wAllC))
       .withColumn("n", col("tot") - col("cum") + col("e") + col("c"))
     r2.groupBy(col("event_type"))
-      .agg(sort_array(collect_list(
-        struct(col("dur_h"), col("e"), col("c"), col("n")))).as("rs"))
+      .agg(graft.ops.Guards.boundedSeries(sort_array(collect_list(
+        struct(col("dur_h"), col("e"), col("c"), col("n")))),
+        "events_survival_km").as("rs"))
       .withColumn("ss", expr(
         """aggregate(rs, array(cast(1000000000000 as bigint)),
              (acc, r) -> concat(acc, array(

@@ -14,6 +14,19 @@ import graft.Det._
   */
 object Aggs {
 
+  /** Densified per-class hour grid for the fold tier: zero-fill the
+    * observed (hu → n) map over [mn, mx], span-budget-guarded
+    * ([[Guards.boundedSpanLen]] — the length is checked BEFORE
+    * `sequence()` materializes the grid, so a corrupt epoch-zero
+    * timestamp fails loudly instead of allocating a 490 k-slot array;
+    * r10, VERDICT r9 #5). Identical values to the unguarded
+    * `transform(sequence(mn, mx), …)` under budget. */
+  private def denseHourGrid(op: String): Column = {
+    val nSlots = Guards.boundedSpanLen(col("mx") - col("mn") + lit(1L), op)
+    transform(sequence(col("mn"), col("mn") + nSlots - lit(1L)),
+      h => coalesce(element_at(col("m"), h), lit(0L)).cast("double"))
+  }
+
   /** A1: per-node last-seen — the heartbeat table (AIRWISEv0.py:27,256-258). */
   def aggLastSeenPerNode(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
@@ -829,7 +842,8 @@ object Aggs {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("series"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hr"), col("n")))), "stat_ewma_hourly").as("series"))
       .select(col("event_type"), size(col("series")).cast("long").as("n_hours"),
         expr("""aggregate(
                   slice(transform(series, s -> cast(s.n as double)), 2, size(series) - 1),
@@ -1507,7 +1521,8 @@ object Aggs {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("series"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hr"), col("n")))), "stat_holt_forecast").as("series"))
       .select(col("event_type"), size(col("series")).cast("long").as("n_hours"),
         expr("""aggregate(
                   slice(transform(series, s -> cast(s.n as double)), 2, size(series) - 1),
@@ -1848,8 +1863,7 @@ object Aggs {
       .groupBy(col("event_type"))
       .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
         map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
-      .withColumn("xs", expr(
-        "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
+      .withColumn("xs", denseHourGrid("stat_holt_winters"))
       .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
         expr("""aggregate(
                   slice(xs, 2, size(xs) - 1),
@@ -1888,8 +1902,7 @@ object Aggs {
       .groupBy(col("event_type"))
       .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
         map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
-      .withColumn("xs", expr(
-        "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
+      .withColumn("xs", denseHourGrid("ts_macd"))
       .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
         expr("""aggregate(
                   slice(xs, 2, size(xs) - 1),
@@ -2079,8 +2092,7 @@ object Aggs {
       .groupBy(col("event_type"))
       .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
         map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
-      .withColumn("xs", expr(
-        "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
+      .withColumn("xs", denseHourGrid("stat_page_hinkley"))
       .select(col("event_type"), col("mn"),
         size(col("xs")).cast("long").as("n_hours"),
         expr(s"""aggregate(
@@ -2183,7 +2195,8 @@ object Aggs {
       sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
     val ses = hourly
       .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("series"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("x"), col("y")))), "ts_theta_forecast").as("series"))
       .select(col("event_type"),
         expr("""aggregate(
                   slice(transform(series, s -> cast(s.y as double)), 2, size(series) - 1),
@@ -2754,8 +2767,7 @@ object Aggs {
       .groupBy(col("event_type"))
       .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
         map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
-      .withColumn("xs", expr(
-        "transform(sequence(mn, mx), h -> cast(coalesce(element_at(m, h), 0L) as double))"))
+      .withColumn("xs", denseHourGrid("ts_ewm_stats"))
       .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
         expr("""aggregate(
                   slice(xs, 2, size(xs) - 1),
@@ -2938,7 +2950,8 @@ object Aggs {
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("hu"), col("n")))).as("series"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hu"), col("n")))), "ts_ses_grid").as("series"))
       .withColumn("xs",
         expr("transform(series, s -> cast(s.n as double))"))
       .withColumn("alpha",

@@ -1239,8 +1239,9 @@ object Windows {
         max(col("c0")).as("h"), min(col("c0")).as("l"),
         max(when(col("rn") === col("cnt"), col("c0"))).as("cl"))
     bars.groupBy(col("event_type"))
-      .agg(sort_array(collect_list(
-        struct(col("hr"), col("o"), col("h"), col("l"), col("cl")))).as("rs"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hr"), col("o"), col("h"), col("l"), col("cl")))),
+        "window_heikin_ashi").as("rs"))
       .withColumn("ha", expr(
         """aggregate(
              slice(rs, 2, size(rs) - 1),
