@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** r10 (VERDICT r9 #8): AUTO-DISPATCH over the declared exact/escape
+  * pairs. The library's budget discipline gives every deliberately-
+  * expensive exact form a pre-flight budget that fails LOUDLY naming a
+  * declared, hash-gated escape (`graph_link_jaccard` → `_capped`,
+  * `graph_triangles`/`graph_local_clustering` → `_fine`,
+  * `stat_hodges_lehmann` → `_coarse`). That is the right default UX —
+  * a 100 TB job should never silently degrade semantics — but an
+  * unattended pipeline that PREFERS degraded-but-done gets the
+  * self-routing form here: run the SAME pre-flight number the budget
+  * checks, pick the exact form under budget and the declared escape
+  * above it, loudly logging the routing decision. The escape keeps its
+  * own (inner) budget, so a graph/vocabulary too dense even for the
+  * escape still fails loudly — dispatch never cascades past the
+  * declared pair into silence.
+  *
+  * Both members of every pair share one output schema and one oracle SQL
+  * template (the shared-template discipline), so callers can route
+  * without schema branches — `EscapesSpec` pins schema equality and the
+  * under/over-budget routing on live data. */
+object Escapes {
+
+  /** The declared pairs this dispatcher knows, by exact-form query name. */
+  val pairs: Map[String, String] = Map(
+    "stat_hodges_lehmann"     -> "stat_hodges_lehmann_coarse",
+    "graph_link_jaccard"      -> "graph_link_jaccard_capped",
+    "graph_triangles"         -> "graph_triangles_fine",
+    "graph_local_clustering"  -> "graph_local_clustering_fine")
+
+  private def log(query: String, metric: String, value: Any, budget: Long,
+                  chose: String): Unit =
+    // a routing decision is operational state — surfaced on the driver log
+    // the way the budgets' own failures are
+    System.err.println(
+      s"[graft.Escapes] $query: $metric = $value vs budget $budget -> $chose")
+
+  /** Hodges–Lehmann: exact cent vocabulary under budget, decicent
+    * quantization above it. */
+  def hodgesLehmann(events: DataFrame, classA: String = "click",
+      classB: String = "view", maxVocab: Long = 20000000L): DataFrame = {
+    val v = graft.ops.RankStats.hlVocabCount(events, classA, classB)
+    if (v <= maxVocab) {
+      log("stat_hodges_lehmann", "vocab", v, maxVocab, "exact")
+      graft.ops.RankStats.statHodgesLehmann(events, classA, classB, maxVocab)
+    } else {
+      log("stat_hodges_lehmann", "vocab", v, maxVocab,
+        "coarse (unitCents=10)")
+      graft.ops.RankStats.statHodgesLehmann(events, classA, classB,
+        maxVocab, unitCents = 10L)
+    }
+  }
+
+  /** Link prediction: exact witnesses under the Σdeg² budget, deg ≤ 64
+    * capped witnesses above it. */
+  def linkJaccard(events: DataFrame, k: Int = 20,
+      wedgeBudget: Long = 2000000000L): DataFrame = {
+    val w = Sessions.jaccardWedges(events)
+    if (w.compareTo(java.math.BigDecimal.valueOf(wedgeBudget)) <= 0) {
+      log("graph_link_jaccard", "sum deg^2", w, wedgeBudget, "exact")
+      Sessions.graphLinkJaccard(events, k, wedgeBudget = wedgeBudget)
+    } else {
+      log("graph_link_jaccard", "sum deg^2", w, wedgeBudget,
+        "capped (maxWitnessDeg=64)")
+      Sessions.graphLinkJaccard(events, k, maxWitnessDeg = 64L)
+    }
+  }
+
+  /** Triangle census: minute buckets under the wedge budget, second
+    * buckets (coincidence semantics) above it. */
+  def triangles(events: DataFrame,
+      wedgeBudget: Long = 2000000000L): DataFrame =
+    censusRoute(events, wedgeBudget, "graph_triangles") { bucket =>
+      Sessions.graphTriangles(events, bucket, wedgeBudget)
+    }
+
+  /** Local clustering: the same census routing for the per-node form. */
+  def localClustering(events: DataFrame,
+      wedgeBudget: Long = 2000000000L): DataFrame =
+    censusRoute(events, wedgeBudget, "graph_local_clustering") { bucket =>
+      Sessions.graphLocalClustering(events, bucket, wedgeBudget)
+    }
+
+  private def censusRoute(events: DataFrame, wedgeBudget: Long,
+      query: String)(run: String => DataFrame): DataFrame = {
+    val w = Sessions.censusWedges(events, "minute")
+    if (w.compareTo(java.math.BigDecimal.valueOf(wedgeBudget)) <= 0) {
+      log(query, "wedges", w, wedgeBudget, "exact (minute buckets)")
+      run("minute")
+    } else {
+      log(query, "wedges", w, wedgeBudget, "fine (second buckets)")
+      run("second")
+    }
+  }
+
+  /** Generic entry: route a query with a declared escape by name. */
+  def dispatch(query: String, df: DataFrame): DataFrame = query match {
+    case "stat_hodges_lehmann"    => hodgesLehmann(df)
+    case "graph_link_jaccard"     => linkJaccard(df)
+    case "graph_triangles"        => triangles(df)
+    case "graph_local_clustering" => localClustering(df)
+    case other => throw new IllegalArgumentException(
+      s"$other has no declared exact/escape pair; known: ${pairs.keys.toSeq.sorted.mkString(", ")}")
+  }
+}

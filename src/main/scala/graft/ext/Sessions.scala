@@ -483,6 +483,33 @@ object Sessions {
     * budget arithmetic itself. Over budget throws an actionable error
     * naming the fine-bucket escape (`*_fine`, declared + hash-gated)
     * instead of grinding a 100×-spill death. */
+  /** The census budget's own metric, exposed for [[Escapes]]' pre-flight
+    * routing: Σ deg(deg−1)/2 over the memoized degree frame. */
+  private[graft] def censusWedges(events: DataFrame,
+      bucket: String = "minute"): java.math.BigDecimal = {
+    val edges = coActivityEdges(events, bucket)
+    val deg = Dedup.memo(events, s"triangle-degrees-$bucket") { edgeDegrees(edges) }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    deg.agg(coalesce(
+      sum(call_function("div", col("deg").cast(dec) * (col("deg") - 1),
+        lit(2L).cast(dec))),
+      lit(java.math.BigDecimal.ZERO).cast(dec)).as("w"))
+      .head().getDecimal(0)
+  }
+
+  /** [[graphLinkJaccard]]'s budget metric (Σ deg² over the symmetrized
+    * neighbor frame), exposed for [[Escapes]]' pre-flight routing. */
+  private[graft] def jaccardWedges(events: DataFrame): java.math.BigDecimal = {
+    val edges = coActivityEdges(events)
+    val nbrs = edges.select(col("a").as("v"), col("b").as("w"))
+      .union(edges.select(col("b").as("v"), col("a").as("w")))
+    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    deg.agg(coalesce(sum(col("deg").cast(dec) * col("deg")),
+      lit(java.math.BigDecimal.ZERO).cast(dec)).as("w"))
+      .head().getDecimal(0)
+  }
+
   private def censusWedgeBudget(deg: DataFrame, wedgeBudget: Long,
       queryName: String, escapeName: String): Unit =
     if (wedgeBudget > 0) {

@@ -651,6 +651,20 @@ object RankStats {
     * `unitCents = 10`). Identical output schema and values ⇒ the SAME
     * oracle SQL hash-matches; `RankDispersionSpec` pins the literal
     * all-pairs lower median. 1-row out. */
+  /** The HL budget's own metric — distinct quantized values across both
+    * classes — exposed for [[graft.ext.Escapes]]' pre-flight routing. */
+  private[graft] def hlVocabCount(events: DataFrame, classA: String = "click",
+      classB: String = "view", unitCents: Long = 1L): Long = {
+    val raw = cents(col("value"))
+    val u = lit(unitCents)
+    val cq = if (unitCents == 1L) raw
+      else idiv(raw - (((raw % u) + u) % u), u)
+    events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .select(cq.as("c")).distinct()
+      .agg(count(lit(1))).collect()(0).getLong(0)
+  }
+
   def statHodgesLehmann(events: DataFrame, classA: String = "click",
       classB: String = "view", maxVocab: Long = 20000000L,
       unitCents: Long = 1L): DataFrame = {
