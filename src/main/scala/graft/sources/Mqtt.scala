@@ -147,10 +147,18 @@ final class MqttSubscriber(host: String, port: Int, topicFilter: String,
   def reconnectCount: Int = reconnectsDone
 
   /** Full connect: socket + CONNECT/CONNACK + SUBSCRIBE/SUBACK. Throws on
-    * refusal; on success swaps the live socket/out and returns the input. */
+    * refusal; on success swaps the live socket/out and returns the input.
+    * The handshake reads run under a socket timeout so a gateway that
+    * accepts TCP but never speaks MQTT fails loudly instead of hanging the
+    * caller forever (blocking socket reads ignore interrupts — without the
+    * timeout a silent endpoint wedges the constructor, and in the fleet
+    * source one wedged gateway would block the whole stream). Steady-state
+    * reads then revert to no timeout: keepAlive=0 means an idle-but-healthy
+    * connection may legitimately stay silent indefinitely. */
   private def connect(): DataInputStream = {
     val s = new Socket(host, port)
     try {
+      s.setSoTimeout(MqttSubscriber.HandshakeTimeoutMs)
       val i = new DataInputStream(new BufferedInputStream(s.getInputStream))
       val o = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
       writePacket(o, CONNECT, 0, connectBody(clientId, keepAliveSec = 0))
@@ -160,6 +168,7 @@ final class MqttSubscriber(host: String, port: Int, topicFilter: String,
       writePacket(o, SUBSCRIBE, 0x2, subscribeBody(1, topicFilter))
       val sack = readPacket(i)
       require(sack.ptype == SUBACK && (sack.body(2) & 0xff) <= 2, "mqtt: SUBACK refused")
+      s.setSoTimeout(0)
       socket = s; out = o
       i
     } catch { case e: Throwable =>
@@ -222,6 +231,13 @@ final class MqttSubscriber(host: String, port: Int, topicFilter: String,
     try socket.close() catch { case _: Throwable => () }
     reader.interrupt()
   }
+}
+
+object MqttSubscriber {
+  /** Handshake-phase read timeout (CONNACK/SUBACK). Generous for a real
+    * broker (the reference's mosquitto answers in ms); finite so a silent
+    * TCP endpoint cannot wedge an uninterruptible blocking read. */
+  val HandshakeTimeoutMs: Int = 30000
 }
 
 /** Structured Streaming MQTT source (DataSource V2 micro-batch).

@@ -203,6 +203,30 @@ object Ingest {
     runIngest(mqttSource(spark, host, port, topic).select(col("value")),
       dim, outDir, checkpoint, trigger = Trigger.ProcessingTime(0L))
 
+  /** PARTITIONED ingest (r10): a fleet of MQTT gateways as one source via
+    * [[graft.sources.MqttFleetSourceProvider]] — vector (per-gateway)
+    * offsets, one input partition per gateway, per-gateway `seq` for
+    * dedup/gap accounting. Yields (gateway, seq, topic, value, arrival);
+    * `value` is the JSON envelope [[parseEnvelope]] expects, so the
+    * downstream plan is byte-identical to every other transport. */
+  def mqttFleetSource(spark: org.apache.spark.sql.SparkSession,
+                      gateways: String, topic: String): DataFrame =
+    spark.readStream.format("graft-mqtt-fleet")
+      .option("gateways", gateways)
+      .option("topic", topic)
+      .load()
+
+  /** [[runIngest]] over the partitioned fleet transport — N gateways in,
+    * the IDENTICAL routed epoch-idempotent parquet plan out. The 100 TB
+    * ingest shape: partition-parallel parse on executors, per-gateway
+    * ordering (the only order MQTT defines), sinks own exactly-once. */
+  def runIngestMqttFleet(spark: org.apache.spark.sql.SparkSession,
+                         gateways: String, topic: String, dim: DataFrame,
+                         outDir: String, checkpoint: String
+                        ): org.apache.spark.sql.streaming.StreamingQuery =
+    runIngest(mqttFleetSource(spark, gateways, topic).select(col("value")),
+      dim, outDir, checkpoint, trigger = Trigger.ProcessingTime(0L))
+
   /** S4 deployment parity: the same routed ingest, but landing in a
     * relational store over JDBC (the reference's Postgres INSERT path,
     * AIRWISEv0.py:159-234) — batched, one connection per partition, and
