@@ -943,6 +943,47 @@ object Sessions {
         when(col("den") > 0, col("num") / col("den")).as("assortativity"))
   }
 
+  /** r10: rich-club coefficient ladder — "do the hubs talk to each
+    * other?" For each threshold k in a fixed ladder (2, 4, 8, 16, 32):
+    *   φ(k) = 2·E_k / (N_k·(N_k−1))
+    * with N_k the nodes of degree > k and E_k the edges with BOTH
+    * endpoints of degree > k — the density of the subgraph induced by
+    * the club. Read next to [[graphDegreeAssortativity]]: assortativity
+    * is the one-number degree-mixing slope; the rich-club ladder shows
+    * WHERE along the degree scale the mixing happens (a gateway mesh
+    * shows φ rising with k — relay hubs interconnect; a pure hub-leaf
+    * broadcast tree shows φ collapsing). Plan: the memoized edge +
+    * degree frames (shared with the census family), two degree joins,
+    * then one ≤5-row broadcast threshold dim against each (the
+    * `join_range_tier` BNLJ shape — the broadcast side is the 5-row
+    * ladder, never data); everything after is exact integer counts and
+    * one double divide per row. LINEAR in |E| — no wedge work, so no
+    * census budget applies. */
+  def graphRichClub(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val edges = coActivityEdges(events)
+    val deg = Dedup.memo(events, "triangle-degrees-minute") { edgeDegrees(edges) }
+    val ks = Seq(2L, 4L, 8L, 16L, 32L).toDF("k")
+    val nodesAtK = deg.join(broadcast(ks), col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val edgesAtK = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(broadcast(ks), least(col("deg_a"), col("deg_b")) > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_club_edges"))
+    ks.join(nodesAtK, Seq("k"), "left")
+      .join(edgesAtK, Seq("k"), "left")
+      .withColumn("n_nodes", coalesce(col("n_nodes"), lit(0L)))
+      .withColumn("n_club_edges", coalesce(col("n_club_edges"), lit(0L)))
+      .select(col("k"), col("n_nodes"), col("n_club_edges"),
+        when(col("n_nodes") >= 2,
+          lit(2.0) * col("n_club_edges").cast("double") /
+            (col("n_nodes").cast("double") *
+              (col("n_nodes").cast("double") - 1.0))).as("rich_club_phi"))
+      .orderBy("k")
+  }
+
   /** r5c: burst (bot-candidate) detection — users whose peak per-minute
     * event rate clears a threshold, with the first minute that peaked.
     * The rate gate every crawl/training-data pipeline runs before

@@ -708,4 +708,72 @@ object Text {
         col("df_t"), col("chi2"))
       .orderBy("source", "rn")
   }
+
+  /** The per-(source, token) corpus frequency frame shared by the
+    * lexical-richness pair [[textYuleK]] / [[textHapaxRatio]] (r10) —
+    * one tokenize scan, one vocab-bounded hash agg, memoized per
+    * dataset (the [[graft.ext.Dedup.memo]] shingle-pass discipline). */
+  private def sourceTokenFreq(documents: DataFrame): DataFrame =
+    Dedup.memo(documents, "source-token-freq") {
+      documents
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("f"))
+    }
+
+  /** r10: Yule's characteristic K per source — the classic repeated-
+    * vocabulary (lexical richness) constant, and the cheapest useful
+    * "is this source template spam?" scalar a corpus report can carry
+    * (boilerplate-heavy sources repeat the same tokens → large K; rich
+    * prose → small K):
+    *   K = 10⁴ · (Σ f² − N) / N²
+    * over the token frequency spectrum (N = token count, f = per-type
+    * frequency). EXACTNESS: Σf² and N are exact integers (DECIMAL(38,0)
+    * accumulation), one base-2^53 split each, one fixed IEEE chain —
+    * K is length-invariant by construction, which is exactly why it
+    * beats a bare type/token ratio across differently-sized sources.
+    * SCALE: rides the memoized (source, token) frequency frame —
+    * vocab-bounded, never row-scaled past the tokenize scan. */
+  def textYuleK(documents: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d2 = graft.Det.decToDouble _
+    sourceTokenFreq(documents)
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("f").cast(dec) * col("f")).as("sf2"))
+      .withColumn("nn", col("n_tokens").cast(dec))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("sf2").cast("long").as("sum_f2"),
+        when(col("n_tokens") > 0,
+          lit(10000.0) * (d2(col("sf2")) - d2(col("nn"))) /
+            (d2(col("nn")) * d2(col("nn")))).as("yule_k"))
+      .orderBy("source")
+  }
+
+  /** r10: hapax legomena profile per source — the once-only-vocabulary
+    * share, the other end of the richness scale from [[textYuleK]] (K
+    * weighs the REPEATED types; the hapax share measures the long tail
+    * of singletons — crawl boilerplate shows few hapaxes, OCR noise and
+    * genuinely rich text show many, so the PAIR separates "rich" from
+    * "noisy" where either number alone is ambiguous). Per source:
+    * hapax count (f = 1), dis legomena (f = 2), their vocab shares, and
+    * hapax-per-token — all exact integer counts, one double divide
+    * each, over the same memoized frequency frame. */
+  def textHapaxRatio(documents: DataFrame): DataFrame =
+    sourceTokenFreq(documents)
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        when(col("n_types") > 0,
+          col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_type_ratio"),
+        when(col("n_tokens") > 0,
+          col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_token_ratio"))
+      .orderBy("source")
 }

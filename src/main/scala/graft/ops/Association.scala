@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Association / agreement / ordered-trend statistics (r10) — the cells of
+  * the nonparametric grid the rank-test family (`ops/RankStats.scala`) and
+  * the pair-test family (`ops/Inference.scala`) still left open:
+  *
+  *  - [[statSomersD]] — DIRECTIONAL ordinal association (Somers' D both
+  *    orientations + Goodman–Kruskal gamma) on the paired hourly series:
+  *    Kendall τ-b answers "are x and y associated?"; D_yx answers "how
+  *    much does y respond per unit of x ORDER?" — the asymmetric reading
+  *    a dose→response monitor actually wants.
+  *  - [[statJonckheere]] — the Jonckheere–Terpstra ORDERED-alternative
+  *    k-sample trend test: Kruskal–Wallis asks "do the hour-of-day groups
+  *    differ at all?"; J-T asks "does traffic RISE with the hour of day?"
+  *    — strictly more power when the alternative is monotone.
+  *  - [[statPageTrend]] — Page's L, the ordered-alternative twin of the
+  *    Friedman blocked design (blocks = hours, treatments = event
+  *    classes): "does the within-hour class ordering trend with the
+  *    declared class order?"
+  *  - [[statMcNemar]] — paired binary marginal-homogeneity: of the users
+  *    who did exactly one of {click, purchase}, is either side
+  *    systematically favored? The A/B-on-the-same-units contingency test.
+  *  - [[statCohenKappa]] — chance-corrected rater agreement between the
+  *    declared `lang` label and the n-gram router's prediction
+  *    ([[graft.ext.Text.textLangid]]): the single-number calibration
+  *    verdict on top of `text_lang_confusion`'s full matrix.
+  *
+  * Reference anchor: the fleet-monitoring threshold screens
+  * (`AIRWISEv0.py:73-103`) generalized to distribution/trend-level tests,
+  * same as the rest of the stats tier.
+  *
+  * EXACTNESS: every statistic is assembled from exact integer counts
+  * (contingency cells, doubled midranks — no fractional midrank ever
+  * materializes), accumulated in DECIMAL(38,0), converted once through
+  * [[graft.Det.decToDouble]]'s base-2^53 split, then finished in a short
+  * fixed IEEE chain — the `stat_friedman` / `stat_wilcoxon_signed_rank`
+  * discipline, so the DuckDB oracle hash-matches bit for bit.
+  *
+  * SCALE: no statistic here ever ranks or pairs raw rows. The frames are
+  * the hourly series (time-span-bounded), the (hour-of-day × value-vocab)
+  * grid (24 × vocabulary), the (class × hour) grid, per-user binary flags
+  * (one hash agg over the fact table), and the langs² confusion cells.
+  * Variances are quoted WITHOUT tie correction where stated — screening
+  * statistics, not p-values (the `stat_friedman` convention).
+  */
+object Association {
+  private val dec38 = DecimalType(38, 0)
+  private val d2 = graft.Det.decToDouble _
+
+  /** The paired hourly (x, y) = (clicks, purchases) series — the same
+    * frame the Kendall/Spearman/sign tests consume. */
+  private def pairedHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+
+  /** Somers' D (both orientations) + Goodman–Kruskal gamma over the
+    * paired hourly click/purchase series. Same concordant/discordant/tie
+    * pair counts as `stat_kendall_tau` (the hour-pair inequality join
+    * over the time-bounded hourly frame — H(H−1)/2 pairs, ~1M for a
+    * couple of months, never row-scaled), finished with the three
+    * asymmetric normalizations instead of τ-b's symmetric one:
+    *
+    *   D_yx = (C−D)/(n0 − T_x)   (y the response: x-ties can't count)
+    *   D_xy = (C−D)/(n0 − T_y)
+    *   γ    = (C−D)/(C+D)        (ties dropped entirely)
+    *
+    * All counts exact longs; each ratio one double divide. One row out. */
+  def statSomersD(events: DataFrame): DataFrame = {
+    val hourly = pairedHourly(events)
+    val nRow = hourly.agg(count(lit(1)).as("n_hours"))
+    val pairs = hourly.as("a")
+      .join(broadcast(hourly.as("b")), col("a.hour") < col("b.hour"))
+      .agg(
+        sum(when((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")) > 0, 1L)
+          .otherwise(0L)).as("n_concordant"),
+        sum(when((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")) < 0, 1L)
+          .otherwise(0L)).as("n_discordant"),
+        sum(when(col("a.x") === col("b.x"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("a.y") === col("b.y"), 1L).otherwise(0L)).as("ties_y"))
+    pairs.crossJoin(broadcast(nRow))
+      .withColumn("n0",
+        call_function("div", col("n_hours") * (col("n_hours") - 1), lit(2L)))
+      .withColumn("cd",
+        col("n_concordant").cast("double") - col("n_discordant").cast("double"))
+      .select(col("n_hours"), col("n0").as("n_pairs"),
+        col("n_concordant"), col("n_discordant"),
+        col("ties_x"), col("ties_y"),
+        when(col("n0") > col("ties_x"),
+          col("cd") / (col("n0") - col("ties_x")).cast("double")).as("somers_d_yx"),
+        when(col("n0") > col("ties_y"),
+          col("cd") / (col("n0") - col("ties_y")).cast("double")).as("somers_d_xy"),
+        when(col("n_concordant") + col("n_discordant") > 0,
+          col("cd") / (col("n_concordant") + col("n_discordant")).cast("double"))
+          .as("gamma"))
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative trend test: ordered groups =
+    * hour-of-day 0..23 (the dose), observations = the DENSIFIED per-(day,
+    * hour-of-day) event counts (a day silent in an hour is a legitimate
+    * zero observation — the `stat_friedman` densification argument), and
+    *
+    *   J = Σ_{g1<g2} [ #(x∈g1 < y∈g2) + ½·#(x∈g1 = y∈g2) ].
+    *
+    * NEVER pairwise: with cnt(g, v) the (group × value) contingency and
+    * two bounded cumulative windows —
+    *   less(g, v)       = Σ_{v'<v}  cnt(g, v')     (per-group, value order)
+    *   prefLess(g, v)   = Σ_{g'<g} less(g', v)     (per-value, group order)
+    *   prefEq(g, v)     = Σ_{g'<g} cnt(g', v)
+    * — the doubled statistic is the exact integer
+    *   2J = Σ_{g,v} cnt(g, v) · (2·prefLess(g, v) + prefEq(g, v)).
+    * The grid is 24 × |value vocabulary| (the vocabulary saturates toward
+    * the count RANGE, not the row count — the rank-test scale argument).
+    *
+    * Null moments (balanced by densification: n_g = n_days ∀g):
+    *   4·E[J]  = N² − Σ n_g²                            (exact integer)
+    *   72·Var  = N²(2N+3) − Σ n_g²(2n_g+3)  (ties IGNORED — stated; a
+    *             screening statistic, the `stat_friedman` convention)
+    * z finishes in one fixed IEEE chain off the exact integers. */
+  def statJonckheere(events: DataFrame): DataFrame = {
+    val cells = events.groupBy(
+        date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("g"))
+      .agg(count(lit(1)).as("n"))
+    val days = cells.select(col("day")).distinct()
+    val hods = cells.sparkSession.range(0, 24).select(col("id").as("g"))
+    val obs = days.crossJoin(broadcast(hods))
+      .join(cells, Seq("day", "g"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val cnt = obs.groupBy(col("g"), col("n").as("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val wLess = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPref = Window.partitionBy(col("v")).orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // grid densified over the full vocabulary so BOTH windows see every
+    // (g, v) cell (a vocab value absent from a group still accumulates
+    // cross-group prefixes through it)
+    val vocab = cnt.select(col("v")).distinct()
+    val grid = vocab.crossJoin(broadcast(hods))
+      .join(cnt, Seq("g", "v"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val contrib = grid
+      .withColumn("less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
+      .withColumn("prefLess", coalesce(sum(col("less")).over(wPref), lit(0L)))
+      .withColumn("prefEq", coalesce(sum(col("cnt")).over(wPref), lit(0L)))
+    val j2 = contrib.agg(
+      sum(col("cnt").cast(dec38) *
+        (lit(2L) * col("prefLess") + col("prefEq"))).as("j2"))
+    val sizes = obs.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("ng")).as("n_total"),
+        sum(col("ng").cast(dec38) * col("ng")).as("sn2"),
+        sum(col("ng").cast(dec38) * col("ng") *
+          (lit(2L) * col("ng") + lit(3L))).as("sn23"))
+    j2.crossJoin(broadcast(sizes))
+      .withColumn("nt", col("n_total").cast(dec38))
+      .withColumn("e4", col("nt") * col("nt") - col("sn2"))
+      .withColumn("v72",
+        col("nt") * col("nt") * (lit(2L) * col("nt") + lit(3L)) - col("sn23"))
+      .select(
+        col("k").as("n_groups"), col("n_total").as("n_obs"),
+        col("j2").cast("long").as("j_x2"),
+        (d2(col("j2")) / 2.0).as("j_stat"),
+        (d2(col("e4")) / 4.0).as("e_j"),
+        (d2(col("v72")) / 72.0).as("var_j"),
+        when(col("v72") > 0,
+          (d2(col("j2")) / 2.0 - d2(col("e4")) / 4.0) /
+            sqrt(d2(col("v72")) / 72.0)).as("z_stat"))
+  }
+
+  /** Page's L trend test — the ordered-alternative reading of the
+    * Friedman blocked design (blocks = hours, treatments = event classes,
+    * treatment order = ALPHABETICAL class name, the declared convention):
+    *   L = Σ_j w_j · R_j,  w_j = 1..k alphabetical, R_j = rank sum.
+    * Rides [[RankStats.friedmanRankedGrid]]'s doubled-midrank grid
+    * (2L = Σ w_j·R2_j stays an exact integer; the k-row weight window is
+    * bounded by the class count). Null moments:
+    *   4·E[L]   = n·k·(k+1)²                             (exact integer)
+    *   144·Var  = n·k²·(k+1)·(k²−1)                      (exact integer)
+    * One row out; ties uncorrected (stated — the Friedman convention). */
+  def statPageTrend(events: DataFrame): DataFrame = {
+    val ranked = RankStats.friedmanRankedGrid(events)
+    val perClass = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("r2").cast(dec38)).as("rs2"))
+    val wAlpha = Window.orderBy(col("event_type"))
+    val weighted = perClass
+      .withColumn("w", row_number().over(wAlpha).cast("long"))
+    val totals = weighted.agg(
+      count(lit(1)).as("k"),
+      max(col("n_blocks")).as("nb"),
+      sum(col("w").cast(dec38) * col("rs2")).as("l2"))
+    totals
+      .withColumn("kd", col("k").cast(dec38))
+      .withColumn("nd", col("nb").cast(dec38))
+      .withColumn("e4", col("nd") * col("kd") * (col("kd") + 1) * (col("kd") + 1))
+      .withColumn("v144", col("nd") * col("kd") * col("kd") * (col("kd") + 1) *
+        (col("kd") * col("kd") - 1))
+      .select(col("k").as("n_classes"), col("nb").as("n_blocks"),
+        col("l2").cast("long").as("l_x2"),
+        (d2(col("l2")) / 2.0).as("page_l"),
+        (d2(col("e4")) / 4.0).as("e_l"),
+        (d2(col("v144")) / 144.0).as("var_l"),
+        when(col("v144") > 0,
+          (d2(col("l2")) / 2.0 - d2(col("e4")) / 4.0) /
+            sqrt(d2(col("v144")) / 144.0)).as("z_stat"))
+  }
+
+  /** McNemar's paired-binary test on per-user (clicked?, purchased?)
+    * flags: the discordant cells b (click only) and c (purchase only)
+    * carry ALL the information about marginal asymmetry —
+    *   χ² = (b−c)²/(b+c),  continuity-corrected (max(|b−c|−1, 0))²/(b+c).
+    * One hash agg over the fact table to the per-user flags, one 1-row
+    * rollup; everything exact until the final divide. */
+  def statMcNemar(events: DataFrame): DataFrame = {
+    val flags = events.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+    flags.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("clicked") === 1 && col("purchased") === 1, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("clicked") === 1 && col("purchased") === 0, 1L)
+          .otherwise(0L)).as("n_click_only"),
+        sum(when(col("clicked") === 0 && col("purchased") === 1, 1L)
+          .otherwise(0L)).as("n_purchase_only"),
+        sum(when(col("clicked") === 0 && col("purchased") === 0, 1L)
+          .otherwise(0L)).as("n_neither"))
+      .withColumn("bc", col("n_click_only") + col("n_purchase_only"))
+      .withColumn("d", col("n_click_only") - col("n_purchase_only"))
+      .withColumn("dc", greatest(abs(col("d")) - 1, lit(0L)))
+      .select(col("n_users"), col("n_both"), col("n_click_only"),
+        col("n_purchase_only"), col("n_neither"),
+        when(col("bc") > 0,
+          (col("d") * col("d")).cast("double") / col("bc").cast("double"))
+          .as("mcnemar_chi2"),
+        when(col("bc") > 0,
+          (col("dc") * col("dc")).cast("double") / col("bc").cast("double"))
+          .as("mcnemar_chi2_cc"))
+  }
+
+  /** Cohen's kappa between the declared `lang` label and the n-gram
+    * router's prediction ([[graft.ext.Text.textLangid]]) — the
+    * chance-corrected scalar on top of `text_lang_confusion`'s matrix.
+    * With exact integer N, diag = Σ agreements, and Σᵢ rowᵢ·colᵢ:
+    *   κ = (N·diag − Σ rᵢcᵢ) / (N² − Σ rᵢcᵢ)
+    * — numerator and denominator BOTH exact DECIMAL(38,0) integers, one
+    * double divide at the end. Frames: per-doc predictor map, langs²
+    * cells, ≤langs-row marginals. */
+  def statCohenKappa(documents: DataFrame): DataFrame = {
+    val cells = graft.ext.Text.textLangid(documents)
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("true_lang") === col("pred_lang"), col("n"))
+        .otherwise(0L)).as("n_agree"))
+    val rows = cells.groupBy(col("true_lang").as("lbl"))
+      .agg(sum(col("n")).as("r"))
+    val cols = cells.groupBy(col("pred_lang").as("lbl"))
+      .agg(sum(col("n")).as("c"))
+    val src = rows.join(cols, Seq("lbl"))
+      .agg(coalesce(sum(col("r").cast(dec38) * col("c")), lit(0L).cast(dec38))
+        .as("src"))
+    totals.crossJoin(broadcast(src))
+      .withColumn("nn", col("n_docs").cast(dec38))
+      .withColumn("num", col("nn") * col("n_agree") - col("src"))
+      .withColumn("den", col("nn") * col("nn") - col("src"))
+      .select(col("n_docs"), col("n_agree"),
+        (d2(col("n_agree").cast(dec38)) / d2(col("nn"))).as("p_observed"),
+        (d2(col("src")) / (d2(col("nn")) * d2(col("nn")))).as("p_expected"),
+        when(col("den") > 0, d2(col("num")) / d2(col("den"))).as("kappa"))
+  }
+}

@@ -279,7 +279,12 @@ object RankStats {
     * one per-hour rank window (hour-keyed — parallel by block), two tiny
     * aggs. Per-class rows carry the shared Q plus each class's mean
     * midrank — the effect direction. */
-  def statFriedman(events: DataFrame): DataFrame = {
+  /** The densified (class × hour) grid with doubled within-hour midranks
+    * (r2 = 2·rank + ties − 1, every value an exact integer) — the blocked
+    * rank design shared by [[statFriedman]] and
+    * [[Association.statPageTrend]] (r10). Extracted verbatim from
+    * statFriedman, so the Friedman plan shape is unchanged. */
+  private[ops] def friedmanRankedGrid(events: DataFrame): DataFrame = {
     val hourly = events.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
@@ -290,10 +295,14 @@ object RankStats {
       .withColumn("n", coalesce(col("n"), lit(0L)))
     val wRank = Window.partitionBy(col("hr")).orderBy(col("n"))
     val wTies = Window.partitionBy(col("hr"), col("n"))
-    val ranked = grid
+    grid
       .withColumn("rk", rank().over(wRank).cast("long"))
       .withColumn("ties", count(lit(1)).over(wTies))
       .withColumn("r2", lit(2L) * col("rk") + col("ties") - 1)
+  }
+
+  def statFriedman(events: DataFrame): DataFrame = {
+    val ranked = friedmanRankedGrid(events)
     val perClass = ranked.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(col("r2").cast(DecimalType(38, 0))).as("rs2"))

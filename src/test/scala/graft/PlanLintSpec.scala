@@ -61,7 +61,12 @@ class PlanLintSpec extends SparkSpec {
     "agg_distinct_hll_union",                            // 1-row sketch rollup crossed with the 1-row exact audit (r9)
     "sample_neyman_alloc",                               // ≤#strata weight frame crossed with 1-row budget totals (the Hamilton shape, r9)
     "stat_cucconi",                                      // 1-row totals frame crossed onto the vocab frame (the rank-test shape, r9)
-    "stat_cronbach_alpha"                                // 1-row hour-count frame crossed onto the ≤k item/total frames (r9)
+    "stat_cronbach_alpha",                               // 1-row hour-count frame crossed onto the ≤k item/total frames (r9)
+    "stat_somers_d",                                     // hour-pair inequality join over the time-bounded hourly frame (the stat_kendall_tau shape, r10)
+    "stat_jonckheere",                                   // 24-row hour-of-day dim crossed onto the day/vocab frames + 1-row totals (r10)
+    "stat_page_trend",                                   // ≤k-row class dim grid cross (the stat_friedman shape, r10)
+    "stat_cohen_kappa",                                  // 1-row Σrc frame crossed onto the 1-row totals frame (r10)
+    "graph_rich_club"                                    // 5-row threshold ladder dim (the join_range_tier shape, r10)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
