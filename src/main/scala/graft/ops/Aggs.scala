@@ -1919,6 +1919,49 @@ object Aggs {
         ((col("st")(0) - col("st")(1)) - col("st")(2)).as("histogram"))
       .orderBy("event_type")
 
+  /** r10: TRIX (triple-EMA rate of change, n = 15) per event class —
+    * [[tsMacd]]'s sibling with the opposite noise philosophy: MACD
+    * differences two single EMAs (fast but whipsaw-prone); TRIX passes
+    * the series through THREE chained EMAs before taking the one-step
+    * relative change, so single-bar spikes are filtered out entirely
+    * and only sustained momentum survives — the standard slow-trend
+    * confirmation read. All three EMA recursions plus the TRIX step
+    * advance together in one aggregate-HOF fold (each stage consumes
+    * the PREVIOUS stage's just-updated value in the same step — the
+    * MACD textual-expansion discipline; trix_pct consumes e3's
+    * PRE-update value as the denominator). Seeding: e1 = e2 = e3 = x₁,
+    * trix = 0. α spelled as the division 2/16 in BOTH engines so each
+    * evaluates the identical correctly-rounded double. Plan: one
+    * (class, hour) hash agg, one span-guarded dense grid, one fold per
+    * class. */
+  def tsTrix(events: DataFrame): DataFrame = {
+    val a = "(2.0d / 16.0d)"
+    val e1 = s"(acc[0] + $a * (x - acc[0]))"
+    val e2 = s"(acc[1] + $a * ($e1 - acc[1]))"
+    val e3 = s"(acc[2] + $a * ($e2 - acc[2]))"
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
+      .withColumn("xs", denseHourGrid("ts_trix"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
+        expr(
+          s"""aggregate(
+                slice(xs, 2, size(xs) - 1),
+                array(element_at(xs, 1), element_at(xs, 1), element_at(xs, 1), 0.0d),
+                (acc, x) -> array($e1, $e2, $e3,
+                  case when acc[2] <> 0.0d
+                       then 100.0d * ($e3 - acc[2]) / acc[2]
+                       else 0.0d end))""").as("st"))
+      .select(col("event_type"), col("n_hours"),
+        col("st")(0).as("ema1"), col("st")(1).as("ema2"),
+        col("st")(2).as("ema3"), col("st")(3).as("trix_pct"))
+      .orderBy("event_type")
+  }
+
   /** r8: runs test ON SUCCESSIVE DIFFERENCES per event class (runs
     * up/down) — [[statRunsTest]] screens clumping around the MEDIAN;
     * this screens short-range oscillation/trend persistence the median

@@ -214,6 +214,91 @@ object Association {
             sqrt(d2(col("v144")) / 144.0)).as("z_stat"))
   }
 
+  /** Quade test — the blocked rank ANOVA that WEIGHTS blocks by how much
+    * information they carry: Friedman gives every hour one vote; Quade
+    * multiplies each hour's within-block ranks by the midrank of the
+    * hour's value RANGE across hours, so a busy hour with real spread
+    * between classes outvotes a flat one (the standard higher-power
+    * alternative for small k). Doubled midranks keep EVERYTHING integral:
+    * with r2 = 2r (within-block, from [[RankStats.friedmanRankedGrid]])
+    * and q2 = 2Q (block-range midranks across blocks, same identity),
+    *   S4_bj = q2_b · (r2_bj − (k+1)) = 4·S_bj
+    * is an exact integer, per-class sums S4_j and both sums of squares
+    * accumulate in DECIMAL(38,0), and the statistic
+    *   T = (n−1)·Σ_j S4_j² / (n·Σ_bj S4_bj² − Σ_j S4_j²)
+    * finishes in one fixed IEEE chain off three exact integers (the 16s
+    * cancel). Per-class rows carry S4_j (the effect direction) plus the
+    * shared T. SCALE: everything rides the (class × hour) grid and the
+    * hours frame — block-bounded, never row-scaled. */
+  def statQuade(events: DataFrame): DataFrame = {
+    val ranked = RankStats.friedmanRankedGrid(events)
+    // block weights: doubled midranks of the per-hour value RANGE
+    val wRk = Window.orderBy(col("rng"))
+    val wTie = Window.partitionBy(col("rng"))
+    val blocks = ranked.groupBy(col("hr"))
+      .agg((max(col("n")) - min(col("n"))).as("rng"),
+        count(lit(1)).as("k"))
+      .withColumn("q2",
+        lit(2L) * rank().over(wRk).cast("long") + count(lit(1)).over(wTie) - 1)
+    val s4 = ranked.join(blocks.select(col("hr"), col("q2"), col("k")), Seq("hr"))
+      .withColumn("s4", col("q2") * (col("r2") - (col("k") + 1)))
+    val perClass = s4.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("s4").cast(dec38)).as("s4j"),
+        sum(col("s4").cast(dec38) * col("s4")).as("a16c"))
+    val totals = perClass.agg(
+      count(lit(1)).as("k"),
+      max(col("n_blocks")).as("nb"),
+      sum(col("a16c")).as("a16"),
+      sum(col("s4j") * col("s4j")).as("b16n"))
+    perClass.crossJoin(broadcast(totals))
+      .withColumn("den", col("nb").cast(dec38) * col("a16") - col("b16n"))
+      .select(col("event_type"), col("n_blocks"), col("k"),
+        col("s4j").cast("long").as("s4_j"),
+        when(col("den") > 0,
+          d2((col("nb") - 1).cast(dec38) * col("b16n")) / d2(col("den")))
+          .as("quade_t"))
+      .orderBy("event_type")
+  }
+
+  /** Turning-points (local extrema census) test for serial randomness on
+    * the per-class OBSERVED hourly series (non-densified — the
+    * `stat_runs_up_down` raw-sequence convention, stated; densifying
+    * would flood the count quantization with zero-run ties): T = # of
+    * interior hours where the two neighboring deltas have STRICTLY
+    * opposite signs. Under i.i.d., E[T] = 2(n−2)/3 and
+    * Var[T] = (16n−29)/90 — exact integer numerators, one fixed z
+    * chain. The cheapest "is this series i.i.d. or does it trend/
+    * oscillate" screen next to [[graft.ops.Aggs]]' runs tests: runs
+    * tests count sign CHANGES of one delta stream; turning points count
+    * sign ALTERNATIONS of adjacent deltas, which catches short
+    * oscillation the median-runs screen misses. Plan: one (class, hour)
+    * hash agg, two lag/lead windows on the hour-bounded frame, one agg. */
+  def statTurningPoints(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .withColumn("pn", lag(col("n"), 1).over(w))
+      .withColumn("nn", lead(col("n"), 1).over(w))
+      .withColumn("tp",
+        when(col("pn").isNotNull && col("nn").isNotNull &&
+          (col("n") - col("pn")) * (col("nn") - col("n")) < 0, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("tp")).as("n_turning"))
+      .withColumn("nd", col("n_hours").cast("double"))
+      .select(col("event_type"), col("n_hours"), col("n_turning"),
+        when(col("n_hours") >= 3,
+          lit(2.0) * (col("nd") - 2.0) / 3.0).as("expected_tp"),
+        when(lit(16.0) * col("nd") - 29.0 > 0,
+          (col("n_turning").cast("double") -
+            lit(2.0) * (col("nd") - 2.0) / 3.0) /
+            sqrt((lit(16.0) * col("nd") - 29.0) / 90.0)).as("z_stat"))
+      .orderBy("event_type")
+  }
+
   /** McNemar's paired-binary test on per-user (clicked?, purchased?)
     * flags: the discordant cells b (click only) and c (purchase only)
     * carry ALL the information about marginal asymmetry —

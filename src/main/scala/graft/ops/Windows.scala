@@ -1265,6 +1265,121 @@ object Windows {
       .orderBy("event_type", "hour_s")
   }
 
+  /** r10: Wilder's directional system (+DI/−DI/DX/ADX, n = 14) per event
+    * class — the TREND-STRENGTH member the TA tier still lacked: Aroon
+    * ([[windowAroon]]) times the last extremes, Vortex ([[windowVortex]])
+    * ratios windowed crossings; ADX is the canonical "is there a trend AT
+    * ALL" dial (low ADX = the band/oscillator regime, high ADX = the
+    * breakout regime — it's the standard regime SWITCH for every other
+    * indicator in this tier). All four Wilder recursions (smoothed TR,
+    * +DM, −DM, and ADX over the derived DX) advance together in ONE
+    * aggregate-HOF fold over the span-bounded class-hour bars — the
+    * `ts_macd` textual-expansion discipline (DX consumes the
+    * just-updated smoothed DMs in the same step). Seeding: smoothed
+    * sums and ADX start at 0 from the first bar (running-Wilder
+    * convention, stated; no SMA warm-up — both engines replay the same
+    * chain). DX simplifies to 100·|S⁺−S⁻|/(S⁺+S⁻): the shared S_TR
+    * divisor of ±DI cancels. EXACTNESS: bar cents are exact integer
+    * doubles; every update is a fixed IEEE chain DuckDB's `list_reduce`
+    * replays in identical order. Plan: one exchange to class-hour bars,
+    * one guarded fold per class, one row out per class. */
+  def windowAdx(events: DataFrame): DataFrame = {
+    val bh = "cast(b.h as double)"
+    val bl = "cast(b.l as double)"
+    val up = s"($bh - acc[0])"
+    val dn = s"(acc[1] - $bl)"
+    val pdm = s"(case when $up > $dn and $up > 0.0d then $up else 0.0d end)"
+    val ndm = s"(case when $dn > $up and $dn > 0.0d then $dn else 0.0d end)"
+    val tr = s"greatest(cast(b.h - b.l as double), abs($bh - acc[2]), abs($bl - acc[2]))"
+    val sp = s"(acc[4] - acc[4] / 14.0d + $pdm)"
+    val sn = s"(acc[5] - acc[5] / 14.0d + $ndm)"
+    val dx = s"(case when ($sp + $sn) > 0.0d then 100.0d * abs($sp - $sn) / ($sp + $sn) else 0.0d end)"
+    classHourBarsV(events)
+      .groupBy(col("event_type"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hr"), col("h"), col("l"), col("cl")))),
+        "window_adx").as("rs"))
+      .withColumn("st", expr(
+        s"""aggregate(
+              slice(rs, 2, size(rs) - 1),
+              array(cast(element_at(rs, 1).h as double),
+                    cast(element_at(rs, 1).l as double),
+                    cast(element_at(rs, 1).cl as double),
+                    0.0d, 0.0d, 0.0d, 0.0d),
+              (acc, b) -> array($bh, $bl, cast(b.cl as double),
+                acc[3] - acc[3] / 14.0d + $tr,
+                $sp, $sn,
+                acc[6] + ($dx - acc[6]) / 14.0d))"""))
+      .select(col("event_type"), size(col("rs")).cast("long").as("n_bars"),
+        col("st")(3).as("smoothed_tr"),
+        when(col("st")(3) > 0.0,
+          lit(100.0) * col("st")(4) / col("st")(3)).as("plus_di"),
+        when(col("st")(3) > 0.0,
+          lit(100.0) * col("st")(5) / col("st")(3)).as("minus_di"),
+        when(col("st")(4) + col("st")(5) > 0.0,
+          lit(100.0) * abs(col("st")(4) - col("st")(5)) /
+            (col("st")(4) + col("st")(5))).as("dx"),
+        col("st")(6).as("adx"))
+      .orderBy("event_type")
+  }
+
+  /** r10: Parabolic SAR (stop-and-reverse, Wilder) per event class — the
+    * TA tier's first full STATE-MACHINE indicator: a trailing stop that
+    * accelerates toward price while the trend holds and FLIPS sides when
+    * the bar range crosses it. The fold state is the live machine:
+    * (sar, extreme point, acceleration factor, direction, the prior two
+    * bars' high/low for the classic clamp, reversal count). Declared
+    * conventions (both engines replay the identical chain): seed long
+    * from bar 1 (sar = low₁, ep = high₁, af = 0.02); af steps +0.02 on
+    * each NEW extreme, capped 0.2; long SAR clamps ≤ the prior two lows
+    * (short: ≥ the prior two highs); reversal on STRICT penetration
+    * (low < sar / high > sar); on reversal SAR = the prior EP, af
+    * resets, no same-bar re-reversal. EXACTNESS: bar cents are exact
+    * integer doubles; af arithmetic (0.02 steps, 0.2 cap) is the same
+    * IEEE add/compare chain in both engines, so every branch decision
+    * is bit-reproducible — the fold is ONE textually-expanded
+    * CASE-per-slot update (`ts_macd` discipline), replayed by DuckDB
+    * `list_reduce`. One span-guarded fold per class, one row out. */
+  def windowPsar(events: DataFrame): DataFrame = {
+    val bh = "cast(b.h as double)"
+    val bl = "cast(b.l as double)"
+    val sr = "(acc[0] + acc[2] * (acc[1] - acc[0]))"
+    val scL = s"least($sr, acc[5], acc[7])"
+    val scS = s"greatest($sr, acc[4], acc[6])"
+    val isL = "(acc[3] > 0.0d)"
+    val rev = s"(case when $isL then (case when $bl < $scL then 1.0d else 0.0d end) else (case when $bh > $scS then 1.0d else 0.0d end) end)"
+    classHourBarsV(events)
+      .groupBy(col("event_type"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hr"), col("h"), col("l"), col("cl")))),
+        "window_psar").as("rs"))
+      .withColumn("st", expr(
+        s"""aggregate(
+              slice(rs, 2, size(rs) - 1),
+              array(cast(element_at(rs, 1).l as double),
+                    cast(element_at(rs, 1).h as double),
+                    0.02d, 1.0d,
+                    cast(element_at(rs, 1).h as double),
+                    cast(element_at(rs, 1).l as double),
+                    cast(element_at(rs, 1).h as double),
+                    cast(element_at(rs, 1).l as double),
+                    0.0d),
+              (acc, b) -> array(
+                case when $rev > 0.5d then acc[1] else (case when $isL then $scL else $scS end) end,
+                case when $rev > 0.5d then (case when $isL then $bl else $bh end) else (case when $isL then greatest(acc[1], $bh) else least(acc[1], $bl) end) end,
+                case when $rev > 0.5d then 0.02d else (case when $isL then (case when $bh > acc[1] then least(acc[2] + 0.02d, 0.2d) else acc[2] end) else (case when $bl < acc[1] then least(acc[2] + 0.02d, 0.2d) else acc[2] end) end) end,
+                case when $rev > 0.5d then -acc[3] else acc[3] end,
+                $bh, $bl, acc[4], acc[5],
+                acc[8] + $rev))"""))
+      .select(col("event_type"), size(col("rs")).cast("long").as("n_bars"),
+        (col("st")(0) / lit(100.0)).as("sar"),
+        (col("st")(1) / lit(100.0)).as("extreme_point"),
+        col("st")(2).as("accel_factor"),
+        col("st")(3).cast("long").as("direction"),
+        col("st")(8).cast("long").as("n_reversals"))
+      .orderBy("event_type")
+  }
+
   def windowUlcer(events: DataFrame, n: Int = 14): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))

@@ -66,7 +66,8 @@ class PlanLintSpec extends SparkSpec {
     "stat_jonckheere",                                   // 24-row hour-of-day dim crossed onto the day/vocab frames + 1-row totals (r10)
     "stat_page_trend",                                   // ≤k-row class dim grid cross (the stat_friedman shape, r10)
     "stat_cohen_kappa",                                  // 1-row Σrc frame crossed onto the 1-row totals frame (r10)
-    "graph_rich_club"                                    // 5-row threshold ladder dim (the join_range_tier shape, r10)
+    "graph_rich_club",                                   // 5-row threshold ladder dim (the join_range_tier shape, r10)
+    "stat_quade"                                         // ≤k-row class dim grid cross + 1-row totals frame (the stat_friedman shape, r10)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
