@@ -299,6 +299,42 @@ object Association {
       .orderBy("event_type")
   }
 
+  /** Cox–Stuart trend test on the per-class observed hourly series — the
+    * assumption-free "is the second half systematically above the
+    * first?" screen: pair hour i with hour i + ⌈n/2⌉ (odd n drops the
+    * middle, the standard convention), sign-test the pairs (ties drop).
+    * Weaker than Mann–Kendall but O(n) with ONE equi-join — the cheap
+    * pre-screen in front of the heavier trend machinery. z =
+    * (pos − neg)/√(pos + neg), the `stat_sign_test` chain. Plan: one
+    * (class, hour) hash agg, one class-bounded row_number window, one
+    * self-equi-join on (class, shifted index). */
+  def statCoxStuart(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val c = call_function("div", col("nh") + 1, lit(2L)) // ceil(n/2), integral
+    val first = hourly.filter(col("rn") <= call_function("div", col("nh"), lit(2L)))
+      .select(col("event_type"), (col("rn") + c).as("rn2"), col("n").as("x"))
+    val second = hourly
+      .select(col("event_type"), col("rn").as("rn2"), col("n").as("y"))
+    first.join(second, Seq("event_type", "rn2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("y") > col("x"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") < col("x"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("y") === col("x"), 1L).otherwise(0L)).as("n_tie"))
+      .select(col("event_type"), col("n_pairs"), col("n_pos"), col("n_neg"),
+        col("n_tie"),
+        when(col("n_pos") + col("n_neg") > 0,
+          (col("n_pos").cast("double") - col("n_neg").cast("double")) /
+            sqrt(col("n_pos").cast("double") + col("n_neg").cast("double")))
+          .as("z_stat"))
+      .orderBy("event_type")
+  }
+
   /** McNemar's paired-binary test on per-user (clicked?, purchased?)
     * flags: the discordant cells b (click only) and c (purchase only)
     * carry ALL the information about marginal asymmetry —

@@ -1380,6 +1380,126 @@ object Windows {
       .orderBy("event_type")
   }
 
+  /** r10: Chaikin accumulation/distribution line + oscillator per class —
+    * the tier's money-flow PRESSURE read: each bar contributes its volume
+    * weighted by WHERE the close sits in the bar's range (mfm =
+    * (2·cl − h − l)/(h − l) ∈ [−1, 1]); the A/D line is the running sum
+    * and the oscillator its EMA3 − EMA10 divergence (volume leading
+    * price, the classic early-rotation signal; reads next to
+    * [[windowObv]], which weights volume by DIRECTION only). All three
+    * recursions (A/D sum, both EMAs of the just-updated A/D) advance in
+    * ONE fold — running double sums are deliberately NOT window cumsums
+    * (engines may sum window frames in different orders; the fold pins
+    * ONE left-to-right IEEE chain both engines replay). mfm is one
+    * integer-cents divide; flat bars (h = l) contribute zero by the
+    * standard convention. One span-guarded fold per class, one row. */
+  def windowChaikin(events: DataFrame): DataFrame = {
+    val mfv = "(case when b.h > b.l then cast(2 * b.cl - b.h - b.l as double) / cast(b.h - b.l as double) * cast(b.vol as double) else 0.0d end)"
+    val ad = s"(acc[0] + $mfv)"
+    classHourBarsV(events)
+      .groupBy(col("event_type"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hr"), col("h"), col("l"), col("cl"), col("vol")))),
+        "window_chaikin").as("rs"))
+      .withColumn("st", expr(
+        s"""aggregate(
+              slice(rs, 2, size(rs) - 1),
+              array(
+                case when element_at(rs, 1).h > element_at(rs, 1).l
+                     then cast(2 * element_at(rs, 1).cl - element_at(rs, 1).h - element_at(rs, 1).l as double) / cast(element_at(rs, 1).h - element_at(rs, 1).l as double) * cast(element_at(rs, 1).vol as double)
+                     else 0.0d end,
+                case when element_at(rs, 1).h > element_at(rs, 1).l
+                     then cast(2 * element_at(rs, 1).cl - element_at(rs, 1).h - element_at(rs, 1).l as double) / cast(element_at(rs, 1).h - element_at(rs, 1).l as double) * cast(element_at(rs, 1).vol as double)
+                     else 0.0d end,
+                case when element_at(rs, 1).h > element_at(rs, 1).l
+                     then cast(2 * element_at(rs, 1).cl - element_at(rs, 1).h - element_at(rs, 1).l as double) / cast(element_at(rs, 1).h - element_at(rs, 1).l as double) * cast(element_at(rs, 1).vol as double)
+                     else 0.0d end),
+              (acc, b) -> array($ad,
+                acc[1] + (2.0d / 4.0d) * ($ad - acc[1]),
+                acc[2] + (2.0d / 11.0d) * ($ad - acc[2])))"""))
+      .select(col("event_type"), size(col("rs")).cast("long").as("n_bars"),
+        col("st")(0).as("ad_line"),
+        col("st")(1).as("ad_ema3"), col("st")(2).as("ad_ema10"),
+        (col("st")(1) - col("st")(2)).as("chaikin_osc"))
+      .orderBy("event_type")
+  }
+
+  /** r10: Elder Ray (bull/bear power, EMA13 baseline) per class — the
+    * simplest "who is in control at the margin" decomposition: bull
+    * power = bar high − EMA13 (what buyers managed above consensus),
+    * bear power = bar low − EMA13; divergence against the EMA slope is
+    * the classic entry screen. One EMA recursion folded over the bars,
+    * powers read off the LAST bar against the final EMA. Same exactness
+    * contract as every fold (integer-cent bars, α spelled 2/14 in both
+    * engines). */
+  def windowElderRay(events: DataFrame): DataFrame =
+    classHourBarsV(events)
+      .groupBy(col("event_type"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hr"), col("h"), col("l"), col("cl")))),
+        "window_elder_ray").as("rs"))
+      .withColumn("ema", expr(
+        """aggregate(
+             slice(rs, 2, size(rs) - 1),
+             cast(element_at(rs, 1).cl as double),
+             (acc, b) -> acc + (2.0d / 14.0d) * (cast(b.cl as double) - acc))"""))
+      .select(col("event_type"), size(col("rs")).cast("long").as("n_bars"),
+        (col("ema") / lit(100.0)).as("ema13"),
+        ((element_at(col("rs"), -1)("h") - col("ema")) / lit(100.0))
+          .as("bull_power"),
+        ((element_at(col("rs"), -1)("l") - col("ema")) / lit(100.0))
+          .as("bear_power"))
+      .orderBy("event_type")
+
+  /** r10: Supertrend (ATR-band trailing stop, n = 14, multiplier 3) per
+    * class — [[windowPsar]]'s volatility-adaptive sibling: PSAR
+    * accelerates on time, Supertrend widens with the true range, so it
+    * survives volatility bursts PSAR whipsaws through. The fold state is
+    * again the live machine: (prev close, running-Wilder ATR, ratcheted
+    * final upper/lower bands, direction, flip count). Declared
+    * conventions (both engines replay the identical chain): ATR seeds 0
+    * from bar 1 (the `window_adx` running-Wilder convention); bands
+    * ratchet only while price respects them (upper only falls unless
+    * the prior close broke it; lower mirror); the trend flips on STRICT
+    * close-beyond-band. One CASE-per-slot textually-expanded update,
+    * DuckDB `list_reduce` replay, one row per class. */
+  def windowSupertrend(events: DataFrame): DataFrame = {
+    val bh = "cast(b.h as double)"
+    val bl = "cast(b.l as double)"
+    val bc = "cast(b.cl as double)"
+    val tr = s"greatest(cast(b.h - b.l as double), abs($bh - acc[0]), abs($bl - acc[0]))"
+    val at = s"(acc[1] - acc[1] / 14.0d + $tr)"
+    val hl2 = s"(($bh + $bl) / 2.0d)"
+    val bu = s"($hl2 + 3.0d * $at)"
+    val bo = s"($hl2 - 3.0d * $at)"
+    val fu = s"(case when $bu < acc[2] or acc[0] > acc[2] then $bu else acc[2] end)"
+    val fl = s"(case when $bo > acc[3] or acc[0] < acc[3] then $bo else acc[3] end)"
+    val flip = s"(case when acc[4] > 0.0d then (case when $bc < $fl then 1.0d else 0.0d end) else (case when $bc > $fu then 1.0d else 0.0d end) end)"
+    classHourBarsV(events)
+      .groupBy(col("event_type"))
+      .agg(Guards.boundedSeries(sort_array(collect_list(
+        struct(col("hr"), col("h"), col("l"), col("cl")))),
+        "window_supertrend").as("rs"))
+      .withColumn("st", expr(
+        s"""aggregate(
+              slice(rs, 2, size(rs) - 1),
+              array(cast(element_at(rs, 1).cl as double),
+                    0.0d,
+                    cast(element_at(rs, 1).h + element_at(rs, 1).l as double) / 2.0d,
+                    cast(element_at(rs, 1).h + element_at(rs, 1).l as double) / 2.0d,
+                    1.0d, 0.0d),
+              (acc, b) -> array($bc, $at, $fu, $fl,
+                case when $flip > 0.5d then -acc[4] else acc[4] end,
+                acc[5] + $flip))"""))
+      .select(col("event_type"), size(col("rs")).cast("long").as("n_bars"),
+        (col("st")(1) / lit(100.0)).as("atr_wilder"),
+        (col("st")(2) / lit(100.0)).as("final_upper"),
+        (col("st")(3) / lit(100.0)).as("final_lower"),
+        col("st")(4).cast("long").as("direction"),
+        col("st")(5).cast("long").as("n_flips"))
+      .orderBy("event_type")
+  }
+
   def windowUlcer(events: DataFrame, n: Int = 14): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
