@@ -28,7 +28,8 @@ object Escapes {
     "stat_hodges_lehmann"     -> "stat_hodges_lehmann_coarse",
     "graph_link_jaccard"      -> "graph_link_jaccard_capped",
     "graph_triangles"         -> "graph_triangles_fine",
-    "graph_local_clustering"  -> "graph_local_clustering_fine")
+    "graph_local_clustering"  -> "graph_local_clustering_fine",
+    "join_interval_overlap"   -> "join_interval_overlap_min")
 
   private def log(query: String, metric: String, value: Any, budget: Long,
                   chose: String): Unit =
@@ -95,12 +96,30 @@ object Escapes {
     }
   }
 
+  /** Interval overlap: exact Θ(pairs) emission under the session-day
+    * pair bound, the ≥ 4 h sustained-co-presence form above it (the sf3
+    * probe's measured calibration: sf1's bound 6.4·10⁹ runs, sf3's
+    * 5.8·10¹⁰ fills a single node's spill disk). */
+  def intervalOverlap(events: DataFrame, gapMinutes: Int = 360,
+      pairBudget: Long = 20000000000L): DataFrame = {
+    val b = Sessions.overlapPairBound(events, gapMinutes)
+    if (b.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0) {
+      log("join_interval_overlap", "day-pair bound", b, pairBudget, "exact")
+      Sessions.joinIntervalOverlap(events, gapMinutes, pairBudget)
+    } else {
+      log("join_interval_overlap", "day-pair bound", b, pairBudget,
+        "min (sustained >= 240 min)")
+      Sessions.joinIntervalOverlapMin(events, gapMinutes)
+    }
+  }
+
   /** Generic entry: route a query with a declared escape by name. */
   def dispatch(query: String, df: DataFrame): DataFrame = query match {
     case "stat_hodges_lehmann"    => hodgesLehmann(df)
     case "graph_link_jaccard"     => linkJaccard(df)
     case "graph_triangles"        => triangles(df)
     case "graph_local_clustering" => localClustering(df)
+    case "join_interval_overlap"  => intervalOverlap(df)
     case other => throw new IllegalArgumentException(
       s"$other has no declared exact/escape pair; known: ${pairs.keys.toSeq.sorted.mkString(", ")}")
   }

@@ -1094,6 +1094,29 @@ object Sessions {
     intervalOverlapPlan(events, gapMinutes,
       minOverlapUs = minOverlapMinutes * 60000000L, pairBudget = 0L)
 
+  /** The interval-overlap budget's own metric (Σ_day c(c−1)/2 over
+    * session-day occupancy), over a prepared session-day frame. */
+  private def dayPairBound(sessDays: DataFrame): java.math.BigDecimal = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    sessDays.groupBy(col("day_us"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(
+        sum(call_function("div", col("c").cast(dec) * (col("c") - 1),
+          lit(2L).cast(dec))),
+        lit(java.math.BigDecimal.ZERO).cast(dec)).as("b"))
+      .head().getDecimal(0)
+  }
+
+  /** [[joinIntervalOverlap]]'s budget metric from raw events, exposed for
+    * [[Escapes]]' pre-flight routing. */
+  private[graft] def overlapPairBound(events: DataFrame,
+      gapMinutes: Int = 360): java.math.BigDecimal =
+    dayPairBound(sessionBounds(events, gapMinutes)
+      .select(explode(sequence(
+        date_trunc("day", col("session_start")).cast("date"),
+        date_trunc("day", col("session_end")).cast("date"))).as("day"))
+      .select(unix_micros(col("day").cast("timestamp")).as("day_us")))
+
   /** Shared sweep plan for the interval-overlap pair; see
     * [[joinIntervalOverlap]]'s contract scaladoc above. r10: the exact
     * form now pre-flights a PAIR-BOUND budget (Σ_day c_d(c_d−1)/2 over
@@ -1122,14 +1145,7 @@ object Sessions {
       .select(unix_micros(col("day").cast("timestamp")).as("day_us"),
         col("user_id"), col("session_num"), col("s_us"), col("e_us"))
     if (pairBudget > 0) {
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val bound = sessDays.groupBy(col("day_us"))
-        .agg(count(lit(1)).as("c"))
-        .agg(coalesce(
-          sum(call_function("div", col("c").cast(dec) * (col("c") - 1),
-            lit(2L).cast(dec))),
-          lit(java.math.BigDecimal.ZERO).cast(dec)).as("b"))
-        .head().getDecimal(0)
+      val bound = dayPairBound(sessDays)
       if (bound.compareTo(java.math.BigDecimal.valueOf(pairBudget)) > 0)
         throw new IllegalStateException(
           s"join_interval_overlap: session-day pair bound Σ c(c-1)/2 = $bound " +

@@ -57,6 +57,24 @@ class EscapesSpec extends SparkSpec {
     assert(under.schema == over.schema)
   }
 
+  test("interval-overlap pair: exact under budget, min above, identical schema") {
+    val under = Escapes.intervalOverlap(events)
+    val over = Escapes.intervalOverlap(events, pairBudget = 1L)
+    assert(under.collect().toSeq ==
+      Sessions.joinIntervalOverlap(events).collect().toSeq)
+    assert(over.collect().toSeq ==
+      Sessions.joinIntervalOverlapMin(events).collect().toSeq)
+    assert(under.schema == over.schema)
+    // the min form must actually shed output on this fixture
+    assert(over.count() < under.count(),
+      "the 4h sustained-co-presence filter must drop short episodes")
+    // and past its budget the EXACT form fails loudly naming the escape
+    val e = intercept[IllegalStateException] {
+      Sessions.joinIntervalOverlap(events, pairBudget = 1L).collect()
+    }
+    assert(e.getMessage.contains("join_interval_overlap_min"), e.getMessage)
+  }
+
   test("dispatch routes by name; unknown queries fail naming the pairs") {
     assert(Escapes.dispatch("graph_triangles", events).collect().toSeq ==
       Sessions.graphTriangles(events).collect().toSeq)
