@@ -368,6 +368,171 @@ object Association {
           .as("mcnemar_chi2_cc"))
   }
 
+  /** Cliff's delta — the ASSUMPTION-FREE effect size for the
+    * weekend-vs-weekday load question, per event class: Mann–Whitney (and
+    * its z) says WHETHER the two samples differ; δ = P(a > b) − P(a < b)
+    * says by HOW MUCH on the dominance scale [−1, 1], readable without
+    * any variance model. Samples are the per-hour event counts, split
+    * weekday (isodow 1–5) vs weekend (6–7).
+    *
+    * NEVER pairwise (the [[statJonckheere]] discipline): on the per-class
+    * value vocabulary, one cumulative window over the weekend counts
+    * gives gt = Σ_v cntWd(v)·cumWe_lt(v) and lt = Σ_v cntWd(v)·cumWe_gt(v)
+    * as exact DECIMAL(38,0) integers — work is the (class × count-vocab)
+    * grid, which saturates toward the count RANGE, never the row count.
+    * δ = (gt − lt)/(n_wd·n_we), one double divide per class. */
+  def statCliffDelta(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      // Spark weekday: 0=Mon..6=Sun; oracle isodow: 1=Mon..7=Sun
+      .withColumn("we", (weekday(col("hour")) >= 5).cast("int"))
+    val cnt = hourly.groupBy(col("event_type"), col("n").as("v"))
+      .agg(
+        sum(when(col("we") === 0, 1L).otherwise(0L)).as("c_wd"),
+        sum(when(col("we") === 1, 1L).otherwise(0L)).as("c_we"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scanned = cnt
+      .withColumn("cum_we_lt",
+        coalesce(sum(col("c_we")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("n_we", sum(col("c_we")).over(wAll))
+      .withColumn("cum_we_gt", col("n_we") - col("cum_we_lt") - col("c_we"))
+    scanned.groupBy(col("event_type"))
+      .agg(
+        sum(col("c_wd")).as("n_wd"),
+        max(col("n_we")).as("n_we"),
+        sum(col("c_wd").cast(dec38) * col("cum_we_lt")).as("gt"),
+        sum(col("c_wd").cast(dec38) * col("cum_we_gt")).as("lt"))
+      .select(col("event_type"), col("n_wd"), col("n_we"),
+        col("gt").cast("long").as("n_gt"), col("lt").cast("long").as("n_lt"),
+        when(col("n_wd") > 0 && col("n_we") > 0,
+          (d2(col("gt")) - d2(col("lt"))) /
+            (col("n_wd").cast("double") * col("n_we").cast("double")))
+          .as("cliff_delta"))
+      .orderBy("event_type")
+  }
+
+  /** Kendall's coefficient of concordance W — the AGREEMENT reading of the
+    * Friedman design (blocks = hours as raters, treatments = event
+    * classes): Friedman's Q says "do the classes differ"; W ∈ [0, 1] says
+    * "how consistently do the hours rank them" — W ≈ 1 means every hour
+    * sees the same class ordering (a stable workload mix), W ≈ 0 means the
+    * mix churns hour to hour. Rides [[RankStats.friedmanRankedGrid]]'s
+    * doubled-midrank grid: with d_j = R2_j − n(k+1) (exact integers),
+    * W = 3·Σd²/(n²k(k²−1)) (the 12/4 collapses), and the Friedman relation
+    * χ² = n(k−1)·W comes along free. Ties uncorrected (stated — the
+    * `stat_friedman` screening convention). One row out. */
+  def statKendallW(events: DataFrame): DataFrame = {
+    val ranked = RankStats.friedmanRankedGrid(events)
+    val perClass = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("r2").cast(dec38)).as("rs2"))
+    perClass
+      .agg(count(lit(1)).as("k"), max(col("n_blocks")).as("nb"),
+        sum(col("rs2")).as("tot"),
+        sum(col("rs2") * col("rs2")).as("srr"))
+      .withColumn("kd", col("k").cast(dec38))
+      .withColumn("nd", col("nb").cast(dec38))
+      // Σ(R2_j − n(k+1))² = Σ R2² − 2n(k+1)ΣR2 + k·n²(k+1)²  (exact)
+      .withColumn("sd2",
+        col("srr") - lit(2L) * col("nd") * (col("kd") + 1) * col("tot") +
+          col("kd") * col("nd") * col("nd") * (col("kd") + 1) * (col("kd") + 1))
+      .select(col("k").as("n_classes"), col("nb").as("n_blocks"),
+        col("sd2").cast("long").as("sum_dev2_x4"),
+        when(col("k") > 1 && col("nb") > 0,
+          lit(3.0) * d2(col("sd2")) /
+            (d2(col("nd")) * d2(col("nd")) * d2(col("kd")) *
+              (d2(col("kd")) * d2(col("kd")) - 1.0))).as("kendall_w"),
+        when(col("k") > 1 && col("nb") > 0,
+          d2(col("nd")) * (d2(col("kd")) - 1.0) *
+            (lit(3.0) * d2(col("sd2")) /
+              (d2(col("nd")) * d2(col("nd")) * d2(col("kd")) *
+                (d2(col("kd")) * d2(col("kd")) - 1.0)))).as("chi2_stat"))
+  }
+
+  /** Chatterjee's ξ (xi) rank correlation on the paired hourly
+    * click/purchase series — the MODERN dependence coefficient the
+    * classical tier can't replicate: Pearson/Spearman/Kendall all measure
+    * MONOTONE association (a V-shaped or periodic y-on-x relationship
+    * scores ~0 on all three); ξ → 1 iff y is ANY measurable function of x,
+    * so it catches "purchases are determined by clicks, just not
+    * monotonically". Sequence order: ascending x, ties broken by hour
+    * (the deterministic stand-in for the randomized tie-break, stated —
+    * same screening convention as the uncorrected-tie tests).
+    *
+    * Exactness: with cum_le/cnt from the y-vocabulary (one bounded
+    * window), r_i = #{y_j ≤ y_i} and l_i = #{y_j ≥ y_i} are exact longs;
+    * the tie-general statistic
+    *   ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i))
+    * is a ratio of two exact DECIMAL(38,0) integers, one double divide.
+    * Frames: the hourly series (span-bounded) and its count vocabulary —
+    * never row-scaled. */
+  def statXiCorr(events: DataFrame): DataFrame = {
+    val hourly = pairedHourly(events)
+    val vocab = hourly.groupBy(col("y").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_le",
+        sum(col("cnt")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val seq = hourly.join(vocab, col("y") === col("v"))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("r", col("cum_le"))
+      .withColumn("l", col("nh") - col("cum_le") + col("cnt"))
+    val wSeq = Window.orderBy(col("x"), col("hour"))
+    seq
+      .withColumn("dr",
+        abs(lead(col("r"), 1).over(wSeq) - col("r")))
+      .agg(
+        max(col("nh")).as("n_hours"),
+        sum(coalesce(col("dr"), lit(0L)).cast(dec38)).as("sdr"),
+        sum(col("l").cast(dec38) * (col("nh") - col("l"))).as("sln"))
+      .select(col("n_hours"),
+        col("sdr").cast("long").as("sum_rank_jump"),
+        (lit(2L) * col("sln")).cast("long").as("den_x2"),
+        when(col("sln") > 0,
+          lit(1.0) - col("n_hours").cast("double") * d2(col("sdr")) /
+            (lit(2.0) * d2(col("sln")))).as("xi_corr"))
+  }
+
+  /** Cochran–Armitage trend-in-proportions test across the hour-of-day
+    * dose: of each hour-of-day's (click + purchase) traffic, does the
+    * PURCHASE SHARE trend with the hour (0..23 as ordered scores)?
+    * [[statJonckheere]] asks whether raw LEVEL rises with the hour; C–A
+    * asks whether the conversion MIX does — the binomial-proportion trend
+    * screen, one hash agg off the fact table.
+    *
+    * Exactness: with N, R (total/successes), Swn, Swr, Sw2n (weighted
+    * sums, w = hour-of-day) all exact integers,
+    *   A = N·Swr − R·Swn,   B = R·(N−R)·(N·Sw2n − Swn²)
+    * are exact DECIMAL(38,0) and z = A·√N/√B finishes in one fixed IEEE
+    * chain (magnitude bound: B ~ N³·w̄⁴ stays inside 38 digits while
+    * N < ~10⁹ per fixture slice — the Jarque–Bera documented-not-enforced
+    * class). 24-cell grid, 1-row output. */
+  def statCochranArmitage(events: DataFrame): DataFrame = {
+    val cells = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(hour(col("ts")).cast("long").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("r"))
+    cells.agg(
+        sum(col("n")).as("n_total"),
+        sum(col("r")).as("n_success"),
+        sum(col("g").cast(dec38) * col("n")).as("swn"),
+        sum(col("g").cast(dec38) * col("r")).as("swr"),
+        sum((col("g") * col("g")).cast(dec38) * col("n")).as("sw2n"))
+      .withColumn("nn", col("n_total").cast(dec38))
+      .withColumn("rr", col("n_success").cast(dec38))
+      .withColumn("a", col("nn") * col("swr") - col("rr") * col("swn"))
+      .withColumn("b",
+        col("rr") * (col("nn") - col("rr")) *
+          (col("nn") * col("sw2n") - col("swn") * col("swn")))
+      .select(col("n_total"), col("n_success"),
+        col("a").cast("long").as("trend_num"),
+        when(col("b") > 0,
+          d2(col("a")) * sqrt(col("n_total").cast("double")) / sqrt(d2(col("b"))))
+          .as("z_stat"))
+  }
+
   /** Cohen's kappa between the declared `lang` label and the n-gram
     * router's prediction ([[graft.ext.Text.textLangid]]) — the
     * chance-corrected scalar on top of `text_lang_confusion`'s matrix.

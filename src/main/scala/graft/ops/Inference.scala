@@ -807,4 +807,197 @@ object Inference {
           when(col("f_y_to_x") > lit(3.84), 1L).otherwise(0L))
           .as("y_causes_x_5pct"))
   }
+
+  /** r10b: the per-class hourly (x = re-centered hour index, y = count)
+    * series with observed-sequence position rn and length nh — the shared
+    * frame of the structural-break tier ([[statChowTest]],
+    * [[statGoldfeldQuandt]], [[statKpss]]). */
+  private def indexedHourly(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000 - 473352").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nh",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+  }
+
+  /** r10b: segment OLS sums for [[statChowTest]]/[[statGoldfeldQuandt]] —
+    * exact DECIMAL(38,0) power sums per (class, segment), crossed to
+    * double once. The SSE chain (n·syy − sy² − nb²/det)/n runs entirely
+    * off these — no residual ever materializes. */
+  private def segSums(seg: DataFrame): DataFrame =
+    seg.groupBy(col("event_type"), col("seg")).agg(
+      count(lit(1)).as("m"),
+      d2(sum(col("x").cast(dec))).as("sx"),
+      d2(sum(col("y").cast(dec))).as("sy"),
+      d2(sum((col("x") * col("y")).cast(dec))).as("sxy"),
+      d2(sum((col("x") * col("x")).cast(dec))).as("sxx"),
+      d2(sum((col("y") * col("y")).cast(dec))).as("syy"))
+
+  /** n·SSE of the OLS fit y = a + bx off one segment's moment sums —
+    * the [[statDickeyFuller]] chain: no divide before the final ratio. */
+  private def sseTimesN(m: Column, sx: Column, sy: Column, sxy: Column,
+                        sxx: Column, syy: Column): Column = {
+    val det = m * sxx - sx * sx
+    val nb = m * sxy - sx * sy
+    (m * syy - sy * sy - nb * nb / det) / m
+  }
+
+  /** Chow structural-break test per event class — [[statDickeyFuller]]
+    * asks "does the level mean-revert"; Chow asks "did the TREND LINE
+    * ITSELF change at the midpoint" (a deploy, a fleet change): fit
+    * y = a + bx on the full hourly series and on each half (split at the
+    * midpoint of the OBSERVED sequence, the `stat_cox_stuart` convention),
+    * F = ((SSE_p − SSE_1 − SSE_2)/2) / ((SSE_1+SSE_2)/(n−4)), tested
+    * against the F(2, ∞) 5% critical value 3.00.
+    *
+    * Exactness: per-segment integer power sums in DECIMAL(38,0) (pooled
+    * sums are the segment sums' exact integer additions), one fixed IEEE
+    * SSE chain per segment mirrored in the oracle. Plan: one (class,
+    * hour) hash agg, one class-bounded row_number window, one (class,
+    * seg) agg, one ≤2-row-per-class conditional rollup; k rows out. */
+  def statChowTest(events: DataFrame): DataFrame = {
+    val seg = indexedHourly(events)
+      .withColumn("seg",
+        when(col("rn") * 2 <= col("nh"), 1L).otherwise(2L))
+    val perSeg = segSums(seg)
+    def pick(c: String, s: Int) =
+      max(when(col("seg") === s, col(c))).as(s"${c}$s")
+    val wide = perSeg.groupBy(col("event_type")).agg(
+      sum(col("m")).as("n_hours"),
+      pick("m", 1), pick("sx", 1), pick("sy", 1), pick("sxy", 1),
+      pick("sxx", 1), pick("syy", 1),
+      pick("m", 2), pick("sx", 2), pick("sy", 2), pick("sxy", 2),
+      pick("sxx", 2), pick("syy", 2))
+    val m1 = col("m1").cast("double")
+    val m2 = col("m2").cast("double")
+    val mp = col("n_hours").cast("double")
+    val sse1 = sseTimesN(m1, col("sx1"), col("sy1"), col("sxy1"), col("sxx1"), col("syy1"))
+    val sse2 = sseTimesN(m2, col("sx2"), col("sy2"), col("sxy2"), col("sxx2"), col("syy2"))
+    val sseP = sseTimesN(mp,
+      col("sx1") + col("sx2"), col("sy1") + col("sy2"),
+      col("sxy1") + col("sxy2"), col("sxx1") + col("sxx2"),
+      col("syy1") + col("syy2"))
+    val det1 = m1 * col("sxx1") - col("sx1") * col("sx1")
+    val det2 = m2 * col("sxx2") - col("sx2") * col("sx2")
+    wide
+      .withColumn("f_stat",
+        when(col("m1") >= 3 && col("m2") >= 3 && det1 > 0 && det2 > 0 &&
+          sse1 + sse2 > 0,
+          ((sseP - sse1 - sse2) / lit(2.0)) /
+            ((sse1 + sse2) / (mp - lit(4.0)))))
+      .select(col("event_type"), col("n_hours"),
+        col("m1").cast("long").as("n_first"),
+        col("m2").cast("long").as("n_second"),
+        col("f_stat"),
+        when(col("f_stat").isNotNull,
+          when(col("f_stat") > lit(3.0), 1L).otherwise(0L)).as("break_5pct"))
+      .orderBy("event_type")
+  }
+
+  /** Goldfeld–Quandt heteroskedasticity screen per event class — the
+    * variance twin of [[statChowTest]]: same split machinery, but the
+    * question is "did the NOISE level grow with time" (a fleet whose
+    * late-period residual variance dwarfs the early period violates every
+    * constant-variance assumption upstream). Standard middle-fifth
+    * exclusion: low segment rn ≤ ⌊2n/5⌋, high segment rn > n − ⌊2n/5⌋;
+    * F = (SSE_hi/df)/(SSE_lo/df) with df = m − 2 (equal m by
+    * construction). Screening statistic, no critical value quoted (the
+    * F(m−2, m−2) df depends on m; the `stat_hartley_fmax` convention).
+    * Same exact-sums SSE chain as Chow; k rows out. */
+  def statGoldfeldQuandt(events: DataFrame): DataFrame = {
+    val keep = call_function("div", col("nh") * 2, lit(5L))
+    val seg = indexedHourly(events)
+      .withColumn("seg",
+        when(col("rn") <= keep, 1L)
+          .when(col("rn") > col("nh") - keep, 2L))
+      .filter(col("seg").isNotNull)
+    val perSeg = segSums(seg)
+    def pick(c: String, s: Int) =
+      max(when(col("seg") === s, col(c))).as(s"${c}$s")
+    val wide = perSeg.groupBy(col("event_type")).agg(
+      pick("m", 1), pick("sx", 1), pick("sy", 1), pick("sxy", 1),
+      pick("sxx", 1), pick("syy", 1),
+      pick("m", 2), pick("sx", 2), pick("sy", 2), pick("sxy", 2),
+      pick("sxx", 2), pick("syy", 2))
+    val m1 = col("m1").cast("double")
+    val m2 = col("m2").cast("double")
+    val sse1 = sseTimesN(m1, col("sx1"), col("sy1"), col("sxy1"), col("sxx1"), col("syy1"))
+    val sse2 = sseTimesN(m2, col("sx2"), col("sy2"), col("sxy2"), col("sxx2"), col("syy2"))
+    val det1 = m1 * col("sxx1") - col("sx1") * col("sx1")
+    val det2 = m2 * col("sxx2") - col("sx2") * col("sx2")
+    wide
+      .select(col("event_type"),
+        col("m1").cast("long").as("n_low"),
+        col("m2").cast("long").as("n_high"),
+        when(col("m1") >= 3 && col("m2") >= 3 && det1 > 0 && det2 > 0 &&
+          sse1 > 0,
+          (sse2 / (m2 - lit(2.0))) / (sse1 / (m1 - lit(2.0))))
+          .as("gq_f"))
+      .orderBy("event_type")
+  }
+
+  /** KPSS level-stationarity test per event class — [[statDickeyFuller]]'s
+    * REVERSED-null twin (DF's null is a unit root, KPSS's null is
+    * stationarity; a series rejecting BOTH is the genuinely ambiguous
+    * case the pair exists to expose):
+    *   η = Σ_t S_t² / (n² σ̂²_lrv),  S_t = Σ_{i≤t}(y_i − ȳ),
+    * with the Bartlett long-run variance at the fixed lag l = 4
+    * (σ̂² = (γ0 + 2Σ_{s≤4}(1 − s/5)γ_s)/n), tested against the level-case
+    * 5% critical value 0.463. Lags are POSITION lags over the observed
+    * sequence (the rank-sequence convention, stated — a gap does not
+    * break the partial-sum recursion the way it breaks a one-step
+    * difference).
+    *
+    * Exactness — everything multiplies through by n and 5:
+    * ne_t = n·y_t − Σy is an exact DECIMAL(38,0) integer, the partial
+    * sums nS_t accumulate exactly (one class-bounded cumulative window),
+    * D = 5γ0ⁿ + 2Σ(5−s)γ_sⁿ (γⁿ = sums of ne products) is exact, and
+    * η = 5·Σ(nS)² / (n·D) is ONE double divide (magnitude bound: Σ(nS)²
+    * ~ n³·(n·ȳ)² stays inside 38 digits to ~10⁵ hours — a decade of
+    * hourly history; the Jarque–Bera documented-not-enforced class).
+    * Plan: one (class, hour) hash agg, one cumulative + four lag windows
+    * on the class-bounded hourly frame, one class agg; k rows out. */
+  def statKpss(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000 - 473352").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("sy", sum(col("y").cast(dec)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ne", col("nh").cast(dec) * col("y") - col("sy"))
+      .withColumn("ns",
+        sum(col("ne")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val lagged = hourly
+      .withColumn("ne1", lag(col("ne"), 1).over(w))
+      .withColumn("ne2", lag(col("ne"), 2).over(w))
+      .withColumn("ne3", lag(col("ne"), 3).over(w))
+      .withColumn("ne4", lag(col("ne"), 4).over(w))
+    val zero = lit(0L).cast(dec)
+    val agg = lagged.groupBy(col("event_type")).agg(
+      max(col("nh")).as("n_hours"),
+      sum(col("ns") * col("ns")).as("num"),
+      sum(col("ne") * col("ne")).as("g0"),
+      sum(coalesce(col("ne1"), zero) * col("ne")).as("g1"),
+      sum(coalesce(col("ne2"), zero) * col("ne")).as("g2"),
+      sum(coalesce(col("ne3"), zero) * col("ne")).as("g3"),
+      sum(coalesce(col("ne4"), zero) * col("ne")).as("g4"))
+    agg
+      .withColumn("den",
+        lit(5L) * col("g0") + lit(2L) *
+          (lit(4L) * col("g1") + lit(3L) * col("g2") +
+            lit(2L) * col("g3") + col("g4")))
+      .withColumn("kpss_eta",
+        when(col("den") > 0 && col("n_hours") > 4,
+          lit(5.0) * d2(col("num")) /
+            (col("n_hours").cast("double") * d2(col("den")))))
+      .select(col("event_type"), col("n_hours"), col("kpss_eta"),
+        when(col("kpss_eta").isNotNull,
+          when(col("kpss_eta") < lit(0.463), 1L).otherwise(0L))
+          .as("level_stationary_5pct"))
+      .orderBy("event_type")
+  }
 }

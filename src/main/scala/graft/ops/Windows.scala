@@ -1522,4 +1522,201 @@ object Windows {
           .as("ulcer_pct"))
       .orderBy("event_type", "hour_s")
   }
+
+  /** r10b: classic floor-trader pivot points per class — the TA tier's
+    * first CALENDAR-anchored level set: yesterday's (H, L, C) fix today's
+    * pivot/support/resistance grid, the levels the intraday indicators
+    * (`window_stochastic`, `window_cci`) oscillate BETWEEN. Per (class,
+    * day) bars (the [[classHourBarsV]] recipe at day grain), lagged one
+    * OBSERVED day (a silent day inherits the prior fix — stated).
+    * EXACTNESS: everything stays in integer THIRDS of a cent — p3 =
+    * H+L+C, r1·3 = 2p3 − 3L, s1·3 = 2p3 − 3H, r2·3 = p3 + 3(H−L),
+    * s2·3 = p3 − 3(H−L) — and each level is ONE /3/100 double chain;
+    * the above_pivot flag compares 3·close > p3, an exact integer
+    * predicate immune to the divides. SCALE: one fact-scale agg to
+    * class-day bars; one lag window on the day-bounded frame. */
+  def windowPivotPoints(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val part = Window.partitionBy(col("event_type"), col("day"))
+    val wb = part.orderBy(col("ts"), col("event_id"))
+    val bars = events.filter(col("value").isNotNull)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("c0",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast(dec).cast("long"))
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("c0")).as("h"), min(col("c0")).as("l"),
+        max(when(col("rn") === col("cnt"), col("c0"))).as("cl"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def lvl(c: org.apache.spark.sql.Column) =
+      c.cast("double") / lit(3.0) / lit(100.0)
+    bars
+      .withColumn("ph", lag(col("h"), 1).over(wOrd))
+      .withColumn("pl", lag(col("l"), 1).over(wOrd))
+      .withColumn("pcl", lag(col("cl"), 1).over(wOrd))
+      .filter(col("ph").isNotNull)
+      .withColumn("p3", col("ph") + col("pl") + col("pcl"))
+      .select(col("event_type"), fmtTsSec(col("day")).as("day_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        lvl(col("p3")).as("pivot"),
+        lvl(lit(2L) * col("p3") - lit(3L) * col("pl")).as("r1"),
+        lvl(lit(2L) * col("p3") - lit(3L) * col("ph")).as("s1"),
+        lvl(col("p3") + lit(3L) * (col("ph") - col("pl"))).as("r2"),
+        lvl(col("p3") - lit(3L) * (col("ph") - col("pl"))).as("s2"),
+        (lit(3L) * col("cl") > col("p3")).as("above_pivot"))
+      .orderBy("event_type", "day_s")
+  }
+
+  /** r10b: Williams fractals per class — the tier's STRUCTURE detector:
+    * a bar whose high strictly exceeds the two bars either side is a
+    * fractal high (mirror for lows), the swing points every
+    * support/resistance and breakout read hangs off. `window_peak_detect`
+    * finds z-score anomalies in the raw series; fractals find the
+    * GEOMETRIC turning points of the bar sequence, spikes or not.
+    * EXACTNESS: two bounded frame selections (max of the 2 before / 2
+    * after) and strict integer-cent comparisons — no arithmetic at all;
+    * edge bars (fewer than 2 neighbors a side) are excluded by exact
+    * frame counts. SCALE: the [[windowDonchian]] posture — one class-hour
+    * agg, bounded ±2 frames on the bar sequence. */
+  def windowFractal(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wPrev = wOrd.rowsBetween(-2, -1)
+    val wNext = wOrd.rowsBetween(1, 2)
+    classHourBarsV(events)
+      .withColumn("np", count(lit(1)).over(wPrev))
+      .withColumn("nn", count(lit(1)).over(wNext))
+      .withColumn("hp", max(col("h")).over(wPrev))
+      .withColumn("hn", max(col("h")).over(wNext))
+      .withColumn("lp", min(col("l")).over(wPrev))
+      .withColumn("ln", min(col("l")).over(wNext))
+      .filter(col("np") === 2 && col("nn") === 2)
+      .withColumn("kind",
+        when(col("h") > col("hp") && col("h") > col("hn"), lit("high"))
+          .when(col("l") < col("lp") && col("l") < col("ln"), lit("low")))
+      .filter(col("kind").isNotNull)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("kind"),
+        (when(col("kind") === "high", col("h")).otherwise(col("l"))
+          .cast("double") / lit(100.0)).as("level"))
+      .orderBy("event_type", "hour_s", "kind")
+  }
+
+  /** r10b: Arms' Ease of Movement per class — price change per unit of
+    * volume-adjusted range: EMV = (mid − prev_mid)·(H−L)/V. A big level
+    * move on thin volume (high EMV) reads very differently from the same
+    * move ground out against heavy reporting — the efficiency read
+    * [[windowObv]]'s direction-only weighting can't express. EXACTNESS:
+    * d2x = (H+L) − (prevH+prevL) is an exact integer (twice the midpoint
+    * move in cents); EMV is ONE fixed chain (d2x/2)·((H−L)/100)/V per
+    * bar — no sums of computed doubles anywhere; the easing flag
+    * (d2x > 0 AND H > L) is pure integer. SCALE: one class-hour agg, one
+    * lag window. */
+  def windowEmv(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    classHourBarsV(events)
+      .withColumn("ph", lag(col("h"), 1).over(wOrd))
+      .withColumn("pl", lag(col("l"), 1).over(wOrd))
+      .filter(col("ph").isNotNull)
+      .withColumn("d2x", (col("h") + col("l")) - (col("ph") + col("pl")))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("d2x").as("mid_move_x2_cents"), col("vol"),
+        ((col("d2x").cast("double") / lit(2.0)) *
+          ((col("h") - col("l")).cast("double") / lit(100.0)) /
+          col("vol").cast("double")).as("emv"),
+        (col("d2x") > 0 && col("h") > col("l")).as("easing_up"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r10b: Elder's Force Index per class — the move×volume impulse:
+    * FI1 = (close − prev_close)·volume, the instantaneous "how much
+    * conviction was behind this bar", smoothed over 13 bars. The
+    * smoothing here is the 13-bar SUM/mean, NOT the classic EMA-13 —
+    * stated deviation, chosen because the sum keeps every intermediate an
+    * EXACT INTEGER (cents × count), where an EMA would put a float
+    * recursion under a window the engines could order differently (the
+    * fold tier handles EMAs; this keeps the window tier window-exact).
+    * SCALE: one class-hour agg, one lag + one 13-bar integer frame sum. */
+  def windowForceIndex(events: DataFrame, n: Int = 13): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("pcl", lag(col("cl"), 1).over(wOrd))
+      .withColumn("fi1", (col("cl") - col("pcl")) * col("vol"))
+      .withColumn("nf", count(col("fi1")).over(wN))
+      .withColumn("fsum", sum(col("fi1").cast(dec)).over(wN).cast("long"))
+      .filter(col("nf") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("fi1").as("force_1"), col("fsum").as("force_sum_13"),
+        (col("fsum").cast("double") / lit(n.toDouble) / lit(100.0))
+          .as("force_avg"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r10b: Ultimate Oscillator per class — Williams' three-horizon
+    * buying-pressure blend: UO = 100·(4·ΣBP₇/ΣTR₇ + 2·ΣBP₁₄/ΣTR₁₄ +
+    * ΣBP₂₈/ΣTR₂₈)/7 with BP = close − min(low, prev_close) and TR =
+    * max(high, prev_close) − min(low, prev_close). The single-window
+    * oscillators (`window_rsi`, `window_stochastic`) whipsaw when their
+    * one horizon disagrees with the trend; UO's weighted three-horizon
+    * vote is the classic fix — and unlike RSI it needs NO smoothing
+    * recursion. EXACTNESS: BP and TR are integer-cent selections; all
+    * six trailing sums are exact integer window sums; UO is one fixed
+    * IEEE chain over three exact-integer ratios. SCALE: one class-hour
+    * agg, one lag, three bounded frames. */
+  def windowUltimateOsc(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    def fr(k: Int) = wOrd.rowsBetween(-(k - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("pcl", lag(col("cl"), 1).over(wOrd))
+      .filter(col("pcl").isNotNull)
+      .withColumn("bp", col("cl") - least(col("l"), col("pcl")))
+      .withColumn("tr", greatest(col("h"), col("pcl")) - least(col("l"), col("pcl")))
+      .withColumn("nb", count(lit(1)).over(fr(28)))
+      .withColumn("bp7", sum(col("bp").cast(dec)).over(fr(7)).cast("long"))
+      .withColumn("tr7", sum(col("tr").cast(dec)).over(fr(7)).cast("long"))
+      .withColumn("bp14", sum(col("bp").cast(dec)).over(fr(14)).cast("long"))
+      .withColumn("tr14", sum(col("tr").cast(dec)).over(fr(14)).cast("long"))
+      .withColumn("bp28", sum(col("bp").cast(dec)).over(fr(28)).cast("long"))
+      .withColumn("tr28", sum(col("tr").cast(dec)).over(fr(28)).cast("long"))
+      .filter(col("nb") === 28)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("bp28").as("bp_sum_28"), col("tr28").as("tr_sum_28"),
+        when(col("tr7") > 0 && col("tr14") > 0 && col("tr28") > 0,
+          lit(100.0) * (lit(4.0) * col("bp7").cast("double") / col("tr7").cast("double") +
+            lit(2.0) * col("bp14").cast("double") / col("tr14").cast("double") +
+            col("bp28").cast("double") / col("tr28").cast("double")) / lit(7.0))
+          .as("ultimate_osc"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r10b: Detrended Price Oscillator per class — subtract the 20-bar SMA
+    * from the close HALF A WINDOW BACK (shift = n/2 + 1), erasing trends
+    * longer than the window so only the sub-window CYCLE remains: the
+    * cycle-length read (`ts_seasonality_strength` asks "how strong is the
+    * 24 h cycle"; DPO shows the cycle itself at bar grain, trend removed).
+    * EXACTNESS: dpo·n = n·close_{t−11} − Σ₂₀close is an exact integer;
+    * ONE /n/100 double chain; the positive-phase flag compares the same
+    * integers. SCALE: one class-hour agg, one lag + one 20-bar integer
+    * frame sum. */
+  def windowDpo(events: DataFrame, n: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val shift = n / 2 + 1
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("nb", count(lit(1)).over(wN))
+      .withColumn("s20", sum(col("cl").cast(dec)).over(wN).cast("long"))
+      .withColumn("clb", lag(col("cl"), shift).over(wOrd))
+      .filter(col("nb") === n && col("clb").isNotNull)
+      .withColumn("dpon", lit(n.toLong) * col("clb") - col("s20"))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("dpon").as(s"dpo_x$n"),
+        (col("dpon").cast("double") / lit(n.toDouble) / lit(100.0)).as("dpo"),
+        (col("dpon") > 0).as("cycle_high_phase"))
+      .orderBy("event_type", "hour_s")
+  }
 }

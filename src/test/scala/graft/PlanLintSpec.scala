@@ -67,7 +67,8 @@ class PlanLintSpec extends SparkSpec {
     "stat_page_trend",                                   // ≤k-row class dim grid cross (the stat_friedman shape, r10)
     "stat_cohen_kappa",                                  // 1-row Σrc frame crossed onto the 1-row totals frame (r10)
     "graph_rich_club",                                   // 5-row threshold ladder dim (the join_range_tier shape, r10)
-    "stat_quade"                                         // ≤k-row class dim grid cross + 1-row totals frame (the stat_friedman shape, r10)
+    "stat_quade",                                        // ≤k-row class dim grid cross + 1-row totals frame (the stat_friedman shape, r10)
+    "stat_kendall_w"                                     // ≤k-row class dim grid cross (the stat_friedman shape, r10b)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
