@@ -344,4 +344,62 @@ object Sampling {
       .select(col("rank"), col("doc_id"), col("hkey"))
       .orderBy("rank")
   }
+
+  /** r10b: k-fold cross-validation assignment (k = 5) — the
+    * [[sampleHashSplit]] contract extended from one split to the full CV
+    * rotation: fold = hash-bucket mod k, stable across runs/engines/
+    * partitionings, so every CV round trains on exactly the same 4/5 at
+    * any cluster size. The report is the fold-balance audit a pipeline
+    * checks BEFORE burning 5 training runs: per-fold doc count, exact
+    * ppm share (integer floor — no float), token mass, and the distinct
+    * language count (a fold missing a language entirely invalidates the
+    * rotation for per-lang eval). Pure map-side assignment + one k-row
+    * agg. */
+  def sampleKfold(documents: DataFrame, k: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    documents
+      .withColumn("fold", (hashBucket(col("doc_id")) % k).cast("long"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(dec)).cast("long").as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .crossJoin(broadcast(total))
+      .select(col("fold"), col("n_docs"), col("n_chars"), col("n_langs"),
+        call_function("div", col("n_docs").cast(dec) * 1000000,
+          col("n_total").cast(dec)).cast("long").as("share_ppm"))
+      .orderBy("fold")
+  }
+
+  /** r10b: temporal train/valid/test split with EMBARGO — the split the
+    * hash family must never be used for on time-series data (hash splits
+    * leak the future into training): cut the event span by TIME fraction
+    * (80/10/10 of the µs span — exact integer arithmetic, no float), and
+    * drop a 1-hour embargo strip BEFORE each boundary so no training
+    * window overlaps an eval window through lagged features (the
+    * standard purged-split practice from financial ML). Reported as one
+    * row per split (train / valid / test / embargo) with exact counts
+    * and boundary timestamps. Pure map-side predicate off two 1-row
+    * span stats — prunes at the scan when one split is selected
+    * downstream. */
+  def sampleTemporalSplit(events: DataFrame,
+                          embargoUs: Long = 3600000000L): DataFrame = {
+    val span = events.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+    val us = unix_micros(col("ts"))
+    val cut80 = col("mn") + call_function("div", (col("mx") - col("mn")) * 8, lit(10L))
+    val cut90 = col("mn") + call_function("div", (col("mx") - col("mn")) * 9, lit(10L))
+    events.crossJoin(broadcast(span))
+      .withColumn("split",
+        when(us < cut80 - embargoUs, "train")
+          .when(us >= cut80 && us < cut90 - embargoUs, "valid")
+          .when(us >= cut90, "test")
+          .otherwise("embargo"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.Det.fmtTs(min(col("ts"))).as("first_ts"),
+        graft.Det.fmtTs(max(col("ts"))).as("last_ts"))
+      .orderBy("split")
+  }
 }

@@ -1647,6 +1647,136 @@ object Sessions {
         col("lag_p90_s"))
       .orderBy("cohort_day_s")
   }
+
+  /** r10b: lcm(1..64) — the common denominator that makes every capped
+    * resource-allocation weight 1/deg(w) an EXACT integer L/deg(w).
+    * ≈ 1.18·10²⁷: comfortably inside DECIMAL(38,0) with room for ~10¹⁰
+    * summed witnesses on top. */
+  private[graft] val RA_LCM: java.math.BigDecimal = {
+    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
+    val l = (1 to 64).map(BigInt(_)).reduce((a, b) => a / gcd(a, b) * b)
+    new java.math.BigDecimal(l.bigInteger)
+  }
+
+  /** r10b: resource-allocation link prediction over the co-activity graph
+    * — [[graphLinkJaccard]]'s hub-discounting sibling: Jaccard counts
+    * common neighbors equally, RA(a,b) = Σ_{w∈CN} 1/deg(w) weights each
+    * witness by how EXCLUSIVE it is (a shared 3-contact clique member
+    * says much more than a shared broadcast hub — Zhou/Lü/Zhang 2009,
+    * the strongest of the simple local indices on most graphs).
+    *
+    * BORN CAPPED: witnesses are restricted to deg(w) ≤ 64 by contract
+    * (the `graph_link_jaccard_capped` discipline) — both the SCALE bound
+    * (wedge work Σ_{deg≤cap} deg² ≤ 2·cap·|E|, linear in edges at any
+    * density) and the EXACTNESS device: with L = lcm(1..64) (≈1.18·10²⁷,
+    * an exact DECIMAL(38,0)), every weight is the exact integer L/deg(w),
+    * the per-pair score numerator accumulates EXACTLY in any order, and
+    * ra = num/L is ONE double divide — no float sum ever exists, so the
+    * oracle hash-matches bit for bit. Hub discounting is also why the
+    * cap costs little: the dropped witnesses are precisely the ones RA
+    * itself weights toward zero (1/deg > 64 < 1.6% of a clique witness).
+    * Plan: memoized census edges, capped witness wedge join, LEFT ANTI
+    * on existing edges, integer top-k by (num, a, b) via sort+limit. */
+  def graphResourceAlloc(events: DataFrame, k: Int = 20,
+                         maxWitnessDeg: Long = 64L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = coActivityEdges(events)
+    val nbrs = edges.select(col("a").as("v"), col("b").as("w"))
+      .union(edges.select(col("b").as("v"), col("a").as("w")))
+    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // exact integer weights L/d, d = 1..64, precomputed (Spark's `div`
+    // returns BIGINT and L ≈ 1.18e27 overflows it; the 64-slot decimal
+    // array keeps every weight an exact DECIMAL(38,0))
+    require(maxWitnessDeg >= 1 && maxWitnessDeg <= 64,
+      s"graph_resource_alloc: maxWitnessDeg must be in [1, 64] (lcm base), got $maxWitnessDeg")
+    val wtArr = array((1 to maxWitnessDeg.toInt).map(d => lit(new java.math.BigDecimal(
+      RA_LCM.toBigInteger.divide(java.math.BigInteger.valueOf(d.toLong))))
+      .cast(dec)): _*)
+    val witnesses = nbrs
+      .join(deg.filter(col("deg") <= maxWitnessDeg)
+        .select(col("v").as("w"), col("deg").as("wdeg")), Seq("w"))
+      .withColumn("wt", element_at(wtArr, col("wdeg").cast("int")))
+    val scored = witnesses.as("n1")
+      .join(witnesses.as("n2"), col("n1.w") === col("n2.w") &&
+        col("n1.v") < col("n2.v"))
+      .groupBy(col("n1.v").as("a"), col("n2.v").as("b"))
+      .agg(count(lit(1)).as("common"), sum(col("n1.wt")).as("num"))
+      .join(edges, Seq("a", "b"), "left_anti")
+    val d2 = graft.Det.decToDouble _
+    val top = scored
+      .orderBy(col("num").desc, col("a"), col("b")).limit(k)
+    val w = Window.orderBy(col("num").desc, col("a"), col("b"))
+    top
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("a"), col("b"), col("common"),
+        (d2(col("num")) / d2(lit(RA_LCM).cast(dec))).as("ra_score"))
+      .orderBy("rn")
+  }
+
+  /** r10b: BFS hop histogram from the graph's top hub — the REACH view
+    * the census family lacks: triangles/clustering say how locally dense
+    * the co-activity graph is, the hop census says how FAR the structure
+    * extends (a relay mesh reaches the fleet in 2–3 hops; a fragmented
+    * deployment leaves an unreachable remainder, reported as hop −1).
+    * Fixed 6 rounds (beyond 6 hops the frontier is noise at any realistic
+    * fleet diameter — stated contract).
+    *
+    * EXACTNESS: pure set arithmetic — frontier expansion is an equi-join,
+    * first-reach wins via LEFT ANTI against the visited set, counts are
+    * integers; the oracle's recursive CTE (UNION-deduped (node, hop)
+    * working set, work ≤ 7·2|E|) lands the identical min-hop layers.
+    * SCALE: each round is one frontier⋈edges equi-join bounded by Σdeg;
+    * rounds are capped at 6 with an EARLY EXIT on an empty frontier, and
+    * every round frame is cut with a lazy `localCheckpoint` whose
+    * materializing action is the round's own frontier-count probe (the
+    * `ccComponents` fixpoint discipline — without the cut, six rounds of
+    * union∘anti-join lineage snowball Catalyst/AQE re-analysis into
+    * minutes of pure planning, measured 135 s at sf0.001 before the
+    * cut, sub-second after). Hub choice (max degree, ties by id) is one
+    * 1-row bounded collect; the ≤6 count probes are the same bounded
+    * pre-flight class. */
+  def graphHopHistogram(events: DataFrame, maxHops: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val edges = coActivityEdges(events)
+    val nbrs = Dedup.memo(events, "hop-nbrs-minute") {
+      edges.select(col("a").as("v"), col("b").as("w"))
+        .union(edges.select(col("b").as("v"), col("a").as("w")))
+    }
+    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val hubRow = deg.orderBy(col("deg").desc, col("v")).limit(1)
+      .select(col("v")).collect() // 1-row bounded hub probe
+    if (hubRow.isEmpty) {
+      Seq.empty[(Long, Long)].toDF("hop", "n_nodes")
+    } else {
+      val hub = hubRow(0).getLong(0)
+      var reached = Seq((hub, 0L)).toDF("node", "hop").localCheckpoint(false)
+      var frontier = Seq(hub).toDF("node").localCheckpoint(false)
+      var i = 1
+      var more = true
+      while (i <= maxHops && more) {
+        val next = frontier.join(nbrs, col("node") === col("v"))
+          .select(col("w").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .withColumn("hop", lit(i.toLong))
+          .localCheckpoint(false)
+        if (next.count() == 0L) more = false // bounded round probe
+        else {
+          reached = reached.union(next).localCheckpoint(false)
+          frontier = next.select(col("node")).localCheckpoint(false)
+        }
+        i += 1
+      }
+      val hist = reached.groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val unreached = deg.select(col("v").as("node"))
+        .join(reached, Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1L).as("hop"), col("n_nodes"))
+        .filter(col("n_nodes") > 0)
+      hist.unionByName(unreached).orderBy("hop")
+    }
+  }
 }
 
 /** The per-day linear sweep behind [[Sessions.joinIntervalOverlap]]:

@@ -803,4 +803,41 @@ object Similarity {
         col("coarse_dot"), col("coarse_rank"))
       .orderBy("query_id", "rn")
   }
+
+  /** r10b: maximum-inner-product top-k with the documented MIPS→cosine
+    * reduction — the retrieval objective the whole cosine stack can't
+    * serve directly: recommendation / reranking scores are raw inner
+    * products where MAGNITUDE matters (a high-norm item legitimately
+    * outranks a near-parallel low-norm one), and normalizing destroys
+    * exactly that. The classic reduction (Bachrach et al. 2014): append
+    * aug = √(M² − ‖x‖²) to each item (M = max corpus norm) and 0 to the
+    * query — every augmented item then has norm exactly M, so augmented
+    * COSINE order ≡ inner-product order and the library's entire cosine
+    * ANN stack (sign-LSH buckets, IVF cells) serves MIPS unchanged. This
+    * query is the exact baseline of that family: it RANKS BY THE RAW
+    * DOT (the augmented-cosine order, by the identity above — ties and
+    * all, since aug-cosine = dot/(‖q‖·M) is strictly monotone in dot)
+    * and emits the aug coordinate as the reduction's witness (spec
+    * asserts M² − ‖x‖² ≥ 0 and norm invariance). SCALE: the
+    * [[simSearchCosineTopk]] posture — corpus stays partitioned, only
+    * the ≤nQueries query side broadcasts; one fixed dot+divide chain. */
+  def simSearchMips(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", vector_dot(col("v"), col("v")))
+    val m2 = e.agg(max(col("n2")).as("m2"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", vector_dot(col("qv"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .crossJoin(broadcast(m2))
+      .select(col("query_id"), col("rn"), col("vec_id"), col("dot"),
+        sqrt(col("m2") - col("n2")).as("aug_coord"))
+      .orderBy("query_id", "rn")
+  }
 }

@@ -776,4 +776,77 @@ object Text {
           col("n_hapax").cast("double") / col("n_tokens").cast("double"))
           .as("hapax_token_ratio"))
       .orderBy("source")
+
+  /** r10b: OCR/extraction-garbage screen per document — the corpus-prep
+    * filter `text_quality_score`'s heuristics don't cover: quality scores
+    * rate GOOD text (length, stopwords, digit share); this flags the
+    * characteristic FAILURE shapes of broken extraction pipelines —
+    * symbol soup (non-alnum non-space share), digit-letter shrapnel
+    * (mixed tokens like "x7k2q"), runaway concatenations (>20-char
+    * tokens), and consonant clusters no language produces (≥4-char
+    * vowel-free alpha tokens). Each signal is an exact integer ppm
+    * (×10⁶ floor divide — no float), the flag is a fixed threshold OR.
+    * Pure map-side; one pass. */
+  def textOcrGarbage(documents: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, call_function("div", num.cast(dec) * 1000000, den.cast(dec))
+        .cast("long")).otherwise(0L)
+    val t = col("toks")
+    documents
+      .withColumn("lc", lower(col("text")))
+      .withColumn("n_all", length(col("lc")))
+      .withColumn("n_alnum",
+        length(regexp_replace(col("lc"), "[^a-z0-9]", "")))
+      .withColumn("n_space",
+        length(col("lc")) - length(regexp_replace(col("lc"), " ", "")))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(t).cast("long"))
+      .withColumn("n_mixed", size(filter(t,
+        x => x.rlike("[a-z]") && x.rlike("[0-9]"))).cast("long"))
+      .withColumn("n_long", size(filter(t, x => length(x) > 20)).cast("long"))
+      .withColumn("n_consonant", size(filter(t,
+        x => x.rlike("^[b-df-hj-np-tv-z]+$") && length(x) >= 4)).cast("long"))
+      .select(col("doc_id"), col("source"),
+        ppm(col("n_all") - col("n_alnum") - col("n_space"), col("n_all"))
+          .as("symbol_ppm"),
+        ppm(col("n_mixed"), col("n_tok")).as("mixed_token_ppm"),
+        ppm(col("n_long"), col("n_tok")).as("long_token_ppm"),
+        ppm(col("n_consonant"), col("n_tok")).as("consonant_token_ppm"))
+      .withColumn("is_garbage",
+        col("symbol_ppm") > 100000 || col("mixed_token_ppm") > 200000 ||
+          col("long_token_ppm") > 100000 || col("consonant_token_ppm") > 300000)
+      .orderBy("doc_id")
+  }
+
+  /** r10b: segmented type-token ratio (STTR, segment = 50 tokens) per
+    * document — the LENGTH-CONTROLLED lexical-diversity scalar: raw TTR
+    * collapses as documents grow (types saturate, tokens don't), so
+    * corpus-level `text_yule_k`/`text_hapax_ratio` can't rank documents
+    * of different lengths; STTR averages TTR over fixed 50-token windows,
+    * making short and long documents comparable. Docs under one full
+    * segment are excluded (stated — no partial-segment noise). EXACTNESS:
+    * types-per-segment is an integer (distinct over an array slice),
+    * sttr_ppm = ⌊10⁶·Σtypes/(50·nseg)⌋ an exact integer floor divide,
+    * plus one documented double divide. SCALE: the `text_passage_dedup`
+    * explode shape — segments are doc-local, work linear in tokens. */
+  def textTtrSegmented(documents: DataFrame, w: Int = 50): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"),
+        explode(sequence(lit(0), (floor(size(col("t")) / w) - 1).cast("int"))).as("i"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(array_distinct(slice(col("t"), col("i") * w + 1, lit(w))))
+          .cast("long").as("types"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_segments"),
+        sum(col("types")).as("sum_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_segments"), col("sum_types"),
+        call_function("div", col("sum_types").cast(dec) * 1000000,
+          (col("n_segments") * w).cast(dec)).cast("long").as("sttr_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -68,7 +68,10 @@ class PlanLintSpec extends SparkSpec {
     "stat_cohen_kappa",                                  // 1-row Σrc frame crossed onto the 1-row totals frame (r10)
     "graph_rich_club",                                   // 5-row threshold ladder dim (the join_range_tier shape, r10)
     "stat_quade",                                        // ≤k-row class dim grid cross + 1-row totals frame (the stat_friedman shape, r10)
-    "stat_kendall_w"                                     // ≤k-row class dim grid cross (the stat_friedman shape, r10b)
+    "stat_kendall_w",                                    // ≤k-row class dim grid cross (the stat_friedman shape, r10b)
+    "sim_search_mips",                                   // ≤nQueries-row query side + 1-row max-norm frame (r10b)
+    "sample_kfold",                                      // 1-row total frame crossed onto the k-row fold rollup (r10b)
+    "sample_temporal_split"                              // 1-row span frame crossed onto the fact scan (the events_survival_km shape, r10b)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
