@@ -1648,6 +1648,35 @@ object Sessions {
       .orderBy("cohort_day_s")
   }
 
+  /** r10b: audience-overlap matrix between event types — "are the users
+    * who VIEW the same users who PURCHASE?": per ordered type pair the
+    * exact Jaccard of the two audiences, the segmentation read
+    * `events_type_affinity`'s lift coefficients imply but never state as
+    * set overlap. EXACTNESS: pure set arithmetic — distinct (user, type)
+    * pairs, intersections from one self-equi-join on user (work
+    * Σ_user k², k ≤ #types — linear in users at any scale), union by
+    * inclusion–exclusion, one divide per pair. */
+  def eventsAudienceOverlap(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = ut.as("x")
+      .join(ut.as("y"), col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")),
+        Seq("type_a"))
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** r10b: lcm(1..64) — the common denominator that makes every capped
     * resource-allocation weight 1/deg(w) an EXACT integer L/deg(w).
     * ≈ 1.18·10²⁷: comfortably inside DECIMAL(38,0) with room for ~10¹⁰

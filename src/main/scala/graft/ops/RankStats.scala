@@ -750,4 +750,131 @@ object RankStats {
         (min(col("d")) * u).as("hl_cents"))
       .withColumn("hl_shift", col("hl_cents").cast("double") / lit(100.0))
   }
+
+  /** r10b: Fligner–Policello robust rank-order test per event class —
+    * the Behrens–Fisher cell of the rank grid: Mann–Whitney's null
+    * requires EQUAL SHAPES under H₀ (its variance is wrong when the two
+    * samples disagree in spread); F–P studentizes the placement sums by
+    * their own empirical variances, staying valid under unequal shapes —
+    * the right two-sample location screen next to `stat_cliff_delta`'s
+    * effect size, on the same weekday/weekend per-hour samples.
+    *
+    * NEVER pairwise: doubled placements p2(v) = 2·cumOther_lt(v) +
+    * cntOther_eq(v) ride the per-class count vocabulary (two cumulative
+    * windows, the `stat_cliff_delta` frames); the placement sums and the
+    * n-scaled squared deviations Σ m·(m·p2 − Σm·p2)² are exact
+    * DECIMAL(38,0) integers, and
+    *   Û = (ΣP − ΣQ) / (2·√(V_P + V_Q + P̄·Q̄))
+    * finishes in ONE fixed IEEE chain off five exact integers (each
+    * V = A/(4m²) and each mean = S/(2m) inside the chain, mirrored
+    * textually in the oracle). Ties get the standard ½ credit. */
+  def statFlignerPolicello(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("we", (weekday(col("hour")) >= 5).cast("int"))
+    val cnt = hourly.groupBy(col("event_type"), col("n").as("v"))
+      .agg(
+        sum(when(col("we") === 0, 1L).otherwise(0L)).as("c_wd"),
+        sum(when(col("we") === 1, 1L).otherwise(0L)).as("c_we"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scanned = cnt
+      .withColumn("cum_wd_lt", coalesce(sum(col("c_wd")).over(w), lit(0L)))
+      .withColumn("cum_we_lt", coalesce(sum(col("c_we")).over(w), lit(0L)))
+      // doubled placement of a weekday value among weekend values, and
+      // vice versa
+      .withColumn("p2", lit(2L) * col("cum_we_lt") + col("c_we"))
+      .withColumn("q2", lit(2L) * col("cum_wd_lt") + col("c_wd"))
+    val sums = scanned.groupBy(col("event_type")).agg(
+      sum(col("c_wd")).as("m"),
+      sum(col("c_we")).as("nn"),
+      sum(col("c_wd").cast(dec38) * col("p2")).as("sp2"),
+      sum(col("c_we").cast(dec38) * col("q2")).as("sq2"))
+    val withDev = scanned.join(broadcast(sums), Seq("event_type"))
+      .withColumn("dp", col("m").cast(dec38) * col("p2") - col("sp2"))
+      .withColumn("dq", col("nn").cast(dec38) * col("q2") - col("sq2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("m")).as("m"), max(col("nn")).as("nn"),
+        max(col("sp2")).as("sp2"), max(col("sq2")).as("sq2"),
+        sum(col("c_wd") * col("dp") * col("dp")).as("ap"),
+        sum(col("c_we") * col("dq") * col("dq")).as("aq"))
+    val d2 = graft.Det.decToDouble _
+    val md = col("m").cast("double")
+    val nd = col("nn").cast("double")
+    val vP = d2(col("ap")) / (lit(4.0) * md * md)
+    val vQ = d2(col("aq")) / (lit(4.0) * nd * nd)
+    val pBar = d2(col("sp2")) / (lit(2.0) * md)
+    val qBar = d2(col("sq2")) / (lit(2.0) * nd)
+    withDev
+      .select(col("event_type"), col("m").as("n_weekday"),
+        col("nn").as("n_weekend"),
+        col("sp2").cast("long").as("placement_sum_wd_x2"),
+        col("sq2").cast("long").as("placement_sum_we_x2"),
+        when(col("m") > 1 && col("nn") > 1 &&
+          vP + vQ + pBar * qBar > 0,
+          (d2(col("sp2")) / 2.0 - d2(col("sq2")) / 2.0) /
+            (lit(2.0) * sqrt(vP + vQ + pBar * qBar))).as("fp_u"))
+      .orderBy("event_type")
+  }
+
+  /** r10b: Cochran–Mantel–Haenszel test + the MH common odds ratio —
+    * "is conversion associated with the weekend AFTER controlling for
+    * the time of day?": the marginal 2×2 (weekend × purchase-vs-click)
+    * is confounded by day-part (weekends have different hour mixes); CMH
+    * stratifies over four 6-hour bands and pools the per-stratum
+    * evidence — the Simpson's-paradox-proof reading, next to the
+    * unstratified `stat_chi_square`.
+    *
+    * EXACTNESS — the fold-replay device, NOT row-parallel float sums:
+    * the per-stratum cells are exact integers; the pooled terms
+    * (a − E[a], Var, a·d/n, b·c/n) are rationals with per-stratum
+    * denominators whose exact common denominator would overflow at
+    * cluster scale (Πnᵢ), so each term is computed as ONE fixed IEEE
+    * chain per stratum and summed by a 4-element `aggregate` fold over
+    * the stratum-sorted struct array — the `list_reduce` replay pattern
+    * (both engines fold in band order, so the float sum has ONE defined
+    * order). χ²_CMH uses the standard ½ continuity correction. */
+  def statMantelHaenszel(events: DataFrame): DataFrame = {
+    val cells = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(call_function("div", hour(col("ts")).cast("long"), lit(6L)).as("band"))
+      .agg(
+        sum(when(weekday(col("ts")) >= 5 && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(weekday(col("ts")) >= 5 && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(weekday(col("ts")) < 5 && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(weekday(col("ts")) < 5 && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("d"))
+    cells
+      .agg(sort_array(collect_list(struct(col("band"), col("a"), col("b"),
+        col("c"), col("d")))).as("rs"))
+      .withColumn("f", expr(
+        """aggregate(rs,
+             array(0.0d, 0.0d, 0.0d, 0.0d, cast(0 as double)),
+             (acc, s) -> array(
+               acc[0] + (cast(s.a as double) -
+                 cast(s.a + s.b as double) * cast(s.a + s.c as double) /
+                   cast(s.a + s.b + s.c + s.d as double)),
+               acc[1] + (cast(s.a + s.b as double) * cast(s.c + s.d as double) *
+                 cast(s.a + s.c as double) * cast(s.b + s.d as double)) /
+                 (cast(s.a + s.b + s.c + s.d as double) *
+                  cast(s.a + s.b + s.c + s.d as double) *
+                  cast(s.a + s.b + s.c + s.d - 1 as double)),
+               acc[2] + cast(s.a as double) * cast(s.d as double) /
+                 cast(s.a + s.b + s.c + s.d as double),
+               acc[3] + cast(s.b as double) * cast(s.c as double) /
+                 cast(s.a + s.b + s.c + s.d as double),
+               acc[4] + s.a + s.b + s.c + s.d))"""))
+      .select(
+        col("f")(4).cast("long").as("n_total"),
+        col("f")(0).as("sum_a_minus_e"),
+        when(col("f")(1) > 0.0,
+          (greatest(abs(col("f")(0)) - lit(0.5), lit(0.0)) *
+            greatest(abs(col("f")(0)) - lit(0.5), lit(0.0))) / col("f")(1))
+          .as("cmh_chi2_cc"),
+        when(col("f")(3) > 0.0, col("f")(2) / col("f")(3)).as("mh_odds_ratio"))
+  }
 }

@@ -1693,6 +1693,71 @@ object Windows {
       .orderBy("event_type", "hour_s")
   }
 
+  /** r10b: Relative Vigor Index per class — "do bars CLOSE the way they
+    * RANGE?": conviction shows up as closes near the directional extreme
+    * of each bar, so RVI = Σ₁₀ wma4(close − open) / Σ₁₀ wma4(high − low)
+    * reads trend QUALITY where RSI reads only direction. Open is the
+    * prior close (stated — hourly report bars have no session open; the
+    * continuous-market convention). EXACTNESS: the (1,2,2,1) symmetric
+    * 4-bar weights keep both numerator and denominator EXACT INTEGERS
+    * (the /6 cancels in the ratio); the trailing 10-sums are integer
+    * window sums; RVI is ONE divide. SCALE: the [[windowDonchian]]
+    * class-hour bar posture. */
+  def windowRvi(events: DataFrame, n: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("op", lag(col("cl"), 1).over(wOrd))
+      .withColumn("co", col("cl") - col("op"))
+      .withColumn("hl", col("h") - col("l"))
+      .withColumn("num6",
+        col("co") + lit(2L) * lag(col("co"), 1).over(wOrd) +
+          lit(2L) * lag(col("co"), 2).over(wOrd) + lag(col("co"), 3).over(wOrd))
+      .withColumn("den6",
+        col("hl") + lit(2L) * lag(col("hl"), 1).over(wOrd) +
+          lit(2L) * lag(col("hl"), 2).over(wOrd) + lag(col("hl"), 3).over(wOrd))
+      .withColumn("nv", count(col("num6")).over(wN))
+      .withColumn("snum", sum(col("num6").cast(dec)).over(wN).cast("long"))
+      .withColumn("sden", sum(col("den6").cast(dec)).over(wN).cast("long"))
+      .filter(col("nv") === n)
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("snum").as("vigor_num_x6"), col("sden").as("range_den_x6"),
+        when(col("sden") > 0,
+          col("snum").cast("double") / col("sden").cast("double")).as("rvi"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  /** r10b: Awesome Oscillator per class — Williams' momentum-of-midpoints:
+    * AO = SMA₅(mid) − SMA₃₄(mid), the fast-vs-slow midpoint spread that
+    * reads momentum without touching closes at all (robust to last-print
+    * noise the close-based tier inherits). EXACTNESS: with s_k = Σ_k(h+l)
+    * (exact integer window sums of twice the midpoint), AO·340 =
+    * 34·s₅ − 5·s₃₄ is an EXACT INTEGER; the emitted ao is one /340/100
+    * chain, and both flags (above zero, rising vs the prior bar) compare
+    * the exact integers — immune to the divide. SCALE: the
+    * [[windowDonchian]] posture; two bounded frames. */
+  def windowAwesomeOsc(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val w5 = wOrd.rowsBetween(-4, Window.currentRow)
+    val w34 = wOrd.rowsBetween(-33, Window.currentRow)
+    classHourBarsV(events)
+      .withColumn("m2", col("h") + col("l"))
+      .withColumn("nb", count(lit(1)).over(w34))
+      .withColumn("s5", sum(col("m2").cast(dec)).over(w5).cast("long"))
+      .withColumn("s34", sum(col("m2").cast(dec)).over(w34).cast("long"))
+      .filter(col("nb") === 34)
+      .withColumn("ao340", lit(34L) * col("s5") - lit(5L) * col("s34"))
+      .withColumn("pao", lag(col("ao340"), 1).over(wOrd))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        col("ao340").as("ao_x340"),
+        (col("ao340").cast("double") / lit(340.0) / lit(100.0)).as("ao"),
+        (col("ao340") > 0).as("above_zero"),
+        when(col("pao").isNotNull, col("ao340") > col("pao")).as("rising"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** r10b: Detrended Price Oscillator per class — subtract the 20-bar SMA
     * from the close HALF A WINDOW BACK (shift = n/2 + 1), erasing trends
     * longer than the window so only the sub-window CYCLE remains: the

@@ -142,6 +142,48 @@ class TaWindowBruteSpec extends SparkSpec {
     }
   }
 
+  test("window_rvi matches the (1,2,2,1)-weighted vigor/range ratio") {
+    val got = Windows.windowRvi(events).collect()
+      .filter(_.getString(0) == "click").sortBy(_.getString(1))
+    val b = bars("click")
+    val co = (1 until nHours).map(i => b(i).cl - b(i - 1).cl) // co(i-1) ~ bar i
+    val hl = (0 until nHours).map(i => b(i).h - b(i).l)
+    def num6(t: Int) = co(t - 1) + 2 * co(t - 2) + 2 * co(t - 3) + co(t - 4)
+    def den6(t: Int) = hl(t) + 2 * hl(t - 1) + 2 * hl(t - 2) + hl(t - 3)
+    // num6 defined from bar 4; the 10-count completes at bar 13
+    assert(got.length == nHours - 13)
+    for ((r, j) <- got.zipWithIndex) {
+      val t = j + 13
+      val sn = (t - 9 to t).map(num6).sum
+      val sd = (t - 9 to t).map(den6).sum
+      assert(r.getLong(2) == sn && r.getLong(3) == sd, s"bar $t sums")
+      if (sd > 0) assert(relEq(r.getDouble(4), sn.toDouble / sd.toDouble))
+    }
+  }
+
+  test("window_awesome_osc matches the exact 34*s5 - 5*s34 midpoint spread") {
+    val got = Windows.windowAwesomeOsc(events).collect()
+      .filter(_.getString(0) == "click").sortBy(_.getString(1))
+    val b = bars("click")
+    val m2 = b.map(x => x.h + x.l)
+    assert(got.length == nHours - 33)
+    var prev = Option.empty[Long]
+    for ((r, j) <- got.zipWithIndex) {
+      val t = j + 33
+      val s5 = (t - 4 to t).map(m2(_)).sum
+      val s34 = (t - 33 to t).map(m2(_)).sum
+      val ao340 = 34 * s5 - 5 * s34
+      assert(r.getLong(2) == ao340, s"bar $t ao340")
+      assert(relEq(r.getDouble(3), ao340.toDouble / 340.0 / 100.0))
+      assert(r.getBoolean(4) == (ao340 > 0))
+      prev match {
+        case Some(p) => assert(r.getBoolean(5) == (ao340 > p))
+        case None    => assert(r.isNullAt(5))
+      }
+      prev = Some(ao340)
+    }
+  }
+
   test("window_dpo matches the n-scaled shifted detrend") {
     val got = Windows.windowDpo(events).collect()
       .filter(_.getString(0) == "click").sortBy(_.getString(1))
