@@ -1758,6 +1758,55 @@ object Windows {
       .orderBy("event_type", "hour_s")
   }
 
+  /** r10b: Time Series Forecast (rolling 20-bar OLS endpoint) per class —
+    * the REGRESSION member of the moving-average family: an SMA lags a
+    * trend by (n−1)/2 bars by construction; TSF fits y = a + b·x over
+    * the trailing bars and reads the fitted ENDPOINT, tracking trends
+    * with no lag (the classic `linreg`/TSF indicator), plus the slope
+    * (trend per bar) and the current bar's deviation from its own fit
+    * (the one-bar residual the channel reads hang off).
+    *
+    * EXACTNESS — everything multiplies through by the determinant: with
+    * x = the class-bar sequence index (consecutive integers, so
+    * den = n·Σx² − (Σx)² = n²(n²−1)/12 exactly), num = n·Σxy − ΣxΣy,
+    *   fit·(n·den) = Σy·den + num·(n·x_t − Σx)
+    *   dev·(n·den) = n·den·cl_t − fit·(n·den)
+    * are EXACT DECIMAL(38,0) integers off four integer window sums;
+    * slope, tsf and dev are one fixed divide each, and the rising flag
+    * compares the exact num against zero. SCALE: the [[windowDonchian]]
+    * bar posture — one class-hour agg, one 20-bar frame. */
+  def windowTsf(events: DataFrame, n: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wN = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    val nd = lit(n.toLong).cast(dec)
+    classHourBarsV(events)
+      .withColumn("x", row_number().over(wOrd).cast("long"))
+      .withColumn("nb", count(lit(1)).over(wN))
+      .withColumn("sx", sum(col("x").cast(dec)).over(wN))
+      .withColumn("sy", sum(col("cl").cast(dec)).over(wN))
+      .withColumn("sxy", sum((col("x") * col("cl")).cast(dec)).over(wN))
+      .withColumn("sxx", sum((col("x") * col("x")).cast(dec)).over(wN))
+      .filter(col("nb") === n)
+      .withColumn("num", nd * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", nd * col("sxx") - col("sx") * col("sx"))
+      .withColumn("fitn",
+        col("sy") * col("den") + col("num") * (nd * col("x") - col("sx")))
+      .withColumn("devn", nd * col("den") * col("cl") - col("fitn"))
+      .select(col("event_type"), fmtTsSec(col("hr")).as("hour_s"),
+        (col("cl").cast("double") / lit(100.0)).as("close"),
+        (graft.Det.decToDouble(col("num")) / graft.Det.decToDouble(col("den")) /
+          lit(100.0)).as("slope"),
+        (graft.Det.decToDouble(col("fitn")) /
+          (lit(n.toDouble) * graft.Det.decToDouble(col("den"))) / lit(100.0))
+          .as("tsf"),
+        (graft.Det.decToDouble(col("devn")) /
+          (lit(n.toDouble) * graft.Det.decToDouble(col("den"))) / lit(100.0))
+          .as("deviation"),
+        (col("num") > 0).as("rising"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** r10b: Detrended Price Oscillator per class — subtract the 20-bar SMA
     * from the close HALF A WINDOW BACK (shift = n/2 + 1), erasing trends
     * longer than the window so only the sub-window CYCLE remains: the

@@ -184,6 +184,28 @@ class TaWindowBruteSpec extends SparkSpec {
     }
   }
 
+  test("window_tsf matches the textbook rolling-OLS endpoint") {
+    val got = Windows.windowTsf(events).collect()
+      .filter(_.getString(0) == "click").sortBy(_.getString(1))
+    val b = bars("click")
+    assert(got.length == nHours - 19)
+    for ((r, j) <- got.zipWithIndex) {
+      val t = j + 19 // 0-based bar index; x = bar index + 1
+      val pts = (t - 19 to t).map(i => ((i + 1).toDouble, b(i).cl.toDouble))
+      val n = 20.0
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - slope * sx) / n
+      val fit = a + slope * (t + 1).toDouble
+      assert(relEq(r.getDouble(3), slope / 100.0, 1e-9), s"bar $t slope")
+      assert(relEq(r.getDouble(4), fit / 100.0, 1e-9), s"bar $t tsf")
+      assert(relEq(r.getDouble(5), (b(t).cl - fit) / 100.0, 1e-6), s"bar $t dev")
+      assert(r.getBoolean(6) == (n * sxy - sx * sy > 0))
+    }
+  }
+
   test("window_dpo matches the n-scaled shifted detrend") {
     val got = Windows.windowDpo(events).collect()
       .filter(_.getString(0) == "click").sortBy(_.getString(1))
