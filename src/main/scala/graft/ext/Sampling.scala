@@ -371,6 +371,31 @@ object Sampling {
       .orderBy("fold")
   }
 
+  /** r10b: GROUP-aware k-fold assignment — the third leg of the
+    * leakage-safe split family ([[sampleKfold]] splits by document,
+    * [[sampleTemporalSplit]] by time; this one keeps every document of a
+    * SOURCE in the same fold, so near-duplicate documents within a crawl
+    * domain can never straddle a train/eval boundary — the GroupKFold
+    * practice): fold = hash-bucket(source) mod k. The report shows the
+    * cost of group-level assignment: fold sizes are as uneven as the
+    * source-size distribution (stated — the unavoidable price of zero
+    * group leakage). */
+  def sampleGroupKfold(documents: DataFrame, k: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    documents
+      .withColumn("fold", (hashBucket(col("source")) % k).cast("long"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars").cast(dec)).cast("long").as("n_chars"))
+      .crossJoin(broadcast(total))
+      .select(col("fold"), col("n_docs"), col("n_sources"), col("n_chars"),
+        call_function("div", col("n_docs").cast(dec) * 1000000,
+          col("n_total").cast(dec)).cast("long").as("share_ppm"))
+      .orderBy("fold")
+  }
+
   /** r10b: temporal train/valid/test split with EMBARGO — the split the
     * hash family must never be used for on time-series data (hash splits
     * leak the future into training): cut the event span by TIME fraction

@@ -1677,6 +1677,26 @@ object Sessions {
       .orderBy("type_a", "type_b")
   }
 
+  /** r10b: degree-distribution census of the co-activity graph in ⌊log2⌋
+    * buckets — the "is it scale-free or a uniform mesh" read the census
+    * scalars (`graph_degree_assortativity`'s one slope, `graph_rich_club`'s
+    * ladder) summarize but never show: a relay fleet is a tight bell, a
+    * hub-and-spoke deployment a power tail. EXACTNESS: the bucket is the
+    * binary-string length ⌊log2 deg⌋ = length(bin(deg)) − 1 — the
+    * libm-free house idiom whose last ulp can never sit on a power-of-2
+    * boundary; counts and min/max per bucket are pure integers. SCALE:
+    * rides the memoized census degree frame; output ≤ 64 rows. */
+  def graphDegreeHistogram(events: DataFrame): DataFrame = {
+    val edges = coActivityEdges(events)
+    val deg = Dedup.memo(events, "triangle-degrees-minute") { edgeDegrees(edges) }
+    deg
+      .withColumn("bucket", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy("bucket")
+  }
+
   /** r10b: lcm(1..64) — the common denominator that makes every capped
     * resource-allocation weight 1/deg(w) an EXACT integer L/deg(w).
     * ≈ 1.18·10²⁷: comfortably inside DECIMAL(38,0) with room for ~10¹⁰

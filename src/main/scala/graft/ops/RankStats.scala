@@ -818,6 +818,70 @@ object RankStats {
       .orderBy("event_type")
   }
 
+  /** r10b: Anderson–Darling two-sample test (Scholz–Stephens A²akN, the
+    * tie-adjusted k=2 form) on the click-vs-view value samples — the
+    * missing member of the EDF family: KS reads the single worst CDF gap,
+    * CvM the average squared gap, AD the average squared gap WEIGHTED BY
+    * 1/(F(1−F)) — maximum sensitivity in the TAILS, which is where sensor
+    * distributions actually disagree (a KS-invisible tail inflation is an
+    * AD rejection). Screening statistic: A² is emitted against its null
+    * mean k−1 = 1; no p (the `stat_friedman` convention, stated — the
+    * null variance needs harmonic double sums with no exact spelling).
+    *
+    * EXACTNESS: for k = 2 the two samples' deviation terms collapse to
+    * one — N·M_Bj − n·B_j = −(N·M_Aj − m·B_j) — so
+    *   A² = (1/N)(1/m + 1/n) Σ_j l_j·D_j²/(B_j(N−B_j)),  D = N·M_A − m·B
+    * with every D an EXACT integer (< 2^53, so its double is exact); each
+    * term is one fixed IEEE chain, and the terms are summed by a
+    * value-SORTED fold replay (`sort_array` + `aggregate` ↔ ordered
+    * `list()` + `list_reduce`) so the float sum has ONE defined order in
+    * both engines — the `stat_mantel_haenszel` device at vocabulary
+    * scale, span-guarded. SCALE: everything rides the pooled value
+    * VOCABULARY (saturates toward the value range, never row count). */
+  def statAdTwosample(events: DataFrame, classA: String = "click",
+      classB: String = "view"): DataFrame = {
+    val cents = (c: Column) =>
+      (c.cast(DecimalType(28, 2)) * 100).cast(dec38).cast("long")
+    val cells = events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .groupBy(col("c"))
+      .agg(
+        sum(when(col("event_type") === classA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === classB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("l", col("ca") + col("cb"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("ma", sum(col("ca")).over(wCum))
+      .withColumn("b", sum(col("l")).over(wCum))
+    val totals = cells.agg(
+      sum(col("ca")).as("m"), sum(col("cb")).as("nn"),
+      count(lit(1)).as("n_distinct"))
+    val d2 = graft.Det.decToDouble _
+    val terms = cum.crossJoin(broadcast(totals))
+      .withColumn("nt", col("m") + col("nn"))
+      .filter(col("b") < col("nt")) // the last pooled value: B = N, excluded
+      .withColumn("dj",
+        col("nt").cast(dec38) * col("ma") - col("m").cast(dec38) * col("b"))
+      .withColumn("term",
+        col("l").cast("double") * (d2(col("dj")) * d2(col("dj"))) /
+          (col("b").cast("double") *
+            (col("nt").cast("double") - col("b").cast("double"))))
+    terms
+      .groupBy(col("m"), col("nn"), col("n_distinct"))
+      .agg(graft.ops.Guards.boundedSeries(
+        sort_array(collect_list(struct(col("c"), col("term")))),
+        "stat_ad_twosample").as("rs"))
+      .withColumn("s",
+        expr("aggregate(rs, 0.0d, (acc, r) -> acc + r.term)"))
+      .select(col("m").as("n_a"), col("nn").as("n_b"), col("n_distinct"),
+        when(col("m") > 0 && col("nn") > 0,
+          (lit(1.0) / (col("m") + col("nn")).cast("double")) *
+            (lit(1.0) / col("m").cast("double") +
+              lit(1.0) / col("nn").cast("double")) * col("s")).as("a2_akn"))
+  }
+
   /** r10b: Cochran–Mantel–Haenszel test + the MH common odds ratio —
     * "is conversion associated with the weekend AFTER controlling for
     * the time of day?": the marginal 2×2 (weekend × purchase-vs-click)

@@ -76,6 +76,30 @@ class PipelineR10bSpec extends SparkSpec {
       assert(r.getLong(4) == r.getLong(1) * 1000000L / 200L)
   }
 
+  test("sample_group_kfold: md5(source) assignment keeps groups whole") {
+    val docs = (0L until 300L).map(i => (i, s"text $i", "en", s"src${i % 23}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Sampling.sampleGroupKfold(docs).collect()
+    def bucket(src: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 100 % 5
+    }
+    val bySrc = (0L until 300L).groupBy(i => s"src${i % 23}")
+    val expected = bySrc.groupBy { case (s, _) => bucket(s) }
+      .map { case (f, m) => f -> (m.values.map(_.size).sum.toLong, m.size.toLong) }
+    assert(got.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == expected)
+    assert(got.map(_.getLong(1)).sum == 300L)
+  }
+
+  test("graph_degree_histogram matches literal log2 buckets") {
+    val got = Sessions.graphDegreeHistogram(graphEvents).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // degrees: 1:1 2:2 3:2 4:1 5:1 6:1 7:2 8:2 9:2 -> deg 1 x4 (bucket 0),
+    // deg 2 x5 (bucket 1)
+    assert(got == Map(0L -> (4L, 1L, 1L), 1L -> (5L, 2L, 2L)), s"got $got")
+  }
+
   test("sample_temporal_split: boundary and embargo arithmetic lands rows exactly") {
     // span 0..100 h; cut80 = 80 h, cut90 = 90 h, embargo 1 h.
     // hours: 0 (train), 78 (train: < 79), 79.5 (embargo), 80 (valid),

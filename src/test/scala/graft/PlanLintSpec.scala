@@ -71,7 +71,9 @@ class PlanLintSpec extends SparkSpec {
     "stat_kendall_w",                                    // ≤k-row class dim grid cross (the stat_friedman shape, r10b)
     "sim_search_mips",                                   // ≤nQueries-row query side + 1-row max-norm frame (r10b)
     "sample_kfold",                                      // 1-row total frame crossed onto the k-row fold rollup (r10b)
-    "sample_temporal_split"                              // 1-row span frame crossed onto the fact scan (the events_survival_km shape, r10b)
+    "sample_temporal_split",                             // 1-row span frame crossed onto the fact scan (the events_survival_km shape, r10b)
+    "stat_ad_twosample",                                 // 1-row totals frame crossed onto the vocab frame (the rank-test shape, r10b)
+    "sample_group_kfold"                                 // 1-row total frame crossed onto the k-row fold rollup (r10b)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {

@@ -90,6 +90,39 @@ class StratifiedRankBruteSpec extends SparkSpec {
     assert(relEq(r.getDouble(3), or), s"OR: ${r.getDouble(3)} vs $or")
   }
 
+  test("stat_ad_twosample matches the literal Scholz-Stephens chain") {
+    // value samples: click vs view with different spreads
+    val rows = (0 until 400).flatMap { i =>
+      val ts = Timestamp.valueOf(base.plusMinutes(i.toLong))
+      val click = ("click", ts, 10.0 + (lcg(i.toLong * 7) % 300).toInt / 100.0)
+      val view = ("view", ts, 10.0 + (lcg(i.toLong * 13 + 1) % 900).toInt / 100.0)
+      Seq(click, view)
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val r = RankStats.statAdTwosample(df).collect()(0)
+    // brute: integer cents, pooled distinct values ascending
+    val xs = rows.filter(_._1 == "click").map(t => math.round(t._3 * 100))
+    val ys = rows.filter(_._1 == "view").map(t => math.round(t._3 * 100))
+    val m = xs.size.toLong; val n = ys.size.toLong; val nt = m + n
+    val vocab = (xs ++ ys).distinct.sorted
+    var maCum = 0L; var bCum = 0L; var s = 0.0
+    for (v <- vocab) {
+      val ca = xs.count(_ == v).toLong; val cb = ys.count(_ == v).toLong
+      maCum += ca; bCum += ca + cb
+      if (bCum < nt) {
+        val d = nt * maCum - m * bCum
+        s += (ca + cb).toDouble * (d.toDouble * d.toDouble) /
+          (bCum.toDouble * (nt.toDouble - bCum.toDouble))
+      }
+    }
+    val a2 = (1.0 / nt) * (1.0 / m + 1.0 / n) * s
+    assert(r.getLong(0) == m && r.getLong(1) == n)
+    assert(r.getLong(2) == vocab.size.toLong)
+    assert(relEq(r.getDouble(3), a2), s"A2: ${r.getDouble(3)} vs $a2")
+    // the wider-spread view sample must push A2 far above the null mean 1
+    assert(r.getDouble(3) > 2.0, s"designed spread difference must reject: $a2")
+  }
+
   test("events_audience_overlap matches literal set arithmetic") {
     // overlapping but distinct audiences by construction
     val rows = (0L until 100L).flatMap { u =>
