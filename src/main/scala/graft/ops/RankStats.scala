@@ -818,8 +818,12 @@ object RankStats {
       .orderBy("event_type")
   }
 
-  /** r10b: Anderson–Darling two-sample test (Scholz–Stephens A²akN, the
-    * tie-adjusted k=2 form) on the click-vs-view value samples — the
+  /** r10b: Anderson–Darling two-sample test (Scholz–Stephens A²kN, the
+    * DISCRETE right-continuous k=2 form — denominator B(N−B), last pooled
+    * value excluded, NO midrank adjustment and no (N−1)/N factor; it will
+    * not match midrank implementations such as scipy's anderson_ksamp,
+    * which compute the tie-adjusted A²akN) on the click-vs-view value
+    * samples — the
     * missing member of the EDF family: KS reads the single worst CDF gap,
     * CvM the average squared gap, AD the average squared gap WEIGHTED BY
     * 1/(F(1−F)) — maximum sensitivity in the TAILS, which is where sensor
@@ -879,7 +883,7 @@ object RankStats {
         when(col("m") > 0 && col("nn") > 0,
           (lit(1.0) / (col("m") + col("nn")).cast("double")) *
             (lit(1.0) / col("m").cast("double") +
-              lit(1.0) / col("nn").cast("double")) * col("s")).as("a2_akn"))
+              lit(1.0) / col("nn").cast("double")) * col("s")).as("a2_kn"))
   }
 
   /** r10b: Cochran–Mantel–Haenszel test + the MH common odds ratio —
@@ -898,7 +902,11 @@ object RankStats {
     * chain per stratum and summed by a 4-element `aggregate` fold over
     * the stratum-sorted struct array — the `list_reduce` replay pattern
     * (both engines fold in band order, so the float sum has ONE defined
-    * order). χ²_CMH uses the standard ½ continuity correction. */
+    * order). χ²_CMH uses the standard ½ continuity correction. Strata
+    * with n ≤ 1 are SKIPPED in both engines (their variance term divides
+    * by n−1; a band holding a single event would otherwise NaN the whole
+    * fold silently) — the standard sparse-stratum convention: a 1-row
+    * stratum carries no within-stratum evidence anyway. */
   def statMantelHaenszel(events: DataFrame): DataFrame = {
     val cells = events
       .filter(col("event_type").isin("click", "purchase"))
@@ -913,6 +921,7 @@ object RankStats {
         sum(when(weekday(col("ts")) < 5 && col("event_type") === "click", 1L)
           .otherwise(0L)).as("d"))
     cells
+      .filter(col("a") + col("b") + col("c") + col("d") > 1L)
       .agg(sort_array(collect_list(struct(col("band"), col("a"), col("b"),
         col("c"), col("d")))).as("rs"))
       .withColumn("f", expr(

@@ -25,7 +25,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *   ADX′ = ADX + (DX − ADX)/14
   *
   * Input is one CLOSED class-hour bar in integer cents (the batch's own
-  * `classHourBarsV` quantization); 80 bytes of state per class,
+  * `classHourBarsV` quantization); 72 bytes of state per class
+  * (2 longs + 7 doubles),
   * TTL-evicted. Observed-series contract: gaps fold nothing;
   * out-of-contract bars (hu ≤ last folded) re-emit the machine untouched
   * (idempotent — the shared r9 ADVICE guard). `AdxStreamSpec` proves the

@@ -66,9 +66,13 @@ object VwapStream {
         val sv = buf.map(_._2).sum
         val full = buf.length == n
         val cl = if (buf.nonEmpty) buf.last._3 else 0L
+        // sv > 0 guard: vol=0 bars are unreachable from the batch bar
+        // builder (vol = count >= 1) but the public HourBar does not
+        // enforce it — emit None instead of Infinity/NaN (the shared
+        // divide-guard convention across the stream twins).
         out += VwapRow(cls, hu, buf.length.toLong, sm, sv,
-          if (full) Some(sm.toDouble / (300.0 * sv.toDouble)) else None,
-          if (full) Some(3L * cl * sv > sm) else None)
+          if (full && sv > 0L) Some(sm.toDouble / (300.0 * sv.toDouble)) else None,
+          if (full && sv > 0L) Some(3L * cl * sv > sm) else None)
       }
 
       sorted.foreach { b =>

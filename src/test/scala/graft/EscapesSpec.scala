@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Escapes, Sessions}
+import graft.ext.{Escapes, Sessions, Similarity}
 import graft.ops.RankStats
 
 /** r10 (VERDICT r9 #8): the exact/escape auto-dispatch. For each
@@ -73,6 +73,46 @@ class EscapesSpec extends SparkSpec {
       Sessions.joinIntervalOverlap(events, pairBudget = 1L).collect()
     }
     assert(e.getMessage.contains("join_interval_overlap_min"), e.getMessage)
+  }
+
+  test("embedding pairs: exact under budget, lsh above, loud past-budget exact") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // n = 500 -> 124750 pairs; a budget between forces the LSH route
+    val exact = Similarity.dedupEmbeddingCosine(emb).collect()
+    val lsh = Similarity.dedupEmbeddingCosineLsh(emb).collect()
+    assert(exact.toSeq != lsh.toSeq,
+      "the sign buckets must actually shed cross-bucket pairs on this fixture")
+
+    val under = Escapes.embeddingCosine(emb)
+    val over = Escapes.embeddingCosine(emb, pairBudget = 1000L)
+    assert(under.collect().toSeq == exact.toSeq)
+    assert(over.collect().toSeq == lsh.toSeq)
+    assert(under.schema == over.schema)
+
+    val knnExact = Similarity.simKnnJoin(emb).collect()
+    val knnUnder = Escapes.knnJoin(emb)
+    val knnOver = Escapes.knnJoin(emb, pairBudget = 1000L)
+    assert(knnUnder.collect().toSeq == knnExact.toSeq)
+    assert(knnOver.collect().toSeq == Similarity.simKnnJoinLsh(emb).collect().toSeq)
+    assert(knnUnder.schema == knnOver.schema)
+
+    // and past its budget each EXACT form fails loudly naming its escape
+    val e1 = intercept[IllegalStateException] {
+      Similarity.dedupEmbeddingCosine(emb, pairBudget = 1000L).collect()
+    }
+    assert(e1.getMessage.contains("dedup_embedding_cosine_lsh"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Similarity.simKnnJoin(emb, pairBudget = 1000L).collect()
+    }
+    assert(e2.getMessage.contains("sim_knn_join_lsh"), e2.getMessage)
+  }
+
+  test("every declared pair is dispatchable and has both members in queries") {
+    assert(Escapes.pairs.size == 7)
+    Escapes.pairs.foreach { case (exact, escape) =>
+      assert(SparkEntry.queries.contains(exact), s"$exact not declared")
+      assert(SparkEntry.queries.contains(escape), s"$escape not declared")
+    }
   }
 
   test("dispatch routes by name; unknown queries fail naming the pairs") {

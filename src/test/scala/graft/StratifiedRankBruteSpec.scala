@@ -90,6 +90,25 @@ class StratifiedRankBruteSpec extends SparkSpec {
     assert(relEq(r.getDouble(3), or), s"OR: ${r.getDouble(3)} vs $or")
   }
 
+  test("stat_mantel_haenszel skips n<=1 strata instead of NaN-ing the fold") {
+    // bands 0-2 carry real 2x2 cells; band 3 holds EXACTLY ONE event,
+    // whose variance term would divide by n-1 = 0 and NaN everything
+    val rows = (for {
+      band <- 0 until 3; k <- 0 until 12
+      typ = if (k % 3 == 0) "purchase" else "click"
+      dow = if (k % 2 == 0) 5 else 1 // weekend / weekday mix
+    } yield (typ,
+      Timestamp.valueOf(base.plusDays(dow.toLong).plusHours(band * 6L)
+        .plusMinutes(k.toLong)), k.toLong)) :+
+      (("purchase", Timestamp.valueOf(base.plusHours(19L)), 99L)) // band 3, n=1
+    val df = rows.toDF("event_type", "ts", "event_id")
+    val r = RankStats.statMantelHaenszel(df).collect()(0)
+    // totals count only the SURVIVING strata (bands 0-2: 36 events)
+    assert(r.getLong(0) == 36L, s"n_total: ${r.getLong(0)}")
+    assert(!r.isNullAt(2) && !r.getDouble(2).isNaN, "chi2 must not NaN")
+    assert(!r.isNullAt(3) && !r.getDouble(3).isNaN, "OR must not NaN")
+  }
+
   test("stat_ad_twosample matches the literal Scholz-Stephens chain") {
     // value samples: click vs view with different spreads
     val rows = (0 until 400).flatMap { i =>
