@@ -1709,6 +1709,40 @@ object Sessions {
       .orderBy("bucket")
   }
 
+  /** r11: average neighbor degree by degree class, knn(k) — the CURVE
+    * behind [[graphDegreeAssortativity]]'s single coefficient (Pastor-
+    * Satorras/Vázquez/Vespignani's k_nn(k)): a falling curve says hubs
+    * attach to leaves (disassortative — infrastructure/mesh topology), a
+    * rising one says hubs cluster with hubs (social core). One scalar
+    * can't show a mixed regime; the curve is degree-bounded rows.
+    *
+    * EXACTNESS — no mean-of-means float trap: within a degree class k
+    * every node's neighbor-mean shares the denominator k, so
+    * knn(k) = (Σ_v Σ_w deg(w)) / (k·n_k) — pure INTEGER sums with ONE
+    * final divide (the `graph_resource_alloc` philosophy: never sum
+    * already-divided floats). Plan: memoized census edges + degree frame,
+    * a 2-struct explode to directed incidence, one equi-join onto the
+    * node-bounded degree frame (AQE decides the strategy), two hash aggs
+    * — no wedge join, linear in |E| at any density. */
+  def graphAvgNeighborDegree(events: DataFrame): DataFrame = {
+    val edges = coActivityEdges(events)
+    val deg = Dedup.memo(events, "triangle-degrees-minute") { edgeDegrees(edges) }
+    val directed = edges.select(explode(array(
+      struct(col("a").as("v"), col("b").as("w")),
+      struct(col("b").as("v"), col("a").as("w")))).as("e"))
+      .select(col("e.v"), col("e.w"))
+    val perNode = directed
+      .join(deg.select(col("v").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .groupBy(col("v")).agg(sum(col("deg_w")).as("s"))
+    perNode.join(deg, Seq("v"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("s")).as("sum_neighbor_deg"))
+      .select(col("deg").as("degree"), col("n_nodes"), col("sum_neighbor_deg"),
+        (col("sum_neighbor_deg").cast("double") /
+          (col("deg") * col("n_nodes")).cast("double")).as("avg_neighbor_degree"))
+      .orderBy("degree")
+  }
+
   /** r10b: lcm(1..64) — the common denominator that makes every capped
     * resource-allocation weight 1/deg(w) an EXACT integer L/deg(w).
     * ≈ 1.18·10²⁷: comfortably inside DECIMAL(38,0) with room for ~10¹⁰

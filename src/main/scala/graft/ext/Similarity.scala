@@ -471,6 +471,80 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"), col("centroid"), col("n"))
   }
 
+  /** r11: top principal direction of the corpus Gram matrix by a
+    * FIXED-ITERATION power method — the one-vector PCA screen an
+    * embedding pipeline wants before whitening/quantization decisions:
+    * the dominant direction's loadings plus its Rayleigh eigenvalue and
+    * trace share ("is 40% of corpus energy one axis?" — anisotropy is
+    * the known failure mode of raw transformer embeddings).
+    *
+    * Semantics: 8 power iterations seeded from the all-ones vector,
+    * normalized each round by the SIGNED max-|·| entry (first index
+    * kept under ties) — a declared fixed-iteration statistic, not an
+    * until-convergence solver, so it is a pure function of the data.
+    *
+    * EXACTNESS: Gram entries G[i][j] = Σ xᵢxⱼ accumulate EXACTLY — each
+    * FACTOR xᵢ·2⁴⁸ is an exact ≤16-digit integer (the centroid device;
+    * Spark's double→decimal cast goes through `Double.toString`'s ~17
+    * significant digits, so the 2⁹⁶-scaled PRODUCT cast directly would
+    * silently truncate — the factors must be cast separately and
+    * multiplied in DECIMAL, where the product is exact), the
+    * DECIMAL(18,0)×DECIMAL(18,0) product and its sum have no rounding
+    * (overflow bound ~3·10⁸ vectors, stated); one decimal→double
+    * conversion per entry. The
+    * iterations are index-ordered fold chains (j ascending per row,
+    * division per element, selection-based normalizer) replayed
+    * identically in DuckDB list comprehensions — bit-identical.
+    *
+    * SCALE: the dims²-bounded Gram is the ONLY driver collect (4096
+    * rows at dims = 64 — the IVF-centroid bounded-collect contract);
+    * the corpus-sized work is one posexplode self-join (dims² fan-out
+    * per vector, map-side combinable) feeding one partial/final hash
+    * agg. The 64-dim iteration itself is driver arithmetic on a
+    * constant-size matrix. */
+  def embTopComponent(embeddings: DataFrame, dims: Int = 64,
+                      iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val scale48 = 281474976710656.0   // 2^48
+    val scale96 = math.pow(2.0, 96.0) // 2^48 squared, exact
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val px = embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+    val gRows = px.as("a")
+      .join(px.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg((sum((col("a.x") * lit(scale48)).cast(dec18) *
+        (col("b.x") * lit(scale48)).cast(dec18))
+        .cast("double") / lit(scale96)).as("g"))
+      .collect() // BOUNDED: dims² rows (the IVF-centroid collect contract)
+    val g = Array.ofDim[Double](dims, dims)
+    gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dims) { acc = acc + g(i)(j) * v(j); j += 1 }; acc
+      }
+      var m = w(0)
+      var i = 1
+      while (i < dims) { if (math.abs(w(i)) > math.abs(m)) m = w(i); i += 1 }
+      v = w.map(_ / m)
+    }
+    val gv = Array.tabulate(dims) { i =>
+      var acc = 0.0; var j = 0
+      while (j < dims) { acc = acc + g(i)(j) * v(j); j += 1 }; acc
+    }
+    var num = 0.0; var den = 0.0; var tr = 0.0
+    for (i <- 0 until dims) { num = num + v(i) * gv(i) }
+    for (i <- 0 until dims) { den = den + v(i) * v(i) }
+    for (i <- 0 until dims) { tr = tr + g(i)(i) }
+    val lam = num / den
+    (0 until dims).map(i => (i.toLong, v(i), lam, lam / tr))
+      .toDF("dim", "loading", "eigenvalue", "trace_share")
+      .orderBy("dim")
+  }
+
   /** r4: cross-snapshot embedding drift — per-label Chebyshev distance
     * (max per-dimension shift) between the class centroids of an
     * existing corpus snapshot and a new batch (vec_id parity splits the

@@ -704,6 +704,32 @@ object Text {
     * SCALE: doc-frequency aggs on (source, token) and (token) — vocab-
     * bounded equi-shuffles; the per-source top-k window rides the
     * vocab frame, never the corpus. */
+  /** r11: Zipf conformance check — per source, the top-k tokens with
+    * their rank·frequency product: Zipf's law says r·f ≈ constant, so a
+    * FLAT column reads "natural language", a collapsing one reads
+    * template/boilerplate dominance and a rising one suspiciously
+    * uniform (generated/shuffled) text — the corpus-level distribution
+    * diagnostic next to the per-doc screens (`text_repetition_ratio`,
+    * `text_ocr_garbage`). Kept multiplicative — r·f is an EXACT integer
+    * — instead of the textbook log-log slope (transcendental, the
+    * `text_tfidf_topk` dodge: the diagnostic reads the same). Plan: one
+    * (source, token) hash agg, one per-source top-k window over the
+    * already-aggregated frame; vocabulary-bounded. */
+  def textZipfCheck(documents: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("token"))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("token"), col("freq"),
+        (col("rank") * col("freq")).as("rank_x_freq"))
+      .orderBy("source", "rank")
+  }
+
   def textDistinctiveTerms(documents: DataFrame, minDf: Long = 5L,
       topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1335,6 +1335,48 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** r11: Kuiper two-sample test per event class, first vs second half of
+    * the window — [[statKsDrift]]'s CYCLIC-SENSITIVE sibling: KS reads
+    * the single largest CDF gap and systematically under-weights shifts
+    * near the distribution's ends; Kuiper's V = D⁺ + D⁻ sums the largest
+    * gap in EACH direction, giving equal sensitivity across the whole
+    * support (the classical choice for detecting phase/dispersion drift
+    * where KS sees only location). Same machinery as KS: per-(class,
+    * value) cells, two windowed CDFs, and the gap kept as the EXACT
+    * integer numerator c₁n₂ − c₂n₁ over the common denominator n₁n₂ —
+    * D⁺ and D⁻ are integer MAXIMA (selections, no float compare), V is
+    * one final divide. Same discrete post-jump sup convention as
+    * `stat_ks_drift` (both engines evaluate identical cells). Plan: one
+    * (class, value) hash agg — vocabulary-bounded — two window passes,
+    * one final agg; no joins. */
+  def statKuiper(events: DataFrame,
+                 cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = lit(cutoff).cast("timestamp")
+    val cells = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("d2"))
+    val wCdf = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("c1", sum(col("d1")).over(wCdf))
+      .withColumn("c2", sum(col("d2")).over(wCdf))
+      .withColumn("n1", sum(col("d1")).over(wAll))
+      .withColumn("n2", sum(col("d2")).over(wAll))
+      .withColumn("signed", col("c1") * col("n2") - col("c2") * col("n1"))
+      .groupBy(col("event_type"), col("n1"), col("n2"))
+      .agg(greatest(max(col("signed")), lit(0L)).as("dplus_num"),
+        greatest(max(-col("signed")), lit(0L)).as("dminus_num"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        col("dplus_num"), col("dminus_num"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("double"))
+          .otherwise((col("dplus_num") + col("dminus_num")).cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("kuiper_v"))
+      .orderBy("event_type")
+  }
+
   /** r5c3: Mann–Kendall trend test per user over daily means — the
     * nonparametric "is this series trending?" screen (sensor drift,
     * engagement decay) that [[statRegressionHourly]]'s least-squares
@@ -1959,6 +2001,86 @@ object Aggs {
       .select(col("event_type"), col("n_hours"),
         col("st")(0).as("ema1"), col("st")(1).as("ema2"),
         col("st")(2).as("ema3"), col("st")(3).as("trix_pct"))
+      .orderBy("event_type")
+  }
+
+  /** r11: DEMA / TEMA (double / triple exponential moving average, n = 16)
+    * per event class — the LAG-CANCELLING members of the EMA family
+    * [[tsTrix]]'s chained stages enable: a k-fold EMA chain lags a trend
+    * k·(n−1)/2 bars; Mulloy's combinations DEMA = 2E₁ − E₂ and
+    * TEMA = 3E₁ − 3E₂ + E₃ cancel the first-order lag term so the
+    * smoothed line sits ON a steady trend instead of behind it (the
+    * difference against the same-n plain EMA is emitted — that gap IS
+    * the cancelled lag). Same fold as TRIX (one E₁/E₂/E₃ recursion per
+    * class, seeded x₁), same α spelling 2/17 as a literal division in
+    * both engines; the combinations are fixed 2-op chains OUTSIDE the
+    * fold. Plan: one (class, hour) hash agg, one span-guarded dense
+    * grid, one fold per class — class-bounded output. */
+  def tsDemaTema(events: DataFrame): DataFrame = {
+    val a = "(2.0d / 17.0d)"
+    val e1 = s"(acc[0] + $a * (x - acc[0]))"
+    val e2 = s"(acc[1] + $a * ($e1 - acc[1]))"
+    val e3 = s"(acc[2] + $a * ($e2 - acc[2]))"
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
+      .withColumn("xs", denseHourGrid("ts_dema_tema"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
+        expr(
+          s"""aggregate(
+                slice(xs, 2, size(xs) - 1),
+                array(element_at(xs, 1), element_at(xs, 1), element_at(xs, 1)),
+                (acc, x) -> array($e1, $e2, $e3))""").as("st"))
+      .select(col("event_type"), col("n_hours"),
+        col("st")(0).as("ema"),
+        (lit(2.0) * col("st")(0) - col("st")(1)).as("dema"),
+        (lit(3.0) * col("st")(0) - lit(3.0) * col("st")(1) + col("st")(2)).as("tema"),
+        ((lit(3.0) * col("st")(0) - lit(3.0) * col("st")(1) + col("st")(2)) -
+          col("st")(0)).as("tema_minus_ema"))
+      .orderBy("event_type")
+  }
+
+  /** r11: PPO (Percentage Price Oscillator, 12/26/9) per event class —
+    * [[tsMacd]] in RELATIVE units: MACD's absolute gap means nothing
+    * across classes whose levels differ 100× (a 5-unit gap is noise on a
+    * busy class, a regime change on a quiet one); PPO divides by the
+    * slow EMA so classes are comparable on one scale — the reading a
+    * fleet-wide momentum dashboard actually wants. The divide runs
+    * INSIDE the fold (the signal line is the EMA₉ of the PPO series,
+    * not of MACD), guarded by the slow EMA ≠ 0 — the [[tsTrix]]
+    * denominator convention. Same textual-expansion discipline: each
+    * stage consumes the just-updated prior stage within one step. */
+  def tsPpo(events: DataFrame): DataFrame = {
+    val e1 = "(acc[0] + (2.0d / 13.0d) * (x - acc[0]))"
+    val e2 = "(acc[1] + (2.0d / 27.0d) * (x - acc[1]))"
+    val p = s"(case when $e2 <> 0.0d then 100.0d * ($e1 - $e2) / $e2 else 0.0d end)"
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hu"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"),
+        map_from_entries(collect_list(struct(col("hu"), col("n")))).as("m"))
+      .withColumn("xs", denseHourGrid("ts_ppo"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_hours"),
+        expr(
+          s"""aggregate(
+                slice(xs, 2, size(xs) - 1),
+                array(element_at(xs, 1), element_at(xs, 1), 0.0d),
+                (acc, x) -> array($e1, $e2,
+                  acc[2] + (2.0d / 10.0d) * ($p - acc[2])))""").as("st"))
+      .select(col("event_type"), col("n_hours"),
+        when(col("st")(1) =!= 0.0,
+          lit(100.0) * (col("st")(0) - col("st")(1)) / col("st")(1))
+          .otherwise(lit(0.0)).as("ppo"),
+        col("st")(2).as("ppo_signal"),
+        (when(col("st")(1) =!= 0.0,
+          lit(100.0) * (col("st")(0) - col("st")(1)) / col("st")(1))
+          .otherwise(lit(0.0)) - col("st")(2)).as("ppo_hist"))
       .orderBy("event_type")
   }
 

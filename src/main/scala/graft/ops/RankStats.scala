@@ -886,6 +886,73 @@ object RankStats {
               lit(1.0) / col("nn").cast("double")) * col("s")).as("a2_kn"))
   }
 
+  /** r11: Mood scale test on the click-vs-view value samples — the
+    * DISPERSION member of the rank family, with midranks: Ansari–Bradley
+    * ranks inward from both ends (linear weights); Mood squares the
+    * centered ranks, T = Σ_{i∈A}(rᵢ − (N+1)/2)², weighting the TAILS
+    * quadratically — a variance-style read that stays rank-robust (the
+    * `stat_ad_twosample` philosophy applied to scale instead of fit).
+    * z is computed from the EXACT finite-population permutation moments
+    * GIVEN the realized midranks (draw n_A of the N midrank scores
+    * without replacement): E[T] = m·Ā, Var[T] = mn/(N−1)·(Σa²/N − Ā²)
+    * — the tie correction is therefore built in, not bolted on (with no
+    * ties these collapse to the textbook m(N²−1)/12 and
+    * mn(N+1)(N²−4)/180).
+    *
+    * EXACTNESS: a tied group of l observations ending at pooled
+    * cumulative count b has midrank (2b − l + 1)/2, so the centered rank
+    * is u/2 with u = 2b − l − N an EXACT integer; all three fold terms
+    * (c_A·u², l·u², l·u⁴ — the ×4/×4/×16 scalings cancel inside z) are
+    * fixed IEEE chains per vocabulary cell, summed by the value-SORTED
+    * fold replay (`sort_array` + `aggregate` ↔ ordered `list()` +
+    * `list_reduce`), one defined float order in both engines; the final
+    * z is one fixed chain. SCALE: rides the pooled value VOCABULARY,
+    * like every member of the rank-test family. */
+  def statMoodScale(events: DataFrame, classA: String = "click",
+      classB: String = "view"): DataFrame = {
+    val cents = (c: Column) =>
+      (c.cast(DecimalType(28, 2)) * 100).cast(dec38).cast("long")
+    val cells = events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .groupBy(col("c"))
+      .agg(
+        sum(when(col("event_type") === classA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === classB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("l", col("ca") + col("cb"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells.withColumn("b", sum(col("l")).over(wCum))
+    val totals = cells.agg(
+      sum(col("ca")).as("m"), sum(col("cb")).as("nn"),
+      count(lit(1)).as("n_vocab"))
+    val terms = cum.crossJoin(broadcast(totals))
+      .withColumn("u",
+        (lit(2L) * col("b") - col("l") - (col("m") + col("nn"))).cast("double"))
+      .withColumn("ta", col("ca").cast("double") * (col("u") * col("u")))
+      .withColumn("t2", col("l").cast("double") * (col("u") * col("u")))
+      .withColumn("t4", col("l").cast("double") *
+        ((col("u") * col("u")) * (col("u") * col("u"))))
+    terms
+      .groupBy(col("m"), col("nn"), col("n_vocab"))
+      .agg(graft.ops.Guards.boundedSeries(
+        sort_array(collect_list(struct(col("c"), col("ta"), col("t2"),
+          col("t4")))), "stat_mood_scale").as("rs"))
+      .withColumn("f", expr(
+        """aggregate(rs, array(0.0d, 0.0d, 0.0d),
+             (acc, r) -> array(acc[0] + r.ta, acc[1] + r.t2, acc[2] + r.t4))"""))
+      .select(col("m").as("n_a"), col("nn").as("n_b"), col("n_vocab"),
+        col("f")(0).as("t4_stat"),
+        when(col("m") > 0 && col("nn") > 0 && (col("m") + col("nn")) > 1, {
+          val nD = (col("m") + col("nn")).cast("double")
+          val e4 = col("m").cast("double") * col("f")(1) / nD
+          val v16 = col("m").cast("double") * col("nn").cast("double") /
+            (nD - lit(1.0)) *
+            (col("f")(2) / nD - (col("f")(1) / nD) * (col("f")(1) / nD))
+          when(v16 > 0.0, (col("f")(0) - e4) / sqrt(v16))
+        }).as("z_mood"))
+  }
+
   /** r10b: Cochran–Mantel–Haenszel test + the MH common odds ratio —
     * "is conversion associated with the weekend AFTER controlling for
     * the time of day?": the marginal 2×2 (weekend × purchase-vs-click)

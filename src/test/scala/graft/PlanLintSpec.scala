@@ -73,7 +73,11 @@ class PlanLintSpec extends SparkSpec {
     "sample_kfold",                                      // 1-row total frame crossed onto the k-row fold rollup (r10b)
     "sample_temporal_split",                             // 1-row span frame crossed onto the fact scan (the events_survival_km shape, r10b)
     "stat_ad_twosample",                                 // 1-row totals frame crossed onto the vocab frame (the rank-test shape, r10b)
-    "sample_group_kfold"                                 // 1-row total frame crossed onto the k-row fold rollup (r10b)
+    "sample_group_kfold",                                // 1-row total frame crossed onto the k-row fold rollup (r10b)
+    "stat_mood_scale",                                   // 1-row totals frame crossed onto the vocab frame (the rank-test shape, r11)
+    "auto_embedding_dedup",                              // routes to dedup_embedding_cosine: broadcast block-pair dim (allowlisted exact form, r11)
+    "auto_knn_join",                                     // routes to sim_knn_join: broadcast block-pair dim (allowlisted exact form, r11)
+    "auto_triangles"                                     // routes to graph_triangles: its allowlisted 1-row census shape (r11)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {

@@ -68,10 +68,24 @@ class SoakStreamSpec extends SparkSpec {
       // therefore ANY movement of the engine (batch id, rows ingested,
       // state rows), not just the awaited value; the stall timer fires
       // only when the stream itself is dead, plus a 30 min runaway cap.
+      // r11: lastProgress is NULL until the FIRST micro-batch completes —
+      // when the whole feed lands in one monster first batch (observed:
+      // a 565 MB task binary chewing > 3 min under full-suite host load),
+      // every lastProgress-derived signal is frozen and the stall timer
+      // fired on a healthy engine. Completed TASKS move continuously
+      // inside a long batch; count them as progress too.
+      val tasksDone = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasksDone.incrementAndGet(); ()
+        }
+      })
       val stallMs = 180000L
       val hardCap = System.currentTimeMillis() + 1800000L
-      def engineProgress(): Seq[Long] = Option(q.lastProgress).toSeq.flatMap(p =>
-        Seq(p.batchId, p.numInputRows, p.stateOperators.map(_.numRowsTotal).sum))
+      def engineProgress(): Seq[Long] = tasksDone.get() +:
+        Option(q.lastProgress).toSeq.flatMap(p =>
+          Seq(p.batchId, p.numInputRows, p.stateOperators.map(_.numRowsTotal).sum))
       def awaitStable(observe: () => Long, done: Long => Boolean): Long = {
         var last = (observe(), engineProgress())
         var lastChange = System.currentTimeMillis()
