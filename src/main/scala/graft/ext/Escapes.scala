@@ -31,7 +31,9 @@ object Escapes {
     "graph_local_clustering"  -> "graph_local_clustering_fine",
     "join_interval_overlap"   -> "join_interval_overlap_min",
     "dedup_embedding_cosine"  -> "dedup_embedding_cosine_lsh",
-    "sim_knn_join"            -> "sim_knn_join_lsh")
+    "sim_knn_join"            -> "sim_knn_join_lsh",
+    "dedup_ngram_jaccard"     -> "dedup_ngram_jaccard_capped",
+    "dedup_containment"       -> "dedup_containment_capped")
 
   private def log(query: String, metric: String, value: Any, budget: Long,
                   chose: String): Unit =
@@ -148,6 +150,37 @@ object Escapes {
     }
   }
 
+  /** r11 (the sf3 shingle probe): n-gram Jaccard — full df cap (1000)
+    * under the pair-expansion budget, df ≤ 64 capped postings above it.
+    * The routing metric is the SAME Σ df(df−1)/2 the candidate
+    * expansion's pre-flight checks. */
+  def ngramJaccard(documents: DataFrame,
+      pairBudget: Long = 20000000000L): DataFrame = {
+    val b = Dedup.pairExpansionBound(documents)
+    if (b.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0) {
+      log("dedup_ngram_jaccard", "pair expansion", b, pairBudget, "exact")
+      Dedup.dedupNgramJaccard(documents)
+    } else {
+      log("dedup_ngram_jaccard", "pair expansion", b, pairBudget,
+        "capped (maxDf=64)")
+      Dedup.dedupNgramJaccard(documents, maxDf = 64)
+    }
+  }
+
+  /** r11: containment — the same routing for the asymmetric-overlap form. */
+  def containment(documents: DataFrame,
+      pairBudget: Long = 20000000000L): DataFrame = {
+    val b = Dedup.pairExpansionBound(documents)
+    if (b.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0) {
+      log("dedup_containment", "pair expansion", b, pairBudget, "exact")
+      Dedup.dedupContainment(documents)
+    } else {
+      log("dedup_containment", "pair expansion", b, pairBudget,
+        "capped (maxDf=64)")
+      Dedup.dedupContainment(documents, maxDf = 64)
+    }
+  }
+
   /** Generic entry: route a query with a declared escape by name. */
   def dispatch(query: String, df: DataFrame): DataFrame = query match {
     case "stat_hodges_lehmann"    => hodgesLehmann(df)
@@ -157,6 +190,8 @@ object Escapes {
     case "join_interval_overlap"  => intervalOverlap(df)
     case "dedup_embedding_cosine" => embeddingCosine(df)
     case "sim_knn_join"           => knnJoin(df)
+    case "dedup_ngram_jaccard"    => ngramJaccard(df)
+    case "dedup_containment"      => containment(df)
     case other => throw new IllegalArgumentException(
       s"$other has no declared exact/escape pair; known: ${pairs.keys.toSeq.sorted.mkString(", ")}")
   }

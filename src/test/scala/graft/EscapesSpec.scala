@@ -107,8 +107,36 @@ class EscapesSpec extends SparkSpec {
     assert(e2.getMessage.contains("sim_knn_join_lsh"), e2.getMessage)
   }
 
+  test("shingle pairs: exact under the expansion budget, df<=64 capped above") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = graft.ext.Dedup.dedupNgramJaccard(docs).collect()
+    val capped = graft.ext.Dedup.dedupNgramJaccard(docs, maxDf = 64).collect()
+    val under = Escapes.ngramJaccard(docs)
+    val over = Escapes.ngramJaccard(docs, pairBudget = 1L)
+    assert(under.collect().toSeq == exact.toSeq)
+    assert(over.collect().toSeq == capped.toSeq)
+    assert(under.schema == over.schema)
+
+    val cExact = graft.ext.Dedup.dedupContainment(docs).collect()
+    val cUnder = Escapes.containment(docs)
+    val cOver = Escapes.containment(docs, pairBudget = 1L)
+    assert(cUnder.collect().toSeq == cExact.toSeq)
+    assert(cOver.collect().toSeq ==
+      graft.ext.Dedup.dedupContainment(docs, maxDf = 64).collect().toSeq)
+    assert(cUnder.schema == cOver.schema)
+
+    // past its budget the EXACT expansion fails loudly naming the escapes
+    // (maxDf 999 dodges the already-memoized 1000-cap frame so the
+    // pre-flight actually runs)
+    val e = intercept[IllegalStateException] {
+      graft.ext.Dedup.dedupNgramJaccard(docs, maxDf = 999, pairBudget = 1L)
+        .collect()
+    }
+    assert(e.getMessage.contains("dedup_ngram_jaccard_capped"), e.getMessage)
+  }
+
   test("every declared pair is dispatchable and has both members in queries") {
-    assert(Escapes.pairs.size == 7)
+    assert(Escapes.pairs.size == 9)
     Escapes.pairs.foreach { case (exact, escape) =>
       assert(SparkEntry.queries.contains(exact), s"$exact not declared")
       assert(SparkEntry.queries.contains(escape), s"$escape not declared")
