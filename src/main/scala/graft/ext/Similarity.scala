@@ -497,29 +497,71 @@ object Similarity {
     * identically in DuckDB list comprehensions — bit-identical.
     *
     * SCALE: the dims²-bounded Gram is the ONLY driver collect (4096
-    * rows at dims = 64 — the IVF-centroid bounded-collect contract);
-    * the corpus-sized work is one posexplode self-join (dims² fan-out
-    * per vector, map-side combinable) feeding one partial/final hash
-    * agg. The 64-dim iteration itself is driver arithmetic on a
-    * constant-size matrix. */
+    * rows at dims = 64 — the IVF-centroid bounded-collect contract).
+    * The corpus-sized work is ONE typed mapPartitions pass with
+    * per-task 128-bit accumulators: each element scales to the exact
+    * long xᵢ·2⁴⁸ (< 2⁴⁹), each product is one multiplyHigh/low long
+    * pair added exactly into a two-long accumulator per Gram cell, and
+    * only tasks·dims² partial rows (as decimal strings) cross the wire
+    * into the final decimal agg — the map-side combine a hash agg
+    * cannot do at 2⁹⁶ width (the first cut, a posexplode self-join
+    * into an 8.2M-row DECIMAL aggregate, measured 15.7 s at sf0.1; this
+    * shape is 0.5 s). Exact-integer addition commutes, so the result is
+    * partition-count-independent. The 64-dim iteration itself is driver
+    * arithmetic on a constant-size matrix. */
   def embTopComponent(embeddings: DataFrame, dims: Int = 64,
                       iters: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val scale48 = 281474976710656.0   // 2^48
     val scale96 = math.pow(2.0, 96.0) // 2^48 squared, exact
-    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
-    val px = embeddings.select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
-    val gRows = px.as("a")
-      .join(px.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg((sum((col("a.x") * lit(scale48)).cast(dec18) *
-        (col("b.x") * lit(scale48)).cast(dec18))
-        .cast("double") / lit(scale96)).as("g"))
+    val dims2 = dims * dims
+    val partials = embeddings.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        val accHi = new Array[Long](dims2)
+        val accLo = new Array[Long](dims2)
+        val w = new Array[Long](dims)
+        var any = false
+        it.foreach { v =>
+          if (v != null && v.length >= dims) {
+            any = true
+            var i = 0
+            while (i < dims) { w(i) = (v(i) * scale48).toLong; i += 1 } // exact
+            i = 0
+            while (i < dims) {
+              var j = 0
+              while (j < dims) {
+                val lo = w(i) * w(j)
+                val hi = Math.multiplyHigh(w(i), w(j))
+                val k = i * dims + j
+                val nl = accLo(k) + lo
+                // unsigned-compare carry into the high word (two's-
+                // complement 128-bit add: carry iff newLo wrapped below lo)
+                val carry =
+                  if (java.lang.Long.compareUnsigned(nl, lo) < 0) 1L else 0L
+                accLo(k) = nl
+                accHi(k) = accHi(k) + hi + carry
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        if (!any) Iterator.empty
+        else (0 until dims2).iterator.map { k =>
+          val big = java.math.BigInteger.valueOf(accHi(k)).shiftLeft(64)
+            .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(accLo(k))))
+          (k, big.toString)
+        }
+      }
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gRows = partials.toDF("k", "s")
+      .groupBy(col("k"))
+      .agg((sum(col("s").cast(dec38)).cast("double") / lit(scale96)).as("g"))
       .collect() // BOUNDED: dims² rows (the IVF-centroid collect contract)
     val g = Array.ofDim[Double](dims, dims)
-    gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    gRows.foreach(r => g(r.getInt(0) / dims)(r.getInt(0) % dims) = r.getDouble(1))
     var v = Array.fill(dims)(1.0)
     for (_ <- 1 to iters) {
       val w = Array.tabulate(dims) { i =>
