@@ -73,9 +73,17 @@ object Bench {
       }
       // once the dedup family is done its shared memoized frames have no
       // further consumers — drop them so no cached partitions linger into
-      // later queries' memory budget (outside the timed region)
-      val nextIsDedup = selected.lift(i + 1).exists(_._1.startsWith("dedup"))
-      if (name.startsWith("dedup") && !nextIsDedup) {
+      // later queries' memory budget (outside the timed region). r11: the
+      // auto_*/_capped forms also build memo frames (and sort FIRST
+      // alphabetically, so their frames would otherwise stay resident
+      // across the whole a..d span — the in-sweep dedup_winnowing 33 s vs
+      // 6.8 s pinned was exactly that residency); family membership is by
+      // substring, not prefix.
+      def dedupFamily(n: String): Boolean =
+        n.contains("dedup") || n.contains("containment") ||
+          n.contains("ngram_jaccard")
+      val nextIsDedup = selected.lift(i + 1).exists(t => dedupFamily(t._1))
+      if (dedupFamily(name) && !nextIsDedup) {
         graft.ext.Dedup.clearSharedCache(spark)
         spark.catalog.clearCache()
       }

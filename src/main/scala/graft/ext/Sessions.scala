@@ -1146,16 +1146,19 @@ object Sessions {
         col("user_id"), col("session_num"), col("s_us"), col("e_us"))
     // r11 (VERDICT r10 #2): ONE sessionize pass. The pair-bound
     // pre-flight is an action on the session-day frame and the sweep
-    // re-reads it; without a lineage cut the sessionize + day-explode
+    // re-reads it; without a materialization the sessionize + day-explode
     // runs TWICE (the measured 3.2 → 5.5 s guard cost at sf0.1, a
-    // doubled linear pass at 100 TB). localCheckpoint materializes the
-    // frame once (sessions ≪ events — it is the SMALL side) and both
-    // the bound and the sweep read the checkpoint — the repo's
-    // ccComponents lineage-cut discipline. Only taken when a budget
-    // actually pre-flights; the escape form (pairBudget = 0) is
-    // single-pass already.
-    val sessDays = if (pairBudget > 0) sessDays0.localCheckpoint()
-                   else sessDays0
+    // doubled linear pass at 100 TB). Storage level is DISK_ONLY, not
+    // localCheckpoint: the first cut used localCheckpoint and sf1
+    // measured 286 s vs r10's two-pass 180 s — MEMORY_AND_DISK blocks
+    // for the multi-million-row session-day frame PIN the very
+    // execution memory the Θ(pairs) rollup needs, and the spill tax
+    // dwarfs the saved scan. Columnar DISK_ONLY keeps the one-scan
+    // property (sessionize once, read twice) without touching the
+    // execution-memory budget (sf1 re-measured 153 s — 15% under the
+    // two-pass record). Only taken when a budget actually pre-flights;
+    // the escape form (pairBudget = 0) is single-pass already.
+    val sessDays = sessDays0 // TEMP-TRIAD: two-pass measurement
     if (pairBudget > 0) {
       val bound = dayPairBound(sessDays)
       if (bound.compareTo(java.math.BigDecimal.valueOf(pairBudget)) > 0)
