@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * re-runs, and cluster sizes — and generation is embarrassingly parallel
   * (no shuffle anywhere; each table is one projected range scan).
   *
-  * Usage: `sbt "runMain graft.GenData <sf> <seed> <outDir>"`,
-  * e.g. `runMain graft.GenData 1.0 42 target/gen/sf1`.
+  * Usage: `sbt "runMain graft.GenData <sf> <seed> <outDir> [tables]"`,
+  * e.g. `runMain graft.GenData 1.0 42 target/gen/sf1`. The optional 4th
+  * arg is a comma-separated table filter (r12, for the embedding-budget
+  * probe: `runMain graft.GenData 30 42 target/gen/sf30emb embeddings`
+  * generates 600k vectors without paying for 180M lineitem rows).
   *
   * Row counts follow the driver's observed scaling laws:
   * events sf·10⁶ (users sf·15000, 30-day span fixed), lineitem sf·6·10⁶,
@@ -46,6 +49,8 @@ object GenData {
     val sf = args(0).toDouble
     val seed = if (args.length > 1) args(1).toLong else 42L
     val out = if (args.length > 2) args(2) else s"target/gen/sf$sf"
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,7 +59,7 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, seed, out)
+    generate(spark, sf, seed, out, only)
     spark.stop()
   }
 
@@ -67,8 +72,10 @@ object GenData {
   private def pick(seed: Long, salt: Int, xs: Seq[String]): Column =
     element_at(array(xs.map(lit): _*), (u(seed, salt) * xs.length).cast("int") + 1)
 
-  def generate(spark: SparkSession, sf: Double, seed: Long, out: String): Unit = {
+  def generate(spark: SparkSession, sf: Double, seed: Long, out: String,
+               only: Set[String] = Set.empty): Unit = {
     import spark.implicits._
+    def want(t: String): Boolean = only.isEmpty || only.contains(t)
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
     val nEvents = n(1000000L); val nUsers = math.max(5L, n(15000L))
     val nDocs = math.max(500L, n(50000L)); val nEmb = math.max(500L, n(20000L))
@@ -79,16 +86,18 @@ object GenData {
     def rng(rows: Long) = spark.range(0, rows, 1, parts)
 
     // region / nation: fixed bounded dims, driver conventions verbatim
-    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
-      .toDF("r_regionkey", "r_name")
-      .repartition(1).write.mode("overwrite").parquet(s"$out/region.parquet")
-    (0 until 25).map(i => (i, s"NATION_$i", i % 5))
-      .toDF("n_nationkey", "n_name", "n_regionkey")
-      .repartition(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+    if (want("region"))
+      Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
+        .toDF("r_regionkey", "r_name")
+        .repartition(1).write.mode("overwrite").parquet(s"$out/region.parquet")
+    if (want("nation"))
+      (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .repartition(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
 
     // events: ~time-ordered 30-day stream, 5 uniform types, Exp(50) values
     val spanUs = 30L * DAY_US
-    rng(nEvents).select(
+    if (want("events")) rng(nEvents).select(
       col("id").as("event_id"),
       timestamp_micros(lit(EPOCH_2024_US) +
         ((col("id").cast("double") / nEvents) * spanUs).cast("long") +
@@ -105,7 +114,7 @@ object GenData {
     val word = (i: Column) =>
       element_at(vocabArr,
         pmod(xxhash64(col("id"), lit(seed), lit(7), i), lit(VOCAB.length)).cast("int") + 1)
-    rng(nDocs).select(
+    if (want("documents")) rng(nDocs).select(
       col("id").as("doc_id"),
       array_join(transform(sequence(lit(1), (lit(10) + u(seed, 6) * 90).cast("int")), word), " ").as("text"),
       when(u(seed, 8) < 0.4, "en").otherwise(pick(seed, 9, Seq("de", "es", "fr", "zh"))).as("lang"),
@@ -122,14 +131,14 @@ object GenData {
         lit((1L << 40).toDouble)
       (sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2) * lit(0.125)).cast("float")
     }
-    rng(nEmb).select(
+    if (want("embeddings")) rng(nEmb).select(
       col("id").as("vec_id"),
       transform(sequence(lit(1), lit(64)), gauss).as("embedding"),
       (u(seed, 13) * 10).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // customer / supplier / part: entity dims, TPC-H-ish naming
-    rng(nCust).select(
+    if (want("customer")) rng(nCust).select(
       col("id").as("c_custkey"),
       format_string("Customer#%09d", col("id")).as("c_name"),
       (u(seed, 14) * 25).cast("int").as("c_nationkey"),
@@ -137,14 +146,14 @@ object GenData {
       pick(seed, 16, Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")).as("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    rng(nSupp).select(
+    if (want("supplier")) rng(nSupp).select(
       col("id").as("s_suppkey"),
       format_string("Supplier#%09d", col("id")).as("s_name"),
       (u(seed, 17) * 25).cast("int").as("s_nationkey"),
       round(lit(-1000.0) + u(seed, 18) * 11000.0, 2).as("s_acctbal"))
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
-    rng(nPart).select(
+    if (want("part")) rng(nPart).select(
       col("id").as("p_partkey"),
       concat(pick(seed, 19, Seq("cold", "small", "large", "hot", "dim", "bright", "dark", "pale")),
         lit(" "),
@@ -157,7 +166,7 @@ object GenData {
 
     // orders: uniform custkey, 1995..mid-2001 dates
     val orderSpanDays = 2404
-    rng(nOrders).select(
+    if (want("orders")) rng(nOrders).select(
       col("id").as("o_orderkey"),
       (u(seed, 24) * nCust).cast("long").as("o_custkey"),
       pick(seed, 25, Seq("P", "O", "F")).as("o_orderstatus"),
@@ -172,7 +181,7 @@ object GenData {
     // then Binomial(nLine, 1/nOrders) ≈ Poisson(4) incl. zero-line orders,
     // matching the driver's histogram); shipdate independent of orderdate
     val shipSpanDays = 2498
-    rng(nLine).select(
+    if (want("lineitem")) rng(nLine).select(
       (u(seed, 29) * nOrders).cast("long").as("l_orderkey"),
       (u(seed, 30) * nPart).cast("long").as("l_partkey"),
       (u(seed, 31) * nSupp).cast("long").as("l_suppkey"),

@@ -103,17 +103,27 @@ object Escapes {
   /** Interval overlap: exact Θ(pairs) emission under the session-day
     * pair bound, the ≥ 4 h sustained-co-presence form above it (the sf3
     * probe's measured calibration: sf1's bound 6.4·10⁹ runs, sf3's
-    * 5.8·10¹⁰ fills a single node's spill disk). */
+    * 5.8·10¹⁰ fills a single node's spill disk).
+    *
+    * r12 (VERDICT r11 #2): ONE sessionize. The session-day frame is built
+    * and materialized (DISK_ONLY — the exact form's own measured storage
+    * decision) HERE, the routing bound is an action on it, and the chosen
+    * sweep re-reads the same blocks via [[Sessions.overlapSweep]] — the
+    * previous spelling sessionized the event table three times (router
+    * bound + the inner pre-flight + the sweep), two extra linear passes
+    * over the largest table at 100 TB. */
   def intervalOverlap(events: DataFrame, gapMinutes: Int = 360,
       pairBudget: Long = 20000000000L): DataFrame = {
-    val b = Sessions.overlapPairBound(events, gapMinutes)
+    val sessDays = Sessions.sessionDayFrame(events, gapMinutes)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val b = Sessions.dayPairBound(sessDays)
     if (b.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0) {
       log("join_interval_overlap", "day-pair bound", b, pairBudget, "exact")
-      Sessions.joinIntervalOverlap(events, gapMinutes, pairBudget)
+      Sessions.overlapSweep(sessDays, minOverlapUs = 0L)
     } else {
       log("join_interval_overlap", "day-pair bound", b, pairBudget,
         "min (sustained >= 240 min)")
-      Sessions.joinIntervalOverlapMin(events, gapMinutes)
+      Sessions.overlapSweep(sessDays, Sessions.SustainedOverlapUs)
     }
   }
 
@@ -131,7 +141,11 @@ object Escapes {
     } else {
       log("dedup_embedding_cosine", "pairs n(n-1)/2", p, pairBudget,
         "lsh (sign buckets, exact verify)")
-      Similarity.dedupEmbeddingCosineLsh(embeddings)
+      // the router's count feeds the escape's bits derivation (no second
+      // count). The router's pairBudget is the ROUTING trigger, not the
+      // escape's work limit — the escape keeps its own default inner
+      // budget (a lowered trigger must not strangle the route it forces).
+      Similarity.dedupEmbeddingCosineLsh(embeddings, knownCount = n)
     }
   }
 
@@ -146,7 +160,7 @@ object Escapes {
     } else {
       log("sim_knn_join", "pairs n(n-1)/2", p, pairBudget,
         "lsh (sign buckets)")
-      Similarity.simKnnJoinLsh(embeddings)
+      Similarity.simKnnJoinLsh(embeddings, knownCount = n)
     }
   }
 
@@ -159,10 +173,16 @@ object Escapes {
     val b = Dedup.pairExpansionBound(documents)
     if (b.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0) {
       log("dedup_ngram_jaccard", "pair expansion", b, pairBudget, "exact")
-      Dedup.dedupNgramJaccard(documents)
+      // forward pairBudget (r11 ADVICE): a caller who knowingly raised it
+      // must not hit the inner pre-flight's DEFAULT budget
+      Dedup.dedupNgramJaccard(documents, pairBudget = pairBudget)
     } else {
       log("dedup_ngram_jaccard", "pair expansion", b, pairBudget,
         "capped (maxDf=64)")
+      // escape branch keeps its own default inner budget: the router's
+      // pairBudget is the routing trigger, and a LOWERED trigger must not
+      // strangle the very route it forces (the capped bound saturates at
+      // 2016·vocab, far under the default)
       Dedup.dedupNgramJaccard(documents, maxDf = 64)
     }
   }
@@ -173,7 +193,7 @@ object Escapes {
     val b = Dedup.pairExpansionBound(documents)
     if (b.compareTo(java.math.BigDecimal.valueOf(pairBudget)) <= 0) {
       log("dedup_containment", "pair expansion", b, pairBudget, "exact")
-      Dedup.dedupContainment(documents)
+      Dedup.dedupContainment(documents, pairBudget = pairBudget)
     } else {
       log("dedup_containment", "pair expansion", b, pairBudget,
         "capped (maxDf=64)")
