@@ -65,7 +65,19 @@ object Bench {
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}")
       }
     }
+    // r12: the interval-overlap family's one-scan DISK_ONLY persist dedupes
+    // through the CacheManager by canonical plan, so without a clear an
+    // alphabetically-earlier family member hands later members a warm
+    // session-day frame (the r12 sweep showed auto 4.8 s cold-build vs
+    // join 3.6 s cache-fed — a pure order artifact between two identical
+    // plans). Clear BEFORE each family member's pair of runs: run 1 pays
+    // the full sessionize+persist cold, run 2 re-reads the materialization
+    // (that reuse IS the one-scan design and Bench's warm best-of-2
+    // convention), and every member — auto, exact, min — meets identical
+    // cache state regardless of sweep order.
+    def intervalFamily(n: String): Boolean = n.contains("interval_overlap")
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (intervalFamily(name)) spark.catalog.clearCache()
       val r = (timeOnce(fn), timeOnce(fn)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Left(e), _)         => Left(e)
