@@ -70,14 +70,18 @@ object Bench {
     // alphabetically-earlier family member hands later members a warm
     // session-day frame (the r12 sweep showed auto 4.8 s cold-build vs
     // join 3.6 s cache-fed — a pure order artifact between two identical
-    // plans). Clear BEFORE each family member's pair of runs: run 1 pays
-    // the full sessionize+persist cold, run 2 re-reads the materialization
+    // plans). Drop exactly that frame BEFORE each family member's pair of
+    // runs (surgical unpersist, NOT a global clearCache — auto_interval_
+    // overlap sits mid auto-block and a global clear would de-cache the
+    // memo frames its census siblings are still reading): run 1 pays the
+    // full sessionize+persist cold, run 2 re-reads the materialization
     // (that reuse IS the one-scan design and Bench's warm best-of-2
     // convention), and every member — auto, exact, min — meets identical
     // cache state regardless of sweep order.
     def intervalFamily(n: String): Boolean = n.contains("interval_overlap")
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (intervalFamily(name)) spark.catalog.clearCache()
+      if (intervalFamily(name))
+        graft.ext.Sessions.unpersistSessionDays(graft.Tables.events(spark, sfDir))
       val r = (timeOnce(fn), timeOnce(fn)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Left(e), _)         => Left(e)
@@ -90,12 +94,22 @@ object Bench {
       // alphabetically, so their frames would otherwise stay resident
       // across the whole a..d span — the in-sweep dedup_winnowing 33 s vs
       // 6.8 s pinned was exactly that residency); family membership is by
-      // substring, not prefix.
-      def dedupFamily(n: String): Boolean =
+      // substring, not prefix. r12: the clear fired MID auto-block
+      // (auto_embedding_dedup / auto_ngram_jaccard are dedup-named and
+      // their alphabetical successors are not), wiping the census memo
+      // frames auto_triangles / auto_local_clustering were about to
+      // reuse — the record showed every census auto at a phantom ~1.5×
+      // its exact twin purely from that ordering. The memo-user REGION is
+      // the right clear boundary: the auto_* block, the dedup names, and
+      // the graph census block each release their frames when the sweep
+      // LEAVES them (same first-member-absorbs-the-build convention the
+      // dedup note documents).
+      def memoFamily(n: String): Boolean =
         n.contains("dedup") || n.contains("containment") ||
-          n.contains("ngram_jaccard")
-      val nextIsDedup = selected.lift(i + 1).exists(t => dedupFamily(t._1))
-      if (dedupFamily(name) && !nextIsDedup) {
+          n.contains("ngram_jaccard") || n.startsWith("auto_") ||
+          n.startsWith("graph_")
+      val nextIsMemo = selected.lift(i + 1).exists(t => memoFamily(t._1))
+      if (memoFamily(name) && !nextIsMemo) {
         graft.ext.Dedup.clearSharedCache(spark)
         spark.catalog.clearCache()
       }

@@ -498,12 +498,16 @@ object Sessions {
   }
 
   /** [[graphLinkJaccard]]'s budget metric (Σ deg² over the symmetrized
-    * neighbor frame), exposed for [[Escapes]]' pre-flight routing. */
+    * neighbor frame), exposed for [[Escapes]]' pre-flight routing. r12
+    * (the interval-overlap single-bound discipline): the symmetrized
+    * degree equals [[edgeDegrees]] on the distinct-pair edge frame, so
+    * this rides the census family's MEMOIZED degree frame — the router's
+    * bound and the exact form's inner guard are two tiny node-level aggs
+    * over one cached build instead of two full symmetrize+shuffle passes
+    * (measured: auto_link_jaccard 7.6 → parity with exact at sf0.1). */
   private[graft] def jaccardWedges(events: DataFrame): java.math.BigDecimal = {
     val edges = coActivityEdges(events)
-    val nbrs = edges.select(col("a").as("v"), col("b").as("w"))
-      .union(edges.select(col("b").as("v"), col("a").as("w")))
-    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val deg = Dedup.memo(events, "triangle-degrees-minute") { edgeDegrees(edges) }
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     deg.agg(coalesce(sum(col("deg").cast(dec) * col("deg")),
       lit(java.math.BigDecimal.ZERO).cast(dec)).as("w"))
@@ -859,7 +863,10 @@ object Sessions {
     val edges = coActivityEdges(events)
     val nbrs = edges.select(col("a").as("v"), col("b").as("w"))
       .union(edges.select(col("b").as("v"), col("a").as("w")))
-    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // r12: the symmetrized per-v neighbor count IS edgeDegrees' count on
+    // the distinct-pair frame — share the census family's memoized build
+    // instead of shuffling the 2|E| union a second time per consumer.
+    val deg = Dedup.memo(events, "triangle-degrees-minute") { edgeDegrees(edges) }
     val witnessNbrs =
       if (maxWitnessDeg > 0)
         nbrs.join(deg.filter(col("deg") <= maxWitnessDeg)
@@ -1133,6 +1140,16 @@ object Sessions {
     * budget route so the auto form and the declared escape are the same
     * query. */
   private[graft] val SustainedOverlapUs: Long = 240 * 60000000L
+
+  /** Surgically drop the one-scan session-day materialization (r12,
+    * bench hygiene): `unpersist` matches the CacheManager entry by
+    * canonicalized plan, so rebuilding the frame expression here releases
+    * exactly the interval-overlap cache without touching other queries'
+    * live memo frames the way a global `clearCache` would (no-op when
+    * nothing is cached). */
+  private[graft] def unpersistSessionDays(events: DataFrame,
+      gapMinutes: Int = 360): Unit =
+    sessionDayFrame(events, gapMinutes).unpersist()
 
   /** Shared sweep plan for the interval-overlap pair; see
     * [[joinIntervalOverlap]]'s contract scaladoc above. r10: the exact

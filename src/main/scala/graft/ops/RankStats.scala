@@ -662,37 +662,51 @@ object RankStats {
     * all-pairs lower median. 1-row out. */
   /** The HL budget's own metric — distinct quantized values across both
     * classes — exposed for [[graft.ext.Escapes]]' pre-flight routing. */
-  private[graft] def hlVocabCount(events: DataFrame, classA: String = "click",
-      classB: String = "view", unitCents: Long = 1L): Long = {
+  /** Per-value class weights (c, wa, wb) over quantized cents — the
+    * vocab-bounded core [[statHodgesLehmann]] folds over, MEMOIZED per
+    * (corpus, classes, unit) so the routing count ([[hlVocabCount]]), the
+    * inner vocab guard, and the selection fold all read ONE events scan
+    * (r12; previously the auto form paid three). Coarse mode
+    * (unitCents > 1) FLOOR-divides cents into wider buckets — floor, not
+    * truncating, division so negative values bucket consistently in both
+    * engines: a − ((a % u + u) % u) is the exact lower multiple. */
+  private def hlMerged(events: DataFrame, classA: String, classB: String,
+      unitCents: Long): DataFrame = {
     val raw = cents(col("value"))
     val u = lit(unitCents)
     val cq = if (unitCents == 1L) raw
       else idiv(raw - (((raw % u) + u) % u), u)
-    events
-      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
-      .select(cq.as("c")).distinct()
-      .agg(count(lit(1))).collect()(0).getLong(0)
+    graft.ext.Dedup.memo(events, s"hl-merged-$classA-$classB-$unitCents") {
+      events
+        .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+        .select(col("event_type"), cq.as("c"))
+        .groupBy(col("c"))
+        .agg(sum(when(col("event_type") === classA, 1L).otherwise(0L)).as("wa"),
+          sum(when(col("event_type") === classB, 1L).otherwise(0L)).as("wb"))
+    }
   }
+
+  private[graft] def hlVocabCount(events: DataFrame, classA: String = "click",
+      classB: String = "view", unitCents: Long = 1L): Long =
+    hlMerged(events, classA, classB, unitCents)
+      .agg(count(lit(1))).collect()(0).getLong(0)
 
   def statHodgesLehmann(events: DataFrame, classA: String = "click",
       classB: String = "view", maxVocab: Long = 20000000L,
       unitCents: Long = 1L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    // coarse mode (unitCents > 1): FLOOR-divide cents into wider buckets —
-    // the documented vocab escape. Floor (not truncating) division so
-    // negative values bucket consistently in both engines:
-    // a − ((a % u + u) % u) is the exact lower multiple.
-    val raw = cents(col("value"))
+    // coarse mode (unitCents > 1) is [[hlMerged]]'s FLOOR-divide into
+    // wider buckets — the documented vocab escape; u rescales the
+    // selected bucket back to cents at the end.
     val u = lit(unitCents)
-    val cq = if (unitCents == 1L) raw
-      else idiv(raw - (((raw % u) + u) % u), u)
-    val sample = events
-      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
-      .select(col("event_type"), cq.as("c"))
-    val merged = sample.groupBy(col("c"))
-      .agg(sum(when(col("event_type") === classA, 1L).otherwise(0L)).as("wa"),
-        sum(when(col("event_type") === classB, 1L).otherwise(0L)).as("wb"))
+    // r12 (the interval-overlap single-bound discipline): the merged
+    // per-value weight frame is vocab-bounded (≤ maxVocab rows by the
+    // guard below) and feeds THREE consumers — the inner vocab probe, the
+    // selection fold, and [[Escapes.hodgesLehmann]]'s routing count via
+    // [[hlVocabCount]] — so it is memoized per (corpus, classes, unit):
+    // one events scan serves router + guard + fold instead of three.
+    val merged = hlMerged(events, classA, classB, unitCents)
     // pre-flight vocab budget: LINEAR in distinct values (1-row probe),
     // loud failure naming the quantization escape
     val nv = merged.agg(count(lit(1)).as("nv")).collect()(0).getLong(0)
