@@ -44,6 +44,31 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** r12: RANGE similarity search — every corpus vector within cosine ≥
+    * `minCosine` of each query (self excluded), the ε-neighborhood dual
+    * of [[simSearchCosineTopk]]'s top-k: retrieval pipelines ask both
+    * "the k best" (rerank feeds) and "everything this close" (dedup
+    * sweeps, contamination lookups, cluster seeding), and a top-k API
+    * silently truncates dense neighborhoods while range search returns
+    * the honest set. Same 100 TB plan as the top-k baseline: queries
+    * broadcast (bounded side), corpus stays partitioned, per-pair cosine
+    * is the codegen'd [[graft.functions.VectorDot]] — no window at all
+    * (the threshold filter replaces ranking), so the scan is one
+    * codegen'd map+filter over the corpus. Output ordered (query_id,
+    * cosine desc, vec_id) for a total order. */
+  def simSearchRange(embeddings: DataFrame, nQueries: Int = 10,
+                     minCosine: Double = 0.35): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", vector_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** r8: recall@k of the IVF probe against the exact cosine top-k — the
     * accuracy side of the IVF speed claim, as ONE declared query (the
     * decision table a deployment reads before turning nProbe down:

@@ -122,6 +122,82 @@ object RankStats {
     *   z = (U − n_a n_b/2)/√VarU,  r_rb = 1 − 2U/(n_a n_b).
     * Same contingency-cell machinery as [[statKruskalWallis]] — the pooled
     * two-class sample is never row-ranked. One row out. */
+  /** r12: Conover's squared-ranks test for EQUALITY OF VARIANCES between
+    * two event classes — the nonparametric scale test that (unlike
+    * Ansari–Bradley / Mood scale, which require equal medians) centers
+    * each sample on its own mean first: rank |x − x̄_own| over the
+    * combined sample, T = Σ_A rank², z from the exact tie-respecting
+    * moments. The practical Levene-alternative when normality is off the
+    * table.
+    *
+    * Exactness discipline: the per-class mean is decToDouble(Σcents)/n
+    * (one correctly-rounded divide from an exact decimal sum), and each
+    * |c − mean| is a fixed per-row double chain — both engines perform
+    * the IDENTICAL IEEE ops on identical inputs, so deviation ORDER and
+    * TIES match bit-for-bit (no accumulation-order anywhere). Ranks come
+    * from the [[rankedValues]] recipe re-keyed on the double deviation
+    * (distinct-deviation cells, 4096-wide bucketed prefix sums — never a
+    * single-partition window); average ranks stay integer in half-units
+    * (2r = 2·cntLess + tv + 1), so T, Σr², Σr⁴ accumulate EXACTLY in
+    * DECIMAL(38,0) quarter/sixteenth-units and cross to double once at
+    * the end. Σtv·(2r)⁴ stays split-exact through sf3 (bound 4·10³¹,
+    * hi < 2⁵³); far beyond that the 2-level base-2⁵³ split itself is the
+    * documented ceiling. */
+  def statConoverSquaredRanks(events: DataFrame, classA: String = "click",
+      classB: String = "view"): DataFrame = {
+    val d2 = graft.Det.decToDouble _
+    val sample = events
+      .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val stats = sample.agg(
+      sum(when(col("event_type") === classA, 1L).otherwise(0L)).as("n_a"),
+      d2(sum(when(col("event_type") === classA, col("c"))
+        .otherwise(0L).cast(dec38))).as("sa"),
+      sum(when(col("event_type") === classB, 1L).otherwise(0L)).as("n_b"),
+      d2(sum(when(col("event_type") === classB, col("c"))
+        .otherwise(0L).cast(dec38))).as("sb"))
+    val cells = sample.crossJoin(broadcast(stats))
+      .withColumn("mean_own", when(col("event_type") === classA,
+          col("sa") / col("n_a").cast("double"))
+        .otherwise(col("sb") / col("n_b").cast("double")))
+      .withColumn("dv", abs(col("c").cast("double") - col("mean_own")))
+      .groupBy(col("dv"), col("event_type")).agg(count(lit(1)).as("mv"))
+    // rankedValues on the double deviation key: per-distinct tie counts +
+    // exclusive prefix via contiguous 4096-unit buckets (deviations are
+    // cents-scale, so the bucket frame stays value-range-bounded)
+    val perV = cells.groupBy(col("dv")).agg(sum(col("mv")).as("tv"))
+      .withColumn("bkt", floor(col("dv") / lit(4096.0)).cast("long"))
+    val bt = perV.groupBy(col("bkt")).agg(sum(col("tv")).as("btv"))
+    val base = bt.withColumn("base", coalesce(
+        sum(col("btv")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("base"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("dv"))
+    val rv = perV.join(broadcast(base), "bkt")
+      .withColumn("cnt_less", col("base") + sum(col("tv")).over(w) - col("tv"))
+      .select(col("dv"), col("tv"), col("cnt_less"))
+    val joined = cells.join(rv, "dv")
+      .withColumn("r2",
+        (lit(2L) * col("cnt_less") + col("tv") + lit(1L)).cast(dec38))
+    val sums = joined.agg(
+      sum(when(col("event_type") === classA, col("mv")).otherwise(0L)
+        .cast(dec38) * col("r2") * col("r2")).as("t4"),
+      sum(col("mv").cast(dec38) * col("r2") * col("r2")).as("s2"),
+      sum(col("mv").cast(dec38) * col("r2") * col("r2") * col("r2") * col("r2")).as("s4"))
+    stats.crossJoin(broadcast(sums))
+      .withColumn("nad", col("n_a").cast("double"))
+      .withColumn("nbd", col("n_b").cast("double"))
+      .withColumn("nd", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("t_stat", d2(col("t4")) / lit(4.0))
+      .withColumn("mean_t", col("nad") * d2(col("s2")) / col("nd") / lit(4.0))
+      .withColumn("var_t",
+        (col("nad") * col("nbd") / (col("nd") * (col("nd") - lit(1.0)))) *
+          (d2(col("s4")) - d2(col("s2")) * d2(col("s2")) / col("nd")) / lit(16.0))
+      .select(col("n_a"), col("n_b"), col("t_stat"), col("mean_t"), col("var_t"),
+        when(col("var_t") > 0,
+          (col("t_stat") - col("mean_t")) / sqrt(col("var_t"))).as("z_score"))
+  }
+
   def statMannWhitney(events: DataFrame, classA: String = "click",
       classB: String = "view"): DataFrame = {
     val sample = events

@@ -77,7 +77,10 @@ class PlanLintSpec extends SparkSpec {
     "stat_mood_scale",                                   // 1-row totals frame crossed onto the vocab frame (the rank-test shape, r11)
     "auto_embedding_dedup",                              // routes to dedup_embedding_cosine: broadcast block-pair dim (allowlisted exact form, r11)
     "auto_knn_join",                                     // routes to sim_knn_join: broadcast block-pair dim (allowlisted exact form, r11)
-    "auto_triangles"                                     // routes to graph_triangles: its allowlisted 1-row census shape (r11)
+    "auto_triangles",                                    // routes to graph_triangles: its allowlisted 1-row census shape (r11)
+    "sim_search_range",                                  // ≤nQueries-row query side (the cosine-topk shape, r12)
+    "dedup_threshold_curve",                             // 8-row broadcast threshold ladder (r12)
+    "stat_conover_squared_ranks"                         // 1-row stats + bounded bucket-base frames (r12)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
