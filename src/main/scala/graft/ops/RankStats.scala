@@ -146,22 +146,32 @@ object RankStats {
   def statConoverSquaredRanks(events: DataFrame, classA: String = "click",
       classB: String = "view"): DataFrame = {
     val d2 = graft.Det.decToDouble _
-    val sample = events
+    // ONE events scan: (class, cents) contingency cells — every later
+    // frame is vocab-bounded (the statMannWhitney discipline; the first
+    // cut computed dv per RAW row and re-shuffled the full sample, 6.9×
+    // on 10× data at sf1 — this is ≤2·vocab rows end to end after here)
+    val cells0 = events
       .filter(col("value").isNotNull && col("event_type").isin(classA, classB))
       .select(col("event_type"), cents(col("value")).as("c"))
-    val stats = sample.agg(
-      sum(when(col("event_type") === classA, 1L).otherwise(0L)).as("n_a"),
-      d2(sum(when(col("event_type") === classA, col("c"))
-        .otherwise(0L).cast(dec38))).as("sa"),
-      sum(when(col("event_type") === classB, 1L).otherwise(0L)).as("n_b"),
-      d2(sum(when(col("event_type") === classB, col("c"))
-        .otherwise(0L).cast(dec38))).as("sb"))
-    val cells = sample.crossJoin(broadcast(stats))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("mv"))
+    val stats = cells0.agg(
+      sum(when(col("event_type") === classA, col("mv")).otherwise(0L)).as("n_a"),
+      d2(sum(when(col("event_type") === classA,
+        col("mv").cast(dec38) * col("c")).otherwise(lit(0L).cast(dec38))))
+        .as("sa"),
+      sum(when(col("event_type") === classB, col("mv")).otherwise(0L)).as("n_b"),
+      d2(sum(when(col("event_type") === classB,
+        col("mv").cast(dec38) * col("c")).otherwise(lit(0L).cast(dec38))))
+        .as("sb"))
+    // the deviation is a function of (class, c) alone, so it attaches to
+    // the CELLS; merging reflections (|c−mean| equal from both sides)
+    // happens in the groupBy below
+    val cells = cells0.crossJoin(broadcast(stats))
       .withColumn("mean_own", when(col("event_type") === classA,
           col("sa") / col("n_a").cast("double"))
         .otherwise(col("sb") / col("n_b").cast("double")))
       .withColumn("dv", abs(col("c").cast("double") - col("mean_own")))
-      .groupBy(col("dv"), col("event_type")).agg(count(lit(1)).as("mv"))
+      .groupBy(col("dv"), col("event_type")).agg(sum(col("mv")).as("mv"))
     // rankedValues on the double deviation key: per-distinct tie counts +
     // exclusive prefix via contiguous 4096-unit buckets (deviations are
     // cents-scale, so the bucket frame stays value-range-bounded)
