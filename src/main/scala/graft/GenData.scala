@@ -72,9 +72,21 @@ object GenData {
   private def pick(seed: Long, salt: Int, xs: Seq[String]): Column =
     element_at(array(xs.map(lit): _*), (u(seed, salt) * xs.length).cast("int") + 1)
 
+  /** The table names [[generate]] knows how to produce. */
+  val Tables: Set[String] = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def generate(spark: SparkSession, sf: Double, seed: Long, out: String,
                only: Set[String] = Set.empty): Unit = {
     import spark.implicits._
+    // r13 (r12 ADVICE): fail fast on an unknown table name — a typo like
+    // 'embedding' (singular) used to make every want() false, generate
+    // NOTHING, and exit 0, a silent no-op where a probe workflow expects
+    // data on disk.
+    val unknown = only.diff(Tables)
+    require(unknown.isEmpty,
+      s"GenData: unknown table name(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"— valid names: ${Tables.toSeq.sorted.mkString(", ")}")
     def want(t: String): Boolean = only.isEmpty || only.contains(t)
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
     val nEvents = n(1000000L); val nUsers = math.max(5L, n(15000L))

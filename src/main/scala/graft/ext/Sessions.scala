@@ -1151,6 +1151,34 @@ object Sessions {
       gapMinutes: Int = 360): Unit =
     sessionDayFrame(events, gapMinutes).unpersist()
 
+  /** r13 (r12 ADVICE): every session-day DISK_ONLY persist is TRACKED per
+    * session, so [[graft.ext.Dedup.clearSharedCache]] — the documented
+    * stale-corpus remedy — also releases the interval-overlap
+    * materializations. Without this, a session that rewrites the events
+    * table in place and re-runs interval overlap silently reads the stale
+    * frame via the CacheManager's canonical-plan substitution, the exact
+    * staleness the Dedup memo contract warns about but (pre-r13) did not
+    * cover for this family. */
+  private val sessionDayPersists =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.util.Set[DataFrame]]
+
+  private[graft] def registerSessionDayPersist(df: DataFrame): DataFrame = {
+    sessionDayPersists.computeIfAbsent(df.sparkSession, _ =>
+      java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]))
+      .add(df)
+    df
+  }
+
+  /** Unpersist and forget every tracked session-day materialization of
+    * `spark` (called from [[graft.ext.Dedup.clearSharedCache]]). */
+  private[graft] def clearSessionDayPersists(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val s = sessionDayPersists.remove(spark)
+    if (s != null) s.forEach(df => { df.unpersist(); () })
+  }
+
   /** Shared sweep plan for the interval-overlap pair; see
     * [[joinIntervalOverlap]]'s contract scaladoc above. r10: the exact
     * form now pre-flights a PAIR-BOUND budget (Σ_day c_d(c_d−1)/2 over
@@ -1183,7 +1211,8 @@ object Sessions {
     // two-pass record). Only taken when a budget actually pre-flights;
     // the escape form (pairBudget = 0) is single-pass already.
     val sessDays = if (pairBudget > 0)
-      sessDays0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      registerSessionDayPersist(
+        sessDays0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     else sessDays0
     if (pairBudget > 0)
       checkOverlapBudget(dayPairBound(sessDays), pairBudget)

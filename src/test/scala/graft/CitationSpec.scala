@@ -42,12 +42,17 @@ class CitationSpec extends AnyFunSuite {
       cite.findAllIn(text).toSeq.distinct.collect {
         case c if {
           val base = Paths.get(c).getFileName.toString
-          // resolve by relative path when a directory is given, else by name
+          // r13: `dev/`-prefixed citations are THIS repo's tooling, not
+          // reference provenance — they must resolve against the repo
+          // root (a phantom dev-script citation is the same discipline
+          // failure, just a different root)
           val resolves =
-            if (c.contains("/")) refFiles.contains(c.stripPrefix("./"))
+            if (c.startsWith("dev/")) Files.isRegularFile(Paths.get(c))
+            // resolve by relative path when a directory is given, else by name
+            else if (c.contains("/")) refFiles.contains(c.stripPrefix("./"))
             else refNames.contains(base)
           !resolves
-        } => s"$p: `$c` does not resolve in /root/reference"
+        } => s"$p: `$c` does not resolve in /root/reference (or repo dev/)"
       }
     }
     assert(bad.isEmpty, s"phantom reference citations:\n${bad.mkString("\n")}")

@@ -80,7 +80,9 @@ class PlanLintSpec extends SparkSpec {
     "auto_triangles",                                    // routes to graph_triangles: its allowlisted 1-row census shape (r11)
     "sim_search_range",                                  // ≤nQueries-row query side (the cosine-topk shape, r12)
     "dedup_threshold_curve",                             // 8-row broadcast threshold ladder (r12)
-    "stat_conover_squared_ranks"                         // 1-row stats + bounded bucket-base frames (r12)
+    "stat_conover_squared_ranks",                        // 1-row stats + bounded bucket-base frames (r12)
+    "dedup_embedding_lsh_recall",                        // composes dedup_embedding_cosine: broadcast block-pair dim (allowlisted exact form, r13)
+    "sim_knn_lsh_recall"                                 // composes sim_knn_join: broadcast block-pair dim (allowlisted exact form, r13)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
