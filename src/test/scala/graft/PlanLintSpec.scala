@@ -82,7 +82,10 @@ class PlanLintSpec extends SparkSpec {
     "dedup_threshold_curve",                             // 8-row broadcast threshold ladder (r12)
     "stat_conover_squared_ranks",                        // 1-row stats + bounded bucket-base frames (r12)
     "dedup_embedding_lsh_recall",                        // composes dedup_embedding_cosine: broadcast block-pair dim (allowlisted exact form, r13)
-    "sim_knn_lsh_recall"                                 // composes sim_knn_join: broadcast block-pair dim (allowlisted exact form, r13)
+    "sim_knn_lsh_recall",                                // composes sim_knn_join: broadcast block-pair dim (allowlisted exact form, r13)
+    "stat_hodges_lehmann_err",                           // 1-row exact HL crossed with the 1-row coarse HL (escape audit, r13)
+    "graph_census_bucket_shift",                         // 1-row minute census crossed with the 1-row second census (escape audit, r13)
+    "join_interval_overlap_shed"                         // 1-row exact rollup crossed with the 1-row sustained rollup (escape audit, r13)
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only on the allowlist") {
