@@ -72,4 +72,37 @@ object Det {
     }
     when(c < 0, -pos(-c)).otherwise(pos(c))
   }
+
+  /** Driver-side twin of [[decToDouble]] for the r13 collected-fixpoint
+    * operators (markov, neyman, gesd): identical decomposition (hi = x div
+    * 2^53 cast long→double, lo = x mod 2^53 cast long→double) and the same
+    * two IEEE ops, so a BigInt that mirrors a DECIMAL(38,0) value converts
+    * bit-identically to what the distributed plan produced. */
+  def decToDoubleLocal(x: BigInt): Double = {
+    val b = BigInt(9007199254740992L) // 2^53
+    def pos(a: BigInt): Double =
+      (a / b).toLong.toDouble * 9007199254740992.0 + (a % b).toLong.toDouble
+    if (x < 0) -pos(-x) else pos(x)
+  }
+
+  /** Driver-side twin of Spark's ascending string order for ORDER BY /
+    * window tie-breaks: UTF8String binary comparison (unsigned byte-wise
+    * over UTF-8), NULLS FIRST — NOT String.compareTo, which orders by
+    * UTF-16 code units and diverges beyond the BMP. Used by the r13
+    * collected-fixpoint operators to reproduce a distributed sort order
+    * exactly on driver-collected rows. */
+  def utf8NullsFirstLt(a: String, b: String): Boolean = {
+    if (a == null) return b != null
+    if (b == null) return false
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 }

@@ -257,69 +257,89 @@ object Sampling {
     * md5-ordered per-stratum pick window as Hamilton. */
   def sampleNeymanAlloc(documents: DataFrame, budget: Int = 100): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def idiv(a: Column, b: Column) = call_function("div", a, b)
-    val d2 = graft.Det.decToDouble _
-    val k = lit(budget.toLong)
-    val weights = documents.groupBy(col("lang")).agg(
+    val spark = documents.sparkSession
+    // r13 OPT (guide §2.4/§5): the r12 spelling built the allocation as a
+    // distributed DAG over the ≤#strata weight frame — two Hamilton
+    // cascades of crossJoin(broadcast(...)) layers whose 1-row inputs
+    // each re-aggregated the weight frame, PLUS a guard collect() that
+    // re-ran the whole chain, PLUS the main query running it once more:
+    // a 205 KB plan, ~7 recomputations of the documents stats agg, 4.77 s
+    // at sf0.1 (vs 0.49 s for its hamilton sibling). The weight frame is
+    // strata-bounded (per-lang rows) at ANY data scale, so collect the
+    // ONE data-scaled stats agg and run the allocation arithmetic on the
+    // driver — same exact integer Hamilton machinery, floats only where
+    // the r12 spelling had them (decToDouble / sqrt / floor, replicated
+    // op for op in IEEE doubles), so the output is hash-identical
+    // (oracle re-verified sf0.001/0.01/0.1). Documents is now scanned
+    // exactly twice: the stats agg and the pick window below.
+    val stats = documents.groupBy(col("lang")).agg(
         count(lit(1)).as("ns"),
         sum(col("n_chars").cast(dec)).as("sx"),
         sum((col("n_chars") * col("n_chars")).cast(dec)).as("sx2"))
-      .withColumn("nd", col("ns").cast("double"))
-      .withColumn("v", when(col("ns") >= 2,
-        (d2(col("sx2")) - d2(col("sx")) * d2(col("sx")) / col("nd")) /
-          (col("nd") - lit(1.0))))
-      .withColumn("wq", when(col("v") > 0,
-        floor(col("nd") * sqrt(col("v")) * lit(1000.0)).cast("long"))
-        .otherwise(lit(0L)))
-      .filter(col("wq") > 0)
-    val totals = weights.agg(sum(col("wq")).as("w_total"))
-    val wRem = Window.orderBy((k * col("wq") % col("w_total")).desc, col("lang"))
-    val a1 = weights.crossJoin(broadcast(totals))
-      .withColumn("k_base", idiv(k * col("wq"), col("w_total")))
-      .withColumn("rem_rank", row_number().over(wRem).cast("long"))
-      .crossJoin(broadcast(
-        weights.crossJoin(broadcast(totals))
-          .agg((k - sum(idiv(k * col("wq"), col("w_total")))).as("n_extra"))))
-      .withColumn("k1",
-        col("k_base") + when(col("rem_rank") <= col("n_extra"), 1L).otherwise(0L))
-      .withColumn("c1", least(col("k1"), col("ns")))
-      .select(col("lang"), col("ns"), col("wq"), col("k1"), col("c1"))
+      .collect()
+    val d2 = graft.Det.decToDoubleLocal _
+    val utf8Lt = graft.Det.utf8NullsFirstLt _
+    val k = budget.toLong
+    case class W(lang: String, ns: Long, wq: Long)
+    val weights = stats.iterator.map { r =>
+      val lang = r.getString(0); val ns = r.getLong(1)
+      val sx = BigInt(r.getDecimal(2).toBigInteger)
+      val sx2 = BigInt(r.getDecimal(3).toBigInteger)
+      val nd = ns.toDouble
+      val wq = if (ns >= 2) {
+        val v = (d2(sx2) - d2(sx) * d2(sx) / nd) / (nd - 1.0)
+        if (v > 0) math.floor(nd * math.sqrt(v) * 1000.0).toLong else 0L
+      } else 0L
+      W(lang, ns, wq)
+    }.filter(_.wq > 0).toSeq
+    val wTotal = weights.iterator.map(_.wq).sum
+    val ranked = weights.sortWith { (p, q) =>
+      val rp = k * p.wq % wTotal; val rq = k * q.wq % wTotal
+      if (rp != rq) rp > rq else utf8Lt(p.lang, q.lang)
+    }
+    val nExtra = k - weights.iterator.map(w => k * w.wq / wTotal).sum
+    case class A(lang: String, ns: Long, wq: Long, k1: Long, c1: Long)
+    val a1 = ranked.zipWithIndex.map { case (w, i) =>
+      val k1 = k * w.wq / wTotal + (if (i + 1 <= nExtra) 1L else 0L)
+      A(w.lang, w.ns, w.wq, k1, math.min(k1, w.ns))
+    }
     // phase 2: Hamilton-redistribute the capped-off surplus among the
     // strata phase 1 left unsaturated
-    val sur = a1.agg((k - sum(col("c1"))).as("sur"))
-    val unsat = a1.filter(col("k1") < col("ns"))
-      .select(col("lang"), col("wq"))
-    val w2tot = unsat.agg(sum(col("wq")).as("w2"))
-    val wRem2 = Window.orderBy(
-      (col("sur") * col("wq") % col("w2")).desc, col("lang"))
-    val a2 = unsat.crossJoin(broadcast(w2tot)).crossJoin(broadcast(sur))
-      .withColumn("k2b", idiv(col("sur") * col("wq"), col("w2")))
-      .withColumn("rr2", row_number().over(wRem2).cast("long"))
-      .crossJoin(broadcast(
-        unsat.crossJoin(broadcast(w2tot)).crossJoin(broadcast(sur))
-          .agg((max(col("sur")) -
-            sum(idiv(col("sur") * col("wq"), col("w2")))).as("n_extra2"))))
-      .withColumn("add",
-        col("k2b") + when(col("rr2") <= col("n_extra2"), 1L).otherwise(0L))
-      .select(col("lang"), col("add"))
-    // deliberately NOT persisted: the guard action below would
-    // materialize a persisted frame during query construction, and the
-    // cached plan's AQE-final exchange count is print-state-dependent —
-    // the r7 PlanShapeSpec drift class. The frames are ≤#strata rows;
-    // recomputing them for the guard costs one extra tiny agg.
-    val alloc = a1.join(a2, Seq("lang"), "left")
-      .select(col("lang"), col("ns"), col("wq").as("w_milli"),
-        (col("c1") + coalesce(col("add"), lit(0L))).as("k_alloc"))
+    val sur = k - a1.iterator.map(_.c1).sum
+    val unsat = a1.filter(a => a.k1 < a.ns)
+    val adds: Map[String, Long] = if (unsat.isEmpty) Map.empty else {
+      val w2 = unsat.iterator.map(_.wq).sum
+      val ranked2 = unsat.sortWith { (p, q) =>
+        val rp = sur * p.wq % w2; val rq = sur * q.wq % w2
+        if (rp != rq) rp > rq else utf8Lt(p.lang, q.lang)
+      }
+      val nExtra2 = sur - unsat.iterator.map(a => sur * a.wq / w2).sum
+      ranked2.zipWithIndex.map { case (a, i) =>
+        a.lang -> (sur * a.wq / w2 + (if (i + 1 <= nExtra2) 1L else 0L))
+      }.toMap
+    }
+    case class Alloc(lang: String, ns: Long, wMilli: Long, kAlloc: Long)
+    val allocRows = a1.map(a =>
+      Alloc(a.lang, a.ns, a.wq, a.c1 + adds.getOrElse(a.lang, 0L)))
     // exact-budget guard: a second cascade or an over-capacity budget
     // must fail loudly, never silently under-deliver
-    val check = alloc.agg(
-      sum(least(col("k_alloc"), col("ns"))).as("deliverable"),
-      max(when(col("k_alloc") > col("ns"), 1L).otherwise(0L)).as("cascaded"))
-      .collect()(0)
-    require(check.getLong(1) == 0L && check.getLong(0) == budget.toLong,
+    val deliverable = allocRows.iterator.map(a => math.min(a.kAlloc, a.ns)).sum
+    val cascaded = allocRows.exists(a => a.kAlloc > a.ns)
+    require(!cascaded && deliverable == budget.toLong,
       s"sample_neyman_alloc: budget $budget is not exactly deliverable " +
         "under single-cascade capping - lower the budget or use " +
         "sample_hamilton_alloc")
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val allocSchema = StructType(Seq(
+      StructField("lang", StringType, nullable = true),
+      StructField("ns", LongType, nullable = false),
+      StructField("w_milli", LongType, nullable = true),
+      StructField("k_alloc", LongType, nullable = false)))
+    val alloc = spark.createDataFrame(
+      allocRows.map(a =>
+        org.apache.spark.sql.Row(a.lang, a.ns, a.wMilli, a.kAlloc)).asJava,
+      allocSchema)
     val wPick = Window.partitionBy(col("lang"))
       .orderBy(col("hkey"), col("doc_id"))
     documents

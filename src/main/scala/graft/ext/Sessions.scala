@@ -1542,12 +1542,18 @@ object Sessions {
     * exactly, rather than trust cross-engine float folds. States with no
     * outgoing edges shed their mass (the chain's true absorbing-loss
     * semantics, explicit). SCALE: one data-scaled user-window pass
-    * builds the ≤k² count matrix; the 8 unrolled rounds are joins/aggs
-    * on that k²-row frame — volume-independent after the first agg. */
+    * builds the ≤k² count matrix; the fixed-point itself runs on the
+    * DRIVER over that collected matrix (r13 OPT, guide §2.4/§5): the r12
+    * spelling unrolled 8 rounds of join+agg over a ≤k²-row frame — ~24
+    * exchanges and a 132 KB plan whose cost was pure planning/scheduling
+    * (3.09 s at sf0.1 on a few-dozen-row matrix). k = |event-type
+    * vocabulary| is bounded at any data scale, so the collect is the
+    * ≤nCells-centroid / dedup_clusters-probe precedent, not a data
+    * collect; BigInt reproduces the DECIMAL(38,0) products and `div`
+    * floor-division bit for bit on these nonnegative operands, so the
+    * output is hash-identical (oracle re-verified sf0.001/0.01/0.1). */
   def eventsMarkovStationary(events: DataFrame, iters: Int = 8): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      call_function("div", a, b)
+    val spark = events.sparkSession
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val trans = events
       .select(col("user_id"), col("event_type").as("src"),
@@ -1555,26 +1561,29 @@ object Sessions {
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
     val rowsums = trans.groupBy(col("src")).agg(sum(col("n")).as("rn"))
-    // persist the ≤k² matrix and ≤k state dim: every unrolled round
-    // references both, and without the cache each reference re-runs the
-    // data-scaled lead-window pass — 8× the fact scans for a frame of a
-    // few dozen rows (ContextCleaner reclaims on reference drop, the
-    // rankByRange pattern)
-    val tmat = trans.join(rowsums, "src").persist()
-    val states = trans.select(col("src").as("state"))
-      .union(trans.select(col("dst").as("state"))).distinct().persist()
-    var x = states
-      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
-      .select(col("state"), idiv(lit(1000000000L), col("k")).as("x"))
+    val m = trans.join(rowsums, "src")
+      .select(col("src"), col("dst"), col("n"), col("rn")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigInt(r.getLong(2)), BigInt(r.getLong(3))))
+    val states = m.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      .sortWith(graft.Det.utf8NullsFirstLt)
+    val ppb = BigInt(1000000000L)
+    var x: Map[String, BigInt] =
+      states.map(_ -> (if (states.nonEmpty) ppb / states.size else BigInt(0))).toMap
     for (_ <- 1 to iters) {
-      val contrib = x.join(tmat, x("state") === tmat("src"))
-        .select(col("dst").as("state"),
-          idiv(col("x").cast(dec) * col("n"), col("rn")).as("t"))
-        .groupBy(col("state")).agg(sum(col("t")).as("xn"))
-      x = states.join(contrib, Seq("state"), "left")
-        .select(col("state"), coalesce(col("xn"), lit(0L)).as("x"))
+      val xn = scala.collection.mutable.Map.empty[String, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((src, dst, n, rn) <- m) xn(dst) += x(src) * n / rn
+      x = states.map(s => s -> xn(s)).toMap
     }
-    x.select(col("state"), col("x").as("stationary_ppb")).orderBy("state")
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("state", StringType, nullable = true),
+      StructField("stationary_ppb", LongType, nullable = false)))
+    val rows = states.map(s =>
+      org.apache.spark.sql.Row(s, x(s).toLong)).asJava
+    spark.createDataFrame(rows, schema).orderBy("state")
   }
 
   /** r9: daily PEAK CONCURRENCY over the sessionized stream — the
@@ -1641,15 +1650,17 @@ object Sessions {
     * EXACTNESS: the [[eventsMarkovStationary]] integer fixed-point
     * recipe verbatim — both vectors iterate in ppb with per-edge
     * floor(v·n // rn) contributions (exact DECIMAL(38,0) products,
-    * order-free integer sums), N = 12 rounds unrolled, oracle CTE chain
+    * order-free integer sums), N = 12 rounds, oracle CTE chain
     * generated by the same loop. SCALE: one data-scaled lead-window
-    * pass builds the ≤k² matrix; every round after is
-    * volume-independent on persisted ≤k-row frames. */
+    * pass builds the ≤k² matrix; the fixed-point runs on the DRIVER
+    * over that collected matrix (r13 OPT, guide §2.4/§5 — the
+    * [[eventsMarkovStationary]] rationale verbatim: the unrolled r12
+    * spelling was ~36 exchanges / a 226 KB plan costing 4.04 s at sf0.1
+    * on a few-dozen-row matrix; BigInt reproduces DECIMAL(38,0) + `div`
+    * bit for bit, oracle re-verified sf0.001/0.01/0.1). */
   def eventsMarkovAbsorption(events: DataFrame, absorbing: String = "purchase",
                              iters: Int = 12): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      call_function("div", a, b)
+    val spark = events.sparkSession
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val trans = events
       .select(col("user_id"), col("event_type").as("src"),
@@ -1657,34 +1668,43 @@ object Sessions {
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
     val rowsums = trans.groupBy(col("src")).agg(sum(col("n")).as("rn"))
-    val tmat = trans.join(rowsums, "src")
-      .filter(col("src") =!= absorbing).persist()
-    val states = trans.select(col("src").as("state"))
-      .union(trans.select(col("dst").as("state"))).distinct().persist()
-    var x = states.select(col("state"),
-      when(col("state") === absorbing, lit(1000000000L)).otherwise(lit(0L))
-        .as("pv"),
-      lit(0L).as("tv"))
+    val m = trans.join(rowsums, "src")
+      .select(col("src"), col("dst"), col("n"), col("rn")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigInt(r.getLong(2)), BigInt(r.getLong(3))))
+    val states = m.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      .sortWith(graft.Det.utf8NullsFirstLt)
+    // `=!=` semantics: a NULL src is dropped (NULL <> x is NULL in SQL)
+    val edges = m.filter(e => e._1 != null && e._1 != absorbing)
+    val ppb = BigInt(1000000000L)
+    var pv: Map[String, BigInt] =
+      states.map(s => s -> (if (s == absorbing) ppb else BigInt(0))).toMap
+    var tv: Map[String, BigInt] = states.map(_ -> BigInt(0)).toMap
     for (_ <- 1 to iters) {
-      val contrib = x.join(tmat, x("state") === tmat("dst"))
-        .select(col("src"),
-          idiv(col("pv").cast(dec) * col("n"), col("rn")).as("pc"),
-          idiv(col("tv").cast(dec) * col("n"), col("rn")).as("tc"))
-        .groupBy(col("src"))
-        .agg(sum(col("pc")).as("pn"), sum(col("tc")).as("tn"))
-      x = states.join(contrib, states("state") === contrib("src"), "left")
-        .select(col("state"),
-          when(col("state") === absorbing, lit(1000000000L))
-            .otherwise(coalesce(col("pn"), lit(0L))).as("pv"),
-          when(col("state") === absorbing, lit(0L))
-            .otherwise(lit(1000000000L) + coalesce(col("tn"), lit(0L)))
-            .as("tv"))
+      val pn = scala.collection.mutable.Map.empty[String, BigInt]
+        .withDefaultValue(BigInt(0))
+      val tn = scala.collection.mutable.Map.empty[String, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((src, dst, n, rn) <- edges) {
+        pn(src) += pv(dst) * n / rn
+        tn(src) += tv(dst) * n / rn
+      }
+      pv = states.map(s => s -> (if (s == absorbing) ppb else pn(s))).toMap
+      tv = states.map(s => s -> (if (s == absorbing) BigInt(0) else ppb + tn(s))).toMap
     }
-    x.select(col("state"), col("pv").as("reach_ppb"),
-        col("tv").as("exp_steps_ppb"),
-        (col("pv").cast("double") / lit(1.0e9)).as("reach_prob"),
-        (col("tv").cast("double") / lit(1.0e9)).as("exp_steps_capped"))
-      .orderBy("state")
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("state", StringType, nullable = true),
+      StructField("reach_ppb", LongType, nullable = false),
+      StructField("exp_steps_ppb", LongType, nullable = false),
+      StructField("reach_prob", DoubleType, nullable = true),
+      StructField("exp_steps_capped", DoubleType, nullable = true)))
+    val rows = states.map { s =>
+      val p = pv(s).toLong; val t = tv(s).toLong
+      org.apache.spark.sql.Row(s, p, t, p.toDouble / 1.0e9, t.toDouble / 1.0e9)
+    }.asJava
+    spark.createDataFrame(rows, schema).orderBy("state")
   }
 
   /** r9: conversion-lag deciles by first-click DAY cohort — the funnel
