@@ -334,6 +334,7 @@ object Sessions {
     * pass; each iteration is a join + agg on that bounded frame. */
   def graphPagerankTypes(events: DataFrame, iters: Int = 3): DataFrame = {
     val Unit12 = 1000000000000L // 1.0 in pico-units
+    val spark = events.sparkSession
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val edges = events
       .select(col("event_type").as("src"),
@@ -341,32 +342,48 @@ object Sessions {
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
     val deg = edges.groupBy(col("src")).agg(sum(col("n")).as("deg"))
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()
-    val nNodes = nodes.count() // bounded: ≤ |event types|
-    // empty graph (empty slice / cold start): return the empty frame with
-    // the output schema instead of dividing by zero below
+    // r13 OPT (guide §2.4/§5, the events_markov_* rationale): the graph is
+    // the event-type vocabulary (≤k nodes, ≤k² edges) at ANY data scale —
+    // collect the edge+degree matrix once after the single data-scaled
+    // window pass and run the damped power iteration on the driver in
+    // BigInt (reproduces DECIMAL(38,0) × / `div` exactly). The r12
+    // spelling paid a separate nodes.count() action plus 3 unrolled
+    // join+agg rounds (58 KB plan, 1.76 s at sf0.1); oracle re-verified
+    // sf0.001/0.01/0.1, parquet schema byte-identical.
+    val m = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("n"), col("deg")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigInt(r.getLong(2)), BigInt(r.getLong(3))))
+    val nodes = m.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+    val nNodes = nodes.size.toLong
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", StringType, nullable = true),
+      StructField("rank_pico", LongType, nullable = true),
+      StructField("rank", DoubleType, nullable = true)))
+    // empty graph (empty slice / cold start): the empty frame with the
+    // output schema instead of dividing by zero below
     if (nNodes == 0)
-      return nodes.select(col("node"), lit(0L).as("rank_pico"),
-        lit(0.0).as("rank"))
-    var p = nodes.withColumn("p", lit(Unit12 / nNodes))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val teleport = BigInt(15L * (Unit12 / nNodes) / 100L)
+    var p: Map[String, BigInt] = nodes.map(_ -> BigInt(Unit12 / nNodes)).toMap
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(p.select(col("node").as("src"), col("p")), Seq("src"))
-        .join(deg, Seq("src"))
-        // p (~1e12 pico-units) × n in int64 wraps silently past ~9.2e6
-        // transitions on one edge; widen through DECIMAL(38,0) — the
-        // integral divide still returns BIGINT, so downstream is unchanged
-        .select(col("dst").as("node"),
-          expr("(CAST(p AS DECIMAL(38,0)) * n) div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      p = nodes.join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(15L * (Unit12 / nNodes) / 100L) +
-            expr("coalesce(inflow, 0L) * 85 div 100")).as("p"))
+      val inflow = scala.collection.mutable.Map.empty[String, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((src, dst, n, dg) <- m) inflow(dst) += p(src) * n / dg
+      p = nodes.map(nd => nd -> (teleport + inflow(nd) * 85 / 100)).toMap
     }
-    p.select(col("node"), col("p").as("rank_pico"),
-        (col("p").cast("double") / lit(1e12)).as("rank"))
+    val ranked = nodes
+      .map(nd => (nd, p(nd).toLong))
+      .sortWith { (a, b) =>
+        if (a._2 != b._2) a._2 > b._2 else graft.Det.utf8NullsFirstLt(a._1, b._1)
+      }
+    spark.createDataFrame(
+      ranked.map { case (nd, pico) =>
+        org.apache.spark.sql.Row(nd, pico, pico.toDouble / 1e12)
+      }.asJava, schema)
       .orderBy(col("rank_pico").desc, col("node"))
   }
 
@@ -1236,17 +1253,25 @@ object Sessions {
     * budget-free tail both interval-overlap forms share, callable directly
     * by [[Escapes.intervalOverlap]] on its already-materialized,
     * already-bounded frame (one sessionize for bound + sweep together). */
-  private[graft] def overlapSweep(sessDays: DataFrame,
-      minOverlapUs: Long): DataFrame = {
+  /** The raw per-episode frame the sweep emits — exposed (r13) so
+    * [[graft.ext.EscapeAudit.joinIntervalOverlapShed]] can read the exact
+    * AND sustained rollups from ONE sweep pass instead of sweeping the
+    * materialized session-day frame twice. */
+  private[graft] def sweptEpisodes(sessDays: DataFrame): DataFrame = {
     val spark = sessDays.sparkSession
     import spark.implicits._
-    val parted = sessDays
+    sessDays
       .repartition(col("day_us"))
       .sortWithinPartitions(col("day_us"), col("s_us"), col("user_id"),
         col("session_num"))
       .as[(Long, Long, Long, Long, Long)]
-    val swept = parted.mapPartitions(rows => IntervalSweep.run(rows))
+      .mapPartitions(rows => IntervalSweep.run(rows))
       .toDF("user_a", "sess_a", "user_b", "sess_b", "overlap_us")
+  }
+
+  private[graft] def overlapSweep(sessDays: DataFrame,
+      minOverlapUs: Long): DataFrame = {
+    val swept = sweptEpisodes(sessDays)
     val kept = if (minOverlapUs > 0L)
       swept.filter(col("overlap_us") >= minOverlapUs) else swept
     kept
@@ -1975,7 +2000,16 @@ object Sessions {
   * value comparisons, so the emitted SET is independent of partitioning
   * and processing order. Input tuples: (day_us, user_id, session_num,
   * s_us, e_us); output: (user_a, sess_a, user_b, sess_b, overlap_us)
-  * with user_a < user_b. */
+  * with user_a < user_b.
+  *
+  * r13 OPT note (measured, kept as-is): an in-closure partial aggregation
+  * of episodes to (pair → count, Σoverlap) was built and A/B'd at sf0.1 —
+  * it ran ~1 s SLOWER than this per-episode emission (boxed HashMap
+  * updates lose to the codegen'd downstream HashAggregate), and the
+  * emission-only probe put the typed-boundary conversion at < 0.5 s of
+  * the family's cost. The family is output-cardinality-bound (1.1 M pair
+  * rows at sf0.1 through agg + order + sink — work-∝-output by contract),
+  * so the r12 shape stands. */
 private[ext] object IntervalSweep {
   private type In = (Long, Long, Long, Long, Long)
   private type Out = (Long, Long, Long, Long, Long)
